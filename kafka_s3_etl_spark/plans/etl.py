@@ -1,6 +1,101 @@
-"""Reference-parity ETL query catalog (SURVEY.md section 2b M6):
-Kafka value serialization, CSV ingest semantics, JSON->XML rendering.
+"""Reference-parity ETL query catalog (SURVEY.md section 2b M6).
 
-Filled in milestone M6."""
+* q_kafka_value / q_kafka_roundtrip — the SQL->Kafka pipeline's
+  serialization surface (reference A8/A9), oracle-checked against
+  DuckDB's to_json (formats verified byte-identical).
+* q_products_flagship_csv — the reference's flagship query on its own
+  shipped CSV, string-lexicographic date semantics preserved
+  (src/sql_to_kafka.py:147-151; SURVEY 1.4.1). Rows-only: the products
+  CSV is not one of the driver's oracle views.
+* x_json_to_xml — per-record XML fragments of the reference's sample
+  JSON document (golden-file parity asserted byte-for-byte in
+  tests/test_xml_golden.py). Rows-only for the driver.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_s3_etl_spark.plans.registry import register
+from kafka_s3_etl_spark.schemas import TESTDATA_SCHEMAS
+from kafka_s3_etl_spark.sources.csv import REFERENCE_CSV, read_products_csv
+from kafka_s3_etl_spark.sources.kafka import parse_kafka_json, to_kafka_value
+from kafka_s3_etl_spark.sources.tables import load_table
+
+REFERENCE_SAMPLE_JSON = "/root/reference/data/sample_products.json"
+
+
+@register(
+    "q_kafka_value",
+    category="etl",
+    doc="Row -> JSON Kafka message value (reference A8: json.dumps per row).",
+    oracle="""
+        SELECT to_json(struct_pack(
+                   o_orderkey := o_orderkey,
+                   o_custkey := o_custkey,
+                   o_orderstatus := o_orderstatus,
+                   o_totalprice := o_totalprice,
+                   o_orderdate := CAST(o_orderdate AS VARCHAR),
+                   o_orderpriority := o_orderpriority
+               )) AS value
+        FROM orders
+    """,
+)
+def q_kafka_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return to_kafka_value(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "q_kafka_roundtrip",
+    category="etl",
+    doc=(
+        "Serialize rows to Kafka JSON values and parse them back with an "
+        "explicit schema (A8 + B2): lossless round-trip equals the table."
+    ),
+    oracle="SELECT * FROM orders",
+)
+def q_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    value_df = to_kafka_value(orders)
+    parsed = parse_kafka_json(value_df, TESTDATA_SCHEMAS["orders"])
+    return parsed.withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+
+
+@register(
+    "q_products_flagship_csv",
+    category="etl",
+    doc=(
+        "Flagship query on the reference's own products.csv with its "
+        "string-lexicographic date comparison (works because zero-padded "
+        "ISO-8601 sorts like time; SURVEY 1.4.1). Rows-only: CSV is not an "
+        "oracle view. 67/105 sample rows have articleStatus='created'."
+    ),
+    oracle=None,
+)
+def q_products_flagship_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    products = read_products_csv(spark, REFERENCE_CSV)
+    return (
+        products.filter(
+            (F.col("articleStatus") == "created")
+            & (F.col("b2bReadinessDate") >= "2024-12-01")
+        )
+        .orderBy(F.col("b2bReadinessDate").desc())
+        .select("ean", "styleNumber", "articleStatus", "b2bReadinessDate", "price_eur")
+    )
+
+
+@register(
+    "x_json_to_xml",
+    category="etl",
+    doc=(
+        "Reference B3 parity: per-record XML fragments of the sample product "
+        "JSON; byte-identical document assembly asserted against the golden "
+        "data/output.xml in tests/test_xml_golden.py."
+    ),
+    oracle=None,
+)
+def x_json_to_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.xml_pipeline import xml_fragments
+
+    return xml_fragments(spark, REFERENCE_SAMPLE_JSON)

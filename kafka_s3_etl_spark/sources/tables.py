@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_s3_etl_spark.schemas import TESTDATA_SCHEMAS, TESTDATA_TABLES
+from kafka_s3_etl_spark.shiplib import ensure_workers_can_import
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -28,6 +29,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Self-defend against host sessions built without UTC: timestamp
     # semantics (and DuckDB oracle parity) require a pinned session tz.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Any downstream operator may use pandas UDFs from this package;
+    # executor Python workers must be able to import it.
+    ensure_workers_can_import(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
