@@ -1,6 +1,143 @@
-"""Structured Streaming query catalog (SURVEY.md section 2b M7):
-kafka->s3 pipeline, event-time windows, streaming dedup, late data.
+"""Structured Streaming query catalog (SURVEY.md section 2b M7).
 
-Filled in milestone M7."""
+Each entry runs a REAL streaming query (file source standing in for the
+Kafka broker, ``Trigger.AvailableNow``, memory/parquet sink) and returns
+the materialized result as a DataFrame, so the driver's oracle can
+hash-match it:
+
+* s_kafka_to_s3 — the north star: Kafka-wire JSON values -> from_json
+  decode -> flagship A4 filter -> parquet sink -> read back. Fully
+  oracle-checked (row-wise pipeline, no window semantics involved).
+* s_window_tumbling / s_window_sliding — event-time windows, complete
+  mode. Oracle: epoch-floor bucketing (the batch analogue of a window
+  with all data inside the watermark).
+* s_window_session — session windows (gap merge); complete mode.
+  Rows-only: gap-merge is not expressible as a simple GROUP BY.
+* s_dedup_watermark — dropDuplicatesWithinWatermark projected onto its
+  key columns, which makes the surviving set deterministic and equal to
+  SELECT DISTINCT keys.
+* s_late_data — append mode + watermark on a two-batch source whose
+  second batch is entirely late -> late rows are dropped from state.
+  Rows-only; the targeted assertion lives in tests/test_streaming.py.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_s3_etl_spark.plans.registry import register
+from kafka_s3_etl_spark.plans.relational import FLAGSHIP_STATUS, FLAGSHIP_THRESHOLD
+from kafka_s3_etl_spark.streaming.jobs import (
+    decode_orders_wire,
+    dedup_within_watermark,
+    flagship_filter,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+from kafka_s3_etl_spark.streaming.runner import (
+    kafka_wire_stream,
+    run_available_now,
+    run_to_parquet,
+    stream_table,
+)
+
+
+@register(
+    "s_kafka_to_s3",
+    category="streaming",
+    doc=(
+        "North-star pipeline: Kafka-format JSON messages -> typed decode -> "
+        "A4 filter -> parquet sink with checkpoint -> read back."
+    ),
+    oracle=f"""
+        SELECT * FROM orders
+        WHERE o_orderstatus = '{FLAGSHIP_STATUS}'
+          AND o_orderdate >= TIMESTAMP '{FLAGSHIP_THRESHOLD} 00:00:00'
+    """,
+)
+def s_kafka_to_s3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wire = kafka_wire_stream(spark, sf_dir, "orders")
+    decoded = decode_orders_wire(wire)
+    filtered = flagship_filter(decoded, FLAGSHIP_STATUS, FLAGSHIP_THRESHOLD)
+    return run_to_parquet(filtered)
+
+
+@register(
+    "s_window_tumbling",
+    category="streaming",
+    doc="Event-time 5-minute tumbling window agg with watermark.",
+    oracle="""
+        SELECT make_timestamp(CAST(floor(epoch(ts)/300)*300*1000000 AS BIGINT)) AS ws,
+               make_timestamp(CAST((floor(epoch(ts)/300)+1)*300*1000000 AS BIGINT)) AS we,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+)
+def s_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = tumbling_counts(stream_table(spark, sf_dir, "events"))
+    return run_available_now(agg, output_mode="complete")
+
+
+@register(
+    "s_window_sliding",
+    category="streaming",
+    doc="10-minute windows sliding by 5: every event lands in 2 windows.",
+    oracle="""
+        SELECT make_timestamp(CAST((floor(epoch(ts)/300) - off.o)*300*1000000 AS BIGINT)) AS ws,
+               make_timestamp(CAST((floor(epoch(ts)/300) - off.o + 2)*300*1000000 AS BIGINT)) AS we,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events CROSS JOIN (VALUES (0), (1)) AS off(o)
+        GROUP BY 1, 2, 3
+    """,
+)
+def s_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = sliding_counts(stream_table(spark, sf_dir, "events"))
+    return run_available_now(agg, output_mode="complete")
+
+
+@register(
+    "s_window_session",
+    category="streaming",
+    doc="Session windows (10-minute gap merge) per user — rows-only.",
+    oracle=None,
+)
+def s_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = session_counts(stream_table(spark, sf_dir, "events"))
+    return run_available_now(agg, output_mode="complete")
+
+
+@register(
+    "s_dedup_watermark",
+    category="streaming",
+    doc=(
+        "Streaming dedup with droppable state; projected to key columns the "
+        "surviving set equals DISTINCT keys."
+    ),
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def s_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dedup = dedup_within_watermark(stream_table(spark, sf_dir, "events"))
+    return run_available_now(dedup.select("user_id", "event_type"), output_mode="append")
+
+
+@register(
+    "s_late_data",
+    category="streaming",
+    doc=(
+        "Late-data discipline: append mode + watermark over a 2-batch file "
+        "source whose second batch is entirely older than the advanced "
+        "watermark -> its rows are excluded from emitted windows (assertion "
+        "in tests/test_streaming.py)."
+    ),
+    oracle=None,
+)
+def s_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.streaming.late import late_data_demo
+
+    return late_data_demo(spark, sf_dir)

@@ -1,0 +1,92 @@
+"""Streaming transformations (SURVEY.md section 2b M7).
+
+Every transform here is written against a plain DataFrame so the SAME
+code runs in batch and streaming — Structured Streaming's core design
+(the logical plan is incrementalized by the engine; SIGMOD 2018
+"Structured Streaming: A Declarative API"). The north-star job is:
+
+    kafka source -> from_json decode -> A4 filter -> S3 parquet sink
+
+At 100 TB/day this scales by Kafka partition count on the source side
+and by ``maxOffsetsPerTrigger`` + AQE on the transform side; the sink
+is an append-only parquet table partitioned by event date.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_s3_etl_spark.schemas import TESTDATA_SCHEMAS
+from kafka_s3_etl_spark.sources.kafka import parse_kafka_json
+
+
+def decode_orders_wire(wire: DataFrame) -> DataFrame:
+    """Kafka value bytes -> typed orders rows (reference B2 on the
+    streaming path)."""
+    parsed = parse_kafka_json(wire, TESTDATA_SCHEMAS["orders"])
+    return parsed.withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+
+
+def flagship_filter(df: DataFrame, status: str, threshold: str) -> DataFrame:
+    """Reference A4 semantics, batch or stream (same code path)."""
+    return df.filter(
+        (F.col("o_orderstatus") == status)
+        & (F.col("o_orderdate") >= F.lit(threshold).cast("timestamp"))
+    )
+
+
+def tumbling_counts(events: DataFrame, width: str = "5 minutes") -> DataFrame:
+    """Event-time tumbling window counts with a watermark."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """Sliding windows: each event lands in width/slide windows."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Session windows per user (gap-merged)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "user_id",
+            "n",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """Streaming dedup bounded by the watermark (state is droppable at
+    scale, unlike an unbounded dropDuplicates)."""
+    return events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )

@@ -1,0 +1,94 @@
+"""Streaming test/driver harness: file sources + availableNow triggers.
+
+The north-star pipeline is Kafka -> transform -> S3 parquet. In this
+container there is no broker, so streams are driven through the file
+source with ``Trigger.AvailableNow`` — the documented pattern for
+deterministic, broker-free verification of Structured Streaming jobs.
+The transformations are identical DataFrame code either way; only the
+``format("kafka")`` vs ``format("text"/"parquet")`` source/sink lines
+differ (see sources/kafka.py for the broker-facing builders).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_s3_etl_spark.schemas import TESTDATA_SCHEMAS
+from kafka_s3_etl_spark.sources.kafka import to_kafka_value
+from kafka_s3_etl_spark.sources.tables import load_table
+
+
+def scratch_dir(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=f"kafka_s3_etl_spark_{prefix}_")
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Open a testdata table as a *stream* (file source over its parquet).
+
+    events.ts needs the same nanos handling as the batch loader, so the
+    batch loader's output schema is re-derived by snapshotting it.
+    """
+    batch = load_table(spark, sf_dir, name)  # also pins tz + ships lib
+    if name == "events":
+        # Stream the converted table: materialize once to scratch parquet
+        # (micro-batch file source can't do the nanos conversion lazily
+        # with a forced schema).
+        out = scratch_dir(f"stream_src_{name}")
+        batch.write.mode("overwrite").parquet(out)
+        return spark.readStream.schema(batch.schema).parquet(out)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return spark.readStream.schema(TESTDATA_SCHEMAS[name]).parquet(path)
+
+
+def kafka_wire_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Simulate the Kafka wire: serialize a table to value-only JSON
+    messages (reference A8/A9 format) written as text files, then open
+    them as a stream with a ``value`` column — exactly the shape
+    ``readStream.format("kafka")`` delivers."""
+    wire_dir = scratch_dir(f"wire_{table}")
+    to_kafka_value(load_table(spark, sf_dir, table)).write.mode("overwrite").text(
+        wire_dir
+    )
+    return spark.readStream.text(wire_dir).withColumnRenamed("value", "value")
+
+
+def run_available_now(
+    df: DataFrame, output_mode: str = "append", timeout_sec: int = 120
+) -> DataFrame:
+    """Run a streaming DataFrame to completion into a memory sink and
+    return the result as a batch DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:10]}"
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", scratch_dir("ckpt"))
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    spark = df.sparkSession
+    return spark.table(name)
+
+
+def run_to_parquet(
+    df: DataFrame, out_dir: str | None = None, timeout_sec: int = 120
+) -> DataFrame:
+    """Run an append-mode stream into a parquet sink (the S3 side of the
+    north star: same code with an s3a:// path + checkpoint) and read the
+    result back."""
+    out = out_dir or scratch_dir("sink")
+    q = (
+        df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", scratch_dir("ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return df.sparkSession.read.schema(df.schema).parquet(out)

@@ -1,0 +1,65 @@
+"""Streaming semantics tests beyond the oracle harness: late-data
+drops, session-window gap merging, and the parquet-sink round trip of
+the north-star pipeline (SURVEY section 5 engine strategy item 4)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from kafka_s3_etl_spark.streaming.jobs import session_counts
+from kafka_s3_etl_spark.streaming.late import CUTOFF, late_data_demo
+from kafka_s3_etl_spark.streaming.runner import run_available_now, scratch_dir
+
+
+def test_late_rows_are_dropped(spark, sf_dir):
+    out = late_data_demo(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "expected finalized windows from the on-time batch"
+    cutoff = datetime.datetime.fromisoformat(CUTOFF)
+    # No window from the late (pre-cutoff) batch may appear.
+    assert min(r.ws for r in rows) >= cutoff
+
+
+def test_session_window_gap_merge(spark):
+    # Three events 5 min apart (one session under a 10-min gap), then a
+    # 30-min silence, then one more event (second session).
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 10.0),
+        (1, base + datetime.timedelta(minutes=5), 10.0),
+        (1, base + datetime.timedelta(minutes=10), 10.0),
+        (1, base + datetime.timedelta(minutes=40), 10.0),
+        (2, base, 1.0),
+    ]
+    src = scratch_dir("session_src")
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    got = run_available_now(session_counts(stream), output_mode="complete").collect()
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r.user_id, []).append((r.ws, r.we, r.n))
+    assert len(by_user[1]) == 2  # merged first session + the straggler
+    sessions = sorted(by_user[1])
+    assert sessions[0][2] == 3 and sessions[1][2] == 1
+    # session end = last event + gap
+    assert sessions[0][1] == base + datetime.timedelta(minutes=20)
+    assert len(by_user[2]) == 1 and by_user[2][0][2] == 1
+
+
+def test_kafka_to_s3_roundtrip_schema(spark, sf_dir):
+    from kafka_s3_etl_spark.plans.registry import all_queries
+
+    q = all_queries()["s_kafka_to_s3"]
+    df = q.fn(spark, sf_dir)
+    assert df.columns == [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    assert df.filter(F.col("o_orderstatus") != "O").count() == 0
