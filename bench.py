@@ -33,6 +33,12 @@ HEADLINE = [
     "q_agg_distinct",
     "q_array_explode",
     "q_json_extract",
+    "q_dedup_exact",
+    "q_dedup_fuzzy",
+    "q_sim_topk",
+    "q_text_stats",
+    "q_text_fingerprint",
+    "q_udaf",
 ]
 
 

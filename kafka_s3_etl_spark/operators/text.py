@@ -1,0 +1,124 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All hot paths are built-in JVM expressions (split/regexp/length/md5) —
+no Python in the row path, so whole-stage codegen applies and the same
+code scans 100 TB of documents with nothing but a parquet scan + one
+optional aggregation shuffle. Per SURVEY.md section 2b these are the
+``q_text_*`` / ``q_token_count`` / ``q_text_fingerprint`` rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish tokenizer regex: alpha runs, digit runs, or single non-space
+# symbols — a deterministic stand-in for a subword tokenizer's pre-split.
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+# Tiny per-language marker lexicons for the n-gram/keyword heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "with", "for"],
+    "de": ["der", "und", "nicht", "das"],
+    "fr": ["le", "et", "pas", "les"],
+    "es": ["el", "que", "los", "por"],
+    "zh": ["de5", "shi4", "bu4", "le5"],
+}
+
+
+def word_tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count_regex(text: Column) -> Column:
+    """Token count under the BPE-ish regex pre-split."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Corpus stats per language: docs, whitespace tokens, chars."""
+    return (
+        documents.select(
+            "lang",
+            F.size(word_tokens(F.col("text"))).alias("n_tok"),
+            F.length("text").alias("n_ch"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n_ch"), 4).alias("avg_chars"),
+            F.max("n_ch").alias("max_chars"),
+        )
+    )
+
+
+def _marker_score(text: Column, markers: list[str]) -> Column:
+    """Occurrences of the language's marker words in the text.
+
+    Non-overlapping left-to-right regexp count on space-padded text —
+    the same semantics DuckDB's regexp_extract_all applies in the
+    oracle, so both sides agree on strings like "the and" where the
+    first match consumes the shared delimiter space.
+    """
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    pattern = "|".join(f" {w} " for w in markers)
+    return F.regexp_count(padded, F.lit(pattern))
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Keyword-marker language ID: argmax of per-language marker hits,
+    ties (and zero evidence) resolve to 'en'. Deterministic, pure
+    expression — mirrors an n-gram scorer's shape without a model."""
+    scored = documents.select(
+        "doc_id",
+        "lang",
+        *[
+            _marker_score(F.col("text"), ws).alias(f"score_{lang}")
+            for lang, ws in LANG_MARKERS.items()
+        ],
+    )
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("en")
+    # First language (in fixed order) achieving the max wins; 0 -> 'en'.
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"score_{lang}") == best, lang).otherwise(pred)
+    pred = F.when(best == 0, "en").otherwise(pred)
+    return scored.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("correct"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic quality scoring: length, alpha ratio, mean token length,
+    stopword ratio — the standard cheap pre-filters for LLM corpora."""
+    toks = F.size(word_tokens(F.col("text")))
+    alpha = F.length(F.regexp_replace("text", "[^a-z]", ""))
+    stop_hits = _marker_score(F.col("text"), LANG_MARKERS["en"])
+    return documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        toks.alias("n_tokens"),
+        (F.length("text").cast("double") / toks).alias("chars_per_token"),
+        (alpha.cast("double") / F.length("text")).alias("alpha_ratio"),
+        stop_hits.cast("int").alias("en_stopword_hits"),
+        F.when((toks >= 20) & (alpha.cast("double") / F.length("text") > 0.7), "keep")
+        .when(toks >= 5, "review")
+        .otherwise("drop")
+        .alias("quality_bucket"),
+    )
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (content-defined identity for exact-dup detection across formats)."""
+    normalized = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+    return documents.select(
+        "doc_id",
+        F.md5(normalized).alias("fp"),
+        token_count_regex(F.col("text")).cast("int").alias("n_bpe_tokens"),
+    )

@@ -1,6 +1,321 @@
 """LLM-data-pipeline query catalog (SURVEY.md section 2b M8): dedup,
 similarity search, text analysis, multimodal plumbing, UDF surface.
 
-Filled in milestone M8."""
+Oracle policy: pure-expression text ops and exact dedup/jaccard are
+hash-matched against equivalent DuckDB SQL; hash-seeded ops (MinHash/
+SimHash — xxhash64 has no DuckDB twin) and float-ranked ANN are
+rows-only, with property assertions in tests/test_llm_ops.py.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_s3_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dups,
+    ngram_jaccard_consecutive,
+    simhash_near_dups,
+)
+from kafka_s3_etl_spark.operators.multimodal import (
+    decode_metadata,
+    documents_as_media,
+)
+from kafka_s3_etl_spark.operators.similarity import (
+    ann_lsh_topk,
+    brute_force_topk,
+    embedding_near_dups,
+)
+from kafka_s3_etl_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    text_stats,
+)
+from kafka_s3_etl_spark.operators.udfs import (
+    explode_quantity_units,
+    label_price_tiers,
+    weighted_avg_price,
+)
+from kafka_s3_etl_spark.plans.registry import register
+from kafka_s3_etl_spark.sources.tables import load_table
+
+
+# ------------------------------------------------------------------ dedup
+
+
+@register(
+    "q_dedup_exact",
+    category="dedup",
+    doc="Exact dedup, deterministic keep-lowest-id per text.",
+    oracle="""
+        SELECT doc_id, lang, source, n_chars FROM (
+            SELECT doc_id, lang, source, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_dedup_fuzzy",
+    category="dedup",
+    doc="MinHash+LSH near-dup pairs (rows-only: seeded xxhash64 has no "
+    "DuckDB equivalent; properties asserted in tests).",
+    oracle=None,
+)
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_near_dups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_dedup_simhash",
+    category="dedup",
+    doc="SimHash near-dup pairs via 16-bit chunk candidates (rows-only).",
+    oracle=None,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_dups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_ngram_jaccard",
+    category="dedup",
+    doc="Exact word-3-gram Jaccard for consecutive doc pairs.",
+    oracle="""
+        WITH words AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        shingles AS (
+          SELECT DISTINCT doc_id, s FROM words,
+            UNNEST(list_transform(range(len(w) - 2),
+                   i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS t(s)
+          WHERE len(w) >= 3
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, COUNT(*) AS i
+          FROM shingles a JOIN shingles b
+            ON b.doc_id = a.doc_id + 1 AND b.s = a.s
+          GROUP BY 1
+        )
+        SELECT sa.doc_id AS doc_a, sa.doc_id + 1 AS doc_b,
+               COALESCE(i.i, 0) / (sa.n + sb.n - COALESCE(i.i, 0)) AS jaccard
+        FROM sizes sa
+        JOIN sizes sb ON sb.doc_id = sa.doc_id + 1
+        LEFT JOIN inter i ON i.doc_a = sa.doc_id
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_consecutive(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_dedup_embedding",
+    category="dedup",
+    doc="Embedding-cosine near-dup pairs (rows-only: float tolerance).",
+    oracle=None,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dups(load_table(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+# ------------------------------------------------------------- similarity
+
+
+@register(
+    "q_sim_topk",
+    category="similarity",
+    doc="Brute-force exact cosine top-5 for 8 query vectors (rows-only: "
+    "float-ranked ties).",
+    oracle=None,
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return brute_force_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "q_sim_ann_lsh",
+    category="similarity",
+    doc="Sign-random-projection LSH ANN top-5 (rows-only; recall vs "
+    "brute force asserted in tests).",
+    oracle=None,
+)
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_lsh_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+# ------------------------------------------------------------------- text
+
+
+@register(
+    "q_text_stats",
+    category="text",
+    doc="Corpus stats per language (tokens/chars).",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+               ROUND(AVG(length(text)), 4) AS avg_chars,
+               CAST(MAX(length(text)) AS INTEGER) AS max_chars
+        FROM documents GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_text_langid",
+    category="text",
+    doc="Keyword-marker language ID (argmax, first-wins ties, 0 -> en).",
+    oracle="""
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 len(regexp_extract_all(' ' || text || ' ', ' the | and | with | for ')) AS s_en,
+                 len(regexp_extract_all(' ' || text || ' ', ' der | und | nicht | das ')) AS s_de,
+                 len(regexp_extract_all(' ' || text || ' ', ' le | et | pas | les ')) AS s_fr,
+                 len(regexp_extract_all(' ' || text || ' ', ' el | que | los | por ')) AS s_es,
+                 len(regexp_extract_all(' ' || text || ' ', ' de5 | shi4 | bu4 | le5 ')) AS s_zh
+          FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE WHEN GREATEST(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'en'
+                    WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                    WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+                    WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                    WHEN s_es = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                    ELSE 'zh' END AS pred_lang,
+               (CASE WHEN GREATEST(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'en'
+                     WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                     WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+                     WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                     WHEN s_es = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                     ELSE 'zh' END = lang) AS correct
+        FROM scored
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_text_quality",
+    category="text",
+    doc="Quality scoring: length/alpha-ratio/stopword heuristics.",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(text) AS INTEGER) AS n_chars,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token,
+               CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                   / length(text) AS alpha_ratio,
+               CAST(len(regexp_extract_all(' ' || text || ' ',
+                    ' the | and | with | for ')) AS INTEGER) AS en_stopword_hits,
+               CASE WHEN len(string_split(text, ' ')) >= 20
+                         AND CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                             / length(text) > 0.7 THEN 'keep'
+                    WHEN len(string_split(text, ' ')) >= 5 THEN 'review'
+                    ELSE 'drop' END AS quality_bucket
+        FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_text_fingerprint",
+    category="text",
+    doc="md5 content fingerprint + BPE-ish regex token count.",
+    oracle=r"""
+        SELECT doc_id,
+               md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                    AS INTEGER) AS n_bpe_tokens
+        FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------- multimodal
+
+
+@register(
+    "q_multimodal_meta",
+    category="multimodal",
+    doc=(
+        "Binary media columns -> typed metadata via mapInPandas with a "
+        "deterministic fake decoder; oracle recomputes the same metadata "
+        "from text length (payload = utf-8 text bytes, ascii corpus)."
+    ),
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               CAST(length(text) AS INTEGER) AS n_bytes,
+               CAST(64 + length(text) % 129 AS INTEGER) AS width,
+               CAST(64 + length(text) % 97 AS INTEGER) AS height,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                         ELSE 1 + length(text) % 30 END AS INTEGER) AS n_frames
+        FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return decode_metadata(media)
+
+
+# ------------------------------------------------------------ UDF surface
+
+
+@register(
+    "q_udf_scalar",
+    category="udf",
+    doc="Vectorized pandas UDF price-tier labeler.",
+    oracle="""
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_totalprice <= 50000 THEN 'low'
+                    WHEN o_totalprice <= 150000 THEN 'mid'
+                    ELSE 'high' END AS tier
+        FROM orders
+    """,
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_price_tiers(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "q_udaf",
+    category="udf",
+    doc="Grouped pandas UDAF: quantity-weighted avg price per returnflag.",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+                   AS wavg_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_avg_price(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "q_udtf",
+    category="udf",
+    doc="Table-function surface: one row per whole quantity unit.",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(UNNEST(generate_series(1, CAST(l_quantity AS INT))) AS INTEGER)
+                   AS unit
+        FROM lineitem WHERE l_quantity <= 10
+    """,
+)
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return explode_quantity_units(load_table(spark, sf_dir, "lineitem"))

@@ -1,0 +1,180 @@
+"""Property tests for the rows-only LLM-data ops (dedup/similarity/
+multimodal) — the checks the DuckDB oracle cannot express: hash-seeded
+MinHash/SimHash, float-ranked ANN, and the mapInPandas plumbing.
+
+Each property pins the algorithmic contract (exact dups are found,
+estimates stay in range, candidates are re-ranked with the true metric)
+on tiny controlled DataFrames, so failures localize to the operator,
+not the corpus.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_s3_etl_spark.operators.dedup import (
+    minhash_near_dups,
+    ngram_jaccard_consecutive,
+    simhash_near_dups,
+    simhash_signatures,
+)
+from kafka_s3_etl_spark.operators.multimodal import (
+    _fake_decode,
+    decode_metadata,
+    decode_pixels,
+    documents_as_media,
+    frame_sample,
+)
+from kafka_s3_etl_spark.operators.similarity import (
+    ann_lsh_topk,
+    brute_force_topk,
+    embedding_near_dups,
+)
+
+SENT_A = "the quick brown fox jumps over the lazy dog again and again today"
+SENT_B = "a completely different document about parquet columnar storage engines"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, SENT_A),
+        (1, SENT_A),  # exact dup of 0
+        (2, SENT_A + " with one extra tail"),  # near dup of 0/1
+        (3, SENT_B),
+        (4, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),  # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [1.0, 0.01, 0.0, 0.0]),  # closest to 0
+        (5, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def test_minhash_finds_exact_dup(docs):
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard for r in minhash_near_dups(docs).collect()}
+    # identical texts agree on every minhash -> est_jaccard exactly 1.0
+    assert pairs.get((0, 1)) == 1.0
+    # an unrelated short doc never pairs with the prose docs
+    assert all(4 not in p for p in pairs)
+
+
+def test_minhash_estimates_in_range(docs):
+    for r in minhash_near_dups(docs, threshold=0.0).collect():
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert r.doc_a < r.doc_b
+
+
+def test_simhash_exact_dup_zero_hamming(docs):
+    ham = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_dups(docs, max_hamming=64).collect()}
+    assert ham.get((0, 1)) == 0
+
+
+def test_simhash_signature_is_64bit_stable(docs):
+    sigs1 = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+    sigs2 = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+    assert sigs1 == sigs2  # deterministic across runs
+    assert sigs1[0] == sigs1[1]  # identical text -> identical signature
+
+
+def test_ngram_jaccard_bounds_and_dup(docs):
+    jac = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_consecutive(docs).collect()}
+    assert jac[(0, 1)] == 1.0  # identical texts
+    for v in jac.values():
+        assert 0.0 <= v <= 1.0
+
+
+# ------------------------------------------------------------- similarity
+
+
+def _cosine(a: list[float], b: list[float]) -> float:
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb)
+
+
+def test_brute_force_topk_exact(vecs):
+    got = brute_force_topk(vecs, n_queries=1, k=3).collect()
+    # query 0 vs all others, ranked by true cosine desc
+    assert [r.neighbor_id for r in got] == [4, 1, 2]
+    emb = {r.vec_id: r.embedding for r in vecs.collect()}
+    for r in got:
+        assert r.cosine == pytest.approx(_cosine(emb[0], emb[r.neighbor_id]), abs=1e-6)
+    assert [r.rank for r in got] == [1, 2, 3]
+
+
+def test_ann_candidates_carry_true_cosine(vecs):
+    emb = {r.vec_id: r.embedding for r in vecs.collect()}
+    for r in ann_lsh_topk(vecs, n_queries=2, k=5).collect():
+        assert r.neighbor_id != r.query_id
+        assert r.cosine == pytest.approx(
+            _cosine(emb[r.query_id], emb[r.neighbor_id]), abs=1e-6
+        )
+
+
+def test_ann_recall_on_real_corpus(spark, sf_dir):
+    """ANN must recover a sane fraction of the true top-5 on the
+    synthetic embeddings (OR-amplified over 2 tables of 8 planes)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, n_queries=4, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_lsh_topk(emb, n_queries=4, k=5).collect()
+    }
+    assert len(truth) == 20
+    assert len(approx & truth) / len(truth) >= 0.25
+
+
+def test_embedding_near_dups_threshold(vecs):
+    got = embedding_near_dups(vecs, threshold=0.9).collect()
+    pairs = {(r.vec_a, r.vec_b) for r in got}
+    assert (0, 1) in pairs  # cosine ~0.994
+    assert (4, 5) not in pairs  # cosine ~-1
+    for r in got:
+        assert r.cosine >= 0.9 - 1e-9
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def test_decode_metadata_matches_fake_codec(docs):
+    media = documents_as_media(docs)
+    meta = {r.doc_id: r for r in decode_metadata(media).collect()}
+    for r in media.collect():
+        w, h, f = _fake_decode(r.media_type, bytes(r.payload))
+        m = meta[r.doc_id]
+        assert (m.width, m.height, m.n_frames) == (w, h, f)
+        assert m.n_bytes == len(bytes(r.payload))
+        assert m.media_type == ("image", "audio", "video")[r.doc_id % 3]
+
+
+def test_frame_sample_only_video(docs):
+    media = documents_as_media(docs)
+    frames = frame_sample(media, every_nth=5).collect()
+    video_ids = {r.doc_id for r in media.filter(F.col("media_type") == "video").collect()}
+    assert {r.frame_idx % 5 for r in frames} <= {0}
+    assert {r.doc_id for r in frames} <= video_ids
+
+
+def test_decode_pixels_is_explicit_stub(docs):
+    with pytest.raises(NotImplementedError):
+        decode_pixels(documents_as_media(docs))
