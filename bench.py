@@ -42,6 +42,17 @@ HEADLINE = [
 ]
 
 
+def _warm_python_workers(spark) -> None:
+    """Touch every core with a trivial pandas UDF so Arrow worker
+    processes exist before any timed query runs."""
+    from pyspark.sql.functions import col, pandas_udf
+
+    # lambda form: module-level `from __future__ import annotations`
+    # stringifies hints, which the decorator's type inference rejects
+    _ident = pandas_udf(lambda s: s, "long")
+    spark.range(10_000, numPartitions=64).select(_ident(col("id"))).count()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -50,9 +61,12 @@ def main() -> None:
     catalog = all_queries()
     names = [n for n in HEADLINE if n in catalog]
 
-    # Warm up the JVM + parquet footers once so timings measure the query,
-    # not session startup.
+    # Warm up the JVM + parquet footers + Python UDF workers once so
+    # timings measure the query, not process startup (spawning the 32
+    # Arrow workers costs ~4s and would otherwise be billed to the first
+    # pandas-UDF query).
     catalog["q_scan_project"].fn(spark, sf_dir).count()
+    _warm_python_workers(spark)
 
     timings: dict[str, float] = {}
     for name in names:

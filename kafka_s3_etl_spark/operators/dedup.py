@@ -76,11 +76,12 @@ def minhash_signatures(shingles: DataFrame, k: int = MINHASH_K) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(
+def _banded_signatures(
     signatures: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
 ) -> DataFrame:
-    """Banded LSH: docs agreeing on ALL rows of any band become a
-    candidate pair. Equi join on (band_id, band_key) — near-linear."""
+    """One row per (doc, band): the band's bucket key plus the full
+    signature as an array, so the downstream self-join never has to
+    join back to the signature table."""
     r = k // bands
     band_cols = [
         F.struct(
@@ -89,9 +90,19 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
-    banded = signatures.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band")
-    ).select("doc_id", "band.band_id", "band.key")
+    return signatures.select(
+        "doc_id",
+        F.array(*[F.col(f"mh{i}") for i in range(k)]).alias("sig"),
+        F.explode(F.array(*band_cols)).alias("band"),
+    ).select("doc_id", "sig", "band.band_id", "band.key")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> DataFrame:
+    """Banded LSH: docs agreeing on ALL rows of any band become a
+    candidate pair. Equi join on (band_id, band_key) — near-linear."""
+    banded = _banded_signatures(signatures, k, bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -114,23 +125,38 @@ def minhash_near_dups(
     bands: int = LSH_BANDS,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: candidates + estimated Jaccard
-    (fraction of agreeing minhashes) filtered at ``threshold``."""
-    sigs = minhash_signatures(word_shingles(documents), k)
-    pairs = lsh_candidate_pairs(sigs, k, bands)
-    sa, sb = sigs.alias("sa"), sigs.alias("sb")
-    joined = (
-        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
-        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
+    (fraction of agreeing minhashes) filtered at ``threshold``.
+
+    Single self-join: each band row carries the whole K-wide signature,
+    so the estimate is computed inline from the two sig arrays — no
+    join back to the signature table (which would re-run the shingle/
+    minhash lineage). Both join inputs are the identical subplan shuffled
+    on the same key, so Spark reuses one exchange for both sides.
+    """
+    banded = _banded_signatures(
+        minhash_signatures(word_shingles(documents), k), k, bands
     )
-    agree: Column = sum(
-        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
-        for i in range(k)
+    a, b = banded.alias("a"), banded.alias("b")
+    agree: Column = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
     )
     return (
-        joined.select(
-            "doc_a", "doc_b", (agree.cast("double") / k).alias("est_jaccard")
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (agree.cast("double") / k).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
     )
 
 

@@ -38,7 +38,13 @@ def label_price_tiers(orders: DataFrame) -> DataFrame:
 
 def weighted_avg_price(lineitem: DataFrame) -> DataFrame:
     """Grouped pandas UDAF: quantity-weighted mean extended price per
-    return flag (applyInPandas: one pandas frame per group)."""
+    return flag (applyInPandas: one pandas frame per group).
+
+    Projected to the three used columns BEFORE the groupBy: the UDF
+    receives whole rows, so Catalyst cannot prune through
+    FlatMapGroupsInPandas — without the select, all 16 lineitem columns
+    would ride the shuffle and the Arrow transfer.
+    """
 
     def wavg(pdf: pd.DataFrame) -> pd.DataFrame:
         w = pdf["l_quantity"].sum()
@@ -47,8 +53,10 @@ def weighted_avg_price(lineitem: DataFrame) -> DataFrame:
             {"l_returnflag": [pdf["l_returnflag"].iloc[0]], "wavg_price": [round(v, 4)]}
         )
 
-    return lineitem.groupBy("l_returnflag").applyInPandas(
-        wavg, schema="l_returnflag string, wavg_price double"
+    return (
+        lineitem.select("l_returnflag", "l_extendedprice", "l_quantity")
+        .groupBy("l_returnflag")
+        .applyInPandas(wavg, schema="l_returnflag string, wavg_price double")
     )
 
 

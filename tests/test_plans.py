@@ -1,0 +1,127 @@
+"""Physical-plan shape tests — the 100 TB insurance the row-level
+oracle cannot give. Each test pins a property of the executed plan
+that must survive a 1000-executor scale-up:
+
+* filters/projections reach the parquet scan (pushdown + pruning);
+* small-dim joins broadcast; no join ever degenerates to a cartesian
+  or nested-loop product;
+* aggregations keep their map-side partial phase;
+* JVM-only operators stay JVM-only (no Python batch eval sneaking in);
+* whole-stage codegen covers the expression hot paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_s3_etl_spark.plans.registry import all_queries
+
+_CAT = all_queries()
+
+# Join-shaped queries that must never plan a cartesian/nested-loop join.
+_JOIN_QUERIES = [
+    "q_join_inner",
+    "q_join_left",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_theta_range",
+    "q_join_multiway",
+    "q_dedup_fuzzy",
+    "q_dedup_simhash",
+    "q_ngram_jaccard",
+]
+
+# Pure-expression operators that must stay entirely JVM-side.
+_JVM_ONLY = [
+    "q_text_stats",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_fingerprint",
+    "q_dedup_exact",
+    "q_dedup_fuzzy",
+    "q_dedup_simhash",
+    "q_sim_topk",
+    "q_sim_ann_lsh",
+    "q_expr_arith",
+    "q_string_funcs",
+]
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = _CAT[name].fn(spark, sf_dir)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_scan_projection_prunes_columns(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_scan_project")
+    assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," in plan
+    # none of the 12 unprojected lineitem columns may reach the scan
+    assert "l_shipdate" not in plan and "l_comment" not in plan
+
+
+def test_flagship_filters_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_filter_conj")
+    assert "EqualTo(o_orderstatus,O)" in plan
+    assert "GreaterThanOrEqual(o_orderdate," in plan
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_theta_range_join_keeps_equi_key(spark, sf_dir):
+    # equi hash join with the range as a residual condition — NOT a
+    # nested-loop over the cross product
+    plan = plan_of(spark, sf_dir, "q_join_theta_range")
+    assert "HashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", _JOIN_QUERIES)
+def test_no_cartesian_anywhere(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_group_agg_has_partial_phase(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_agg_group")
+    assert "partial_" in plan  # map-side combine before the shuffle
+    assert "HashAggregate" in plan
+
+
+def test_minhash_reuses_selfjoin_exchange(spark, sf_dir):
+    # both sides of the LSH band self-join are the identical subplan
+    # shuffled on the same key -> one exchange, reused. AQE only decides
+    # this at runtime, so execute first and read the final plan.
+    df = _CAT["q_dedup_fuzzy"].fn(spark, sf_dir)
+    df.collect()
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
+
+
+@pytest.mark.parametrize("name", _JVM_ONLY)
+def test_jvm_only_paths_have_no_python(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "EvalPython" not in plan, name  # no Batch/ArrowEvalPython
+
+
+@pytest.mark.parametrize("name", ["q_udf_scalar", "q_multimodal_meta"])
+def test_udf_paths_use_arrow_not_row_python(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert ("ArrowEvalPython" in plan) or ("MapInPandas" in plan), name
+    assert "BatchEvalPython" not in plan, name  # row-at-a-time path
+
+
+def test_expression_path_is_codegened(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_expr_arith")
+    assert "codegen id" in plan
