@@ -33,6 +33,8 @@ HEADLINE = [
     "q_agg_distinct",
     "q_array_explode",
     "q_json_extract",
+    "q_asof_join",
+    "q_sessionize",
     "q_dedup_exact",
     "q_dedup_fuzzy",
     "q_sim_topk",

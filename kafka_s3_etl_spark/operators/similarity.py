@@ -169,6 +169,96 @@ def ann_lsh_topk(
     )
 
 
+IVF_CELLS = 16
+IVF_PROBE = 4
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_cells: int = IVF_CELLS,
+    n_probe: int = IVF_PROBE,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer partitions the
+    corpus into cells; each query probes only its ``n_probe`` nearest
+    cells and exact-cosine re-ranks the candidates.
+
+    Scale shape: the quantizer fits on a driver-side sample (centroid
+    table is tiny — cells x dims), assignment is one JVM pass
+    (ml.KMeans transform), and the probe is a broadcast equi join on
+    cell id touching ~n_probe/n_cells of the corpus per query. At 100 TB
+    raise n_cells ~ sqrt(N) and fit on .sample(); everything else is
+    unchanged.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = with_norm(embeddings).withColumn(
+        "fv", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_cells, seed=42, featuresCol="fv", predictionCol="cell"
+    ).fit(base)
+    assigned = model.transform(base).select("vec_id", "embedding", "norm", "cell")
+
+    # Tiny centroid table -> which cells each query probes.
+    spark = embeddings.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    queries = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    dist_rank = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("cell")
+    )
+    probe_cells = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "q_emb",
+            "q_norm",
+            "cell",
+            F.aggregate(
+                F.zip_with(
+                    F.col("q_emb"),
+                    F.col("centroid"),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("dist"),
+        )
+        .withColumn("cell_rank", F.row_number().over(dist_rank))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("query_id", "q_emb", "q_norm", "cell")
+    )
+    cands = assigned.join(
+        F.broadcast(probe_cells),
+        (assigned.cell == probe_cells.cell)
+        & (assigned.vec_id != probe_cells.query_id),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            _dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_norm") * F.col("norm"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Cosine near-dup pairs among consecutive vec_ids (the verification
     stage shape; generalizes by swapping the pair source to LSH)."""

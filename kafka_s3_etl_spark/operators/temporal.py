@@ -1,0 +1,112 @@
+"""Temporal operators Spark lacks as built-ins: as-of join and batch
+sessionization (SURVEY.md 2b custom-operator track).
+
+Both are expressed as compositions of existing DataFrame ops (the
+preferred strategy for custom operators) and both cost exactly ONE
+shuffle — the hash partition on the entity key — regardless of data
+volume:
+
+* as-of join — the kdb/Pandas `merge_asof` semantics: for every left
+  row, the single most recent right row with ``right_ts <= left_ts``
+  per key. Implemented as a union-merge: tag the two inputs, sort each
+  key's timeline once, and carry the latest right payload forward with
+  ``last(ignorenulls)``. The naive alternative (theta join + row_number)
+  fans out to |left x right| pairs per key before pruning; the merge
+  never materializes pairs at all, so a 100 TB orders⋈events as-of costs
+  the same shuffle a groupBy would.
+* sessionize — gap-based session assignment (the batch analogue of
+  ``F.session_window``): a lag-window marks session starts, a running
+  sum numbers them, one aggregation summarizes. Two window passes over
+  one partitioning + the final agg; no self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    prefix: str = "last_",
+) -> DataFrame:
+    """Left as-of join: latest right payload with right_ts <= left_ts.
+
+    Returns all left columns plus ``prefix + right_ts`` and
+    ``prefix + c`` for each payload column (NULL when no right row
+    precedes the left timestamp).
+    """
+    left_cols = left.columns
+    out_cols = [right_ts] + payload
+    l_side = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *left_cols,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in out_cols],
+    )
+    r_side = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        *[F.col(c).alias(f"_r_{c}") for c in out_cols],
+    )
+    # One timeline per key: right rows sort before left rows at equal ts
+    # (_side 0 < 1), which makes the join boundary-inclusive.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l_side.unionByName(r_side).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in out_cols
+        ],
+    )
+    return merged.filter(F.col("_side") == 1).select(
+        *left_cols, *[f"{prefix}{c}" for c in out_cols]
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_minutes: int = 10,
+) -> DataFrame:
+    """Assign gap-based sessions and summarize them: one row per
+    (key, session) with event count and start/end timestamps."""
+    timeline = Window.partitionBy(key).orderBy(ts)
+    # microsecond precision: cast("long") would truncate to seconds and
+    # merge sessions whose gap is in (10min, 10min+1s)
+    gap = F.unix_micros(F.col(ts)) - F.lag(F.unix_micros(F.col(ts))).over(timeline)
+    marked = events.select(
+        key,
+        ts,
+        F.when(gap <= gap_minutes * 60 * 1_000_000, 0).otherwise(1).alias("new_session"),
+    )
+    numbered = marked.select(
+        key,
+        ts,
+        F.sum("new_session")
+        .over(timeline.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    return (
+        numbered.groupBy(key, "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts).alias("session_start"),
+            F.max(ts).alias("session_end"),
+        )
+    )

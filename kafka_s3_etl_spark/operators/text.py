@@ -113,6 +113,31 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
 
 
+ROLLHASH_BASE = 31
+ROLLHASH_MOD = 2**32
+
+
+def _word_hash(w: Column) -> Column:
+    """Cross-engine word hash: first 8 hex chars of md5, as an integer.
+    (xxhash64 would be faster but has no DuckDB twin; md5 exists and is
+    bit-identical in both engines.)"""
+    return F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+
+
+def rolling_hash(documents: DataFrame) -> DataFrame:
+    """Karp-Rabin rolling fingerprint over the word sequence:
+    h = fold(h * B + hash(word) mod 2^32). Order-sensitive (unlike a
+    bag-of-words md5), so reordered near-dups get different prints.
+    Pure JVM fold via ``aggregate`` — intermediate values stay < 2^37,
+    safely inside bigint under ANSI overflow checking."""
+    rolled = F.aggregate(
+        F.transform(F.split(F.col("text"), " "), _word_hash),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: F.pmod(acc * ROLLHASH_BASE + x, F.lit(ROLLHASH_MOD)),
+    )
+    return documents.select("doc_id", rolled.alias("roll_fp"))
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase text
     (content-defined identity for exact-dup detection across formats)."""

@@ -25,11 +25,13 @@ from kafka_s3_etl_spark.operators.similarity import (
     ann_lsh_topk,
     brute_force_topk,
     embedding_near_dups,
+    ivf_topk,
 )
 from kafka_s3_etl_spark.operators.text import (
     fingerprint,
     language_id,
     quality_score,
+    rolling_hash,
     text_stats,
 )
 from kafka_s3_etl_spark.operators.udfs import (
@@ -148,6 +150,17 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "q_sim_ivf",
+    category="similarity",
+    doc="IVF ANN top-5: k-means coarse quantizer, 4-of-16 cell probe, "
+    "exact re-rank (rows-only; recall asserted in tests).",
+    oracle=None,
+)
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 # ------------------------------------------------------------------- text
 
 
@@ -241,6 +254,26 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_text_rollhash",
+    category="text",
+    doc=(
+        "Order-sensitive Karp-Rabin rolling fingerprint over the word "
+        "sequence (mod-2^32 polynomial fold of md5-derived word hashes)."
+    ),
+    oracle="""
+        SELECT doc_id,
+               list_reduce(
+                 list_transform(string_split(text, ' '),
+                                w -> CAST(('0x' || substr(md5(w),1,8)) AS BIGINT)),
+                 (acc, x) -> (acc * 31 + x) % 4294967296) AS roll_fp
+        FROM documents
+    """,
+)
+def q_text_rollhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_hash(load_table(spark, sf_dir, "documents"))
 
 
 # ------------------------------------------------------------- multimodal

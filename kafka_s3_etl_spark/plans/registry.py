@@ -26,6 +26,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Modules that register queries on import (one per SURVEY section 2b family).
 _PLAN_MODULES = [
     "kafka_s3_etl_spark.plans.relational",
+    "kafka_s3_etl_spark.plans.temporal",
     "kafka_s3_etl_spark.plans.llm",
     "kafka_s3_etl_spark.plans.etl",
     "kafka_s3_etl_spark.plans.streaming_queries",

@@ -127,6 +127,31 @@ def s_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_stateful_counts",
+    category="streaming",
+    doc=(
+        "Custom stateful operator (applyInPandasWithState): per-user "
+        "running event counts; the max emitted count per user equals the "
+        "total, so the result is oracle-checkable."
+    ),
+    oracle="""
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    """,
+)
+def s_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.streaming.stateful import user_running_counts
+
+    emitted = run_available_now(
+        user_running_counts(stream_table(spark, sf_dir, "events")),
+        output_mode="update",
+    )
+    # update mode emits one row per (user, touched micro-batch); the
+    # latest (= max) running count per user is the total.
+    return emitted.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@register(
     "s_late_data",
     category="streaming",
     doc=(

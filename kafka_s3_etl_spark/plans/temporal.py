@@ -1,0 +1,87 @@
+"""Temporal query catalog: as-of join and sessionization — custom
+operators built as single-shuffle DataFrame compositions (see
+operators/temporal.py for the scaling argument).
+
+Both are fully oracle-checked: DuckDB has a native ASOF JOIN, and
+sessionization is plain ANSI window SQL. (user_id, ts) is unique in the
+events table, so both operators are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_s3_etl_spark.operators.temporal import asof_join, sessionize
+from kafka_s3_etl_spark.plans.registry import register
+from kafka_s3_etl_spark.sources.tables import load_table
+
+
+@register(
+    "q_asof_join",
+    category="temporal",
+    doc=(
+        "As-of join (kdb/merge_asof semantics): per order, the most recent "
+        "event of the matching user at or before the order date. Union-merge "
+        "implementation — one shuffle, no pair fan-out."
+    ),
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+               e.ts AS last_ts, e.event_type AS last_event_type
+        FROM orders o
+        ASOF LEFT JOIN events e
+          ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    events = load_table(spark, sf_dir, "events")
+    return asof_join(
+        orders,
+        events,
+        key="o_custkey",
+        right_key="user_id",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        payload=["event_type"],
+    )
+
+
+@register(
+    "q_sessionize",
+    category="temporal",
+    doc=(
+        "Batch sessionization: 10-minute-gap sessions per user via "
+        "lag-mark + running-sum numbering (the batch analogue of "
+        "session_window)."
+    ),
+    oracle="""
+        WITH marked AS (
+          -- epoch_us on both sides: the events parquet is nano-precision,
+          -- Spark timestamps are micro; compare at the shared precision
+          SELECT user_id, ts,
+                 CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                               PARTITION BY user_id ORDER BY ts)
+                           <= 600000000
+                      THEN 0 ELSE 1 END AS new_session
+          FROM events
+        ),
+        numbered AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (
+                     PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS session_id
+          FROM marked
+        )
+        SELECT user_id, session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load_table(spark, sf_dir, "events"))

@@ -32,6 +32,7 @@ from kafka_s3_etl_spark.operators.similarity import (
     ann_lsh_topk,
     brute_force_topk,
     embedding_near_dups,
+    ivf_topk,
 )
 
 SENT_A = "the quick brown fox jumps over the lazy dog again and again today"
@@ -142,6 +143,25 @@ def test_ann_recall_on_real_corpus(spark, sf_dir):
     }
     assert len(truth) == 20
     assert len(approx & truth) / len(truth) >= 0.25
+
+
+def test_ivf_recall_and_true_cosines(spark, sf_dir):
+    """IVF candidates must carry the true cosine, and probing 4 of 16
+    cells must recover a sane fraction of the exact top-5."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vecs_by_id = {r.vec_id: r.embedding for r in emb.collect()}
+    approx = ivf_topk(emb, n_queries=4, k=5).collect()
+    for r in approx:
+        assert r.neighbor_id != r.query_id
+        assert r.cosine == pytest.approx(
+            _cosine(vecs_by_id[r.query_id], vecs_by_id[r.neighbor_id]), abs=1e-6
+        )
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, n_queries=4, k=5).collect()
+    }
+    hits = {(r.query_id, r.neighbor_id) for r in approx} & truth
+    assert len(hits) / len(truth) >= 0.25
 
 
 def test_embedding_near_dups_threshold(vecs):

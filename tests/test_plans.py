@@ -122,6 +122,24 @@ def test_udf_paths_use_arrow_not_row_python(spark, sf_dir, name):
     assert "BatchEvalPython" not in plan, name  # row-at-a-time path
 
 
+def test_asof_join_is_a_merge_not_a_join(spark, sf_dir):
+    # the union-merge as-of join must plan as window-over-union — no
+    # join operator, no pair fan-out; one exchange per union branch
+    # means every row is shuffled exactly once
+    plan = plan_of(spark, sf_dir, "q_asof_join")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
+    assert "Window" in plan and "Union" in plan
+
+
+def test_sessionize_single_partitioning(spark, sf_dir):
+    # both window passes and the final agg share the user_id hash
+    # partitioning: one shuffle for the windows + the agg's exchange
+    plan = plan_of(spark, sf_dir, "q_sessionize")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
+
+
 def test_expression_path_is_codegened(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_expr_arith")
     assert "codegen id" in plan

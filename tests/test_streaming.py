@@ -49,6 +49,39 @@ def test_session_window_gap_merge(spark):
     assert len(by_user[2]) == 1 and by_user[2][0][2] == 1
 
 
+def test_stateful_counts_survive_microbatches(spark):
+    """applyInPandasWithState must carry per-key state across batches:
+    two source files + maxFilesPerTrigger=1 forces two micro-batches,
+    and a user present in both must emit an increasing running count."""
+    import os
+
+    from kafka_s3_etl_spark.streaming.stateful import user_running_counts
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    src = scratch_dir("stateful_src")
+    batch1 = [(1, base, "a"), (1, base, "b"), (2, base, "a")]
+    batch2 = [(1, base, "c"), (3, base, "a")]
+    schema = "user_id long, ts timestamp, event_type string"
+    for i, rows in enumerate((batch1, batch2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    got = run_available_now(user_running_counts(stream), output_mode="update")
+    emitted = sorted(
+        (r.user_id, r.n_events) for r in got.collect()
+    )
+    # user 1 appears in both micro-batches: one emission per batch with a
+    # strictly growing cumulative count, ending at the true total of 3.
+    user1 = [n for (u, n) in emitted if u == 1]
+    assert sorted(user1) == user1 and user1[-1] == 3 and len(user1) == 2
+    assert (2, 1) in emitted and (3, 1) in emitted
+
+
 def test_kafka_to_s3_roundtrip_schema(spark, sf_dir):
     from kafka_s3_etl_spark.plans.registry import all_queries
 
