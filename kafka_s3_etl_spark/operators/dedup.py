@@ -47,6 +47,21 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
+def incremental_new_docs(documents: DataFrame) -> DataFrame:
+    """Incremental-ingestion dedup: docs in the 'new' half whose content
+    fingerprint does not appear in the 'seen' half — a left anti join on
+    the fingerprint, the per-batch shape of a rolling corpus pipeline
+    (the seen side is the fingerprint store; only fingerprints shuffle,
+    never document bodies)."""
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    fps = documents.select("doc_id", fp.alias("fp"))
+    mid = fps.agg(((F.max("doc_id") + F.min("doc_id")) / 2).alias("mid"))
+    with_mid = fps.crossJoin(F.broadcast(mid))
+    new = with_mid.filter(F.col("doc_id") > F.col("mid")).select("doc_id", "fp")
+    seen = with_mid.filter(F.col("doc_id") <= F.col("mid")).select("fp")
+    return new.join(seen, "fp", "left_anti").select("doc_id", "fp")
+
+
 def word_shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """(doc_id, shingle) rows: distinct word n-grams per document."""
     words = documents.select("doc_id", F.split("text", " ").alias("w"))

@@ -125,6 +125,35 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(load_table(spark, sf_dir, "embeddings"), threshold=0.9)
 
 
+@register(
+    "q_dedup_incremental",
+    category="dedup",
+    doc=(
+        "Incremental corpus dedup: new docs (second half of the corpus) "
+        "whose content fingerprint is unseen in the existing corpus "
+        "(first half) — the anti-join shape a rolling ingestion pipeline "
+        "runs every batch against its fingerprint store."
+    ),
+    oracle="""
+        WITH fps AS (
+          SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+          FROM documents
+        ),
+        bound AS (SELECT (MAX(doc_id) + MIN(doc_id)) / 2 AS mid FROM fps)
+        SELECT n.doc_id, n.fp FROM fps n, bound
+        WHERE n.doc_id > bound.mid
+          AND NOT EXISTS (
+            SELECT 1 FROM fps seen, bound
+            WHERE seen.doc_id <= bound.mid AND seen.fp = n.fp
+          )
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.dedup import incremental_new_docs
+
+    return incremental_new_docs(load_table(spark, sf_dir, "documents"))
+
+
 # ------------------------------------------------------------- similarity
 
 

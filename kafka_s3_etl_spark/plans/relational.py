@@ -793,3 +793,98 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k"),
     )
+
+
+# ----------------------------------------------- analytics extensions
+
+
+@register(
+    "q_pivot",
+    category="aggregation",
+    doc="Pivot: returnflag columns of summed quantity per linestatus "
+    "(explicit value list keeps the plan a single pass, no value scan).",
+    oracle="""
+        SELECT l_linestatus,
+               ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A,
+               ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N,
+               ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R
+        FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return pv
+
+
+@register(
+    "q_percentiles",
+    category="aggregation",
+    doc=(
+        "Exact percentiles (median/p90) per order priority: Spark "
+        "percentile() == DuckDB quantile_cont (both linear-interpolate); "
+        "rounded to 4dp because the engines associate the interpolation "
+        "arithmetic differently (2-decimal inputs make 4dp exact)."
+    ),
+    oracle="""
+        SELECT o_orderpriority,
+               ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+@register(
+    "q_histogram",
+    category="aggregation",
+    doc=(
+        "Fixed-width histogram of order totals: shared floor((x-lo)/step) "
+        "bucket arithmetic on both engines (DuckDB lacks width_bucket)."
+    ),
+    oracle="""
+        SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9) AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000.0), F.lit(9)).cast("int")
+    return o.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
+
+
+@register(
+    "q_join_salted",
+    category="joins",
+    doc=(
+        "Skew-mitigation salted join (operators/skew.py): fact rows spray "
+        "over (key, salt) sub-keys, dim replicated salt_n times. Result is "
+        "row-identical to the plain join — the oracle IS the plain join."
+    ),
+    oracle="""
+        SELECT l_orderkey, l_linenumber, o_orderstatus, o_totalprice
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return salted_join(
+        li, o, key="l_orderkey", dim_key="o_orderkey",
+        fact_salt_cols=["l_orderkey", "l_linenumber"],
+    ).select("l_orderkey", "l_linenumber", "o_orderstatus", "o_totalprice")
