@@ -78,6 +78,47 @@ def asof_join(
     )
 
 
+def range_bucket_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    window_micros: int,
+) -> DataFrame:
+    """Range join `right_ts in (left_ts, left_ts + window]` accelerated
+    by time bucketing: both sides get a bucket of width = window, and the
+    right side is exploded into its own bucket and the previous one —
+    any qualifying pair lands in exactly one (key, bucket) join cell.
+
+    Why: a plain equi-join on `key` evaluates the range residual for
+    every same-key pair — quadratic per key. Bucketing bounds candidates
+    to two windows' worth per row, so per-key cost is ~linear in events
+    per window, at the price of duplicating the right side 2x. The
+    bucket width must equal the range window.
+
+    Returns all left columns + all right columns (exact residual applied;
+    no duplicate pairs — each pair matches exactly one bucket cell).
+    """
+    lb = F.floor(F.unix_micros(F.col(left_ts)) / window_micros)
+    rb = F.floor(F.unix_micros(F.col(right_ts)) / window_micros)
+    l_side = left.withColumn("_b", lb)
+    r_side = right.withColumn(
+        "_b", F.explode(F.array(rb - 1, rb))
+    )
+    cond = (
+        (l_side[key] == r_side[right_key])
+        & (l_side["_b"] == r_side["_b"])
+        & (r_side[right_ts] > l_side[left_ts])
+        & (
+            F.unix_micros(r_side[right_ts])
+            <= F.unix_micros(l_side[left_ts]) + window_micros
+        )
+    )
+    return l_side.join(r_side, cond).drop("_b")
+
+
 def sessionize(
     events: DataFrame,
     key: str = "user_id",

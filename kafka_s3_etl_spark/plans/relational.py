@@ -387,18 +387,26 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e1 = load_table(spark, sf_dir, "events").alias("e1")
-    e2 = load_table(spark, sf_dir, "events").alias("e2")
-    cond = (
-        (F.col("e1.user_id") == F.col("e2.user_id"))
-        & (F.col("e2.ts") > F.col("e1.ts"))
-        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 1 HOUR"))
+    # Range-bucket join (operators/temporal.py): candidates limited to
+    # same/adjacent 1h buckets per user instead of every same-user pair,
+    # so per-user cost stays linear in events-per-hour at any scale.
+    from kafka_s3_etl_spark.operators.temporal import range_bucket_join
+
+    events = load_table(spark, sf_dir, "events")
+    left = events.select(F.col("event_id").alias("a_id"), "user_id", "ts")
+    right = events.select(
+        F.col("user_id").alias("r_user_id"), F.col("ts").alias("r_ts")
     )
-    return (
-        e1.join(e2, cond, "inner")
-        .groupBy(F.col("e1.event_id").alias("a_id"))
-        .agg(F.count("*").alias("n_followups"))
+    joined = range_bucket_join(
+        left,
+        right,
+        key="user_id",
+        right_key="r_user_id",
+        left_ts="ts",
+        right_ts="r_ts",
+        window_micros=3_600_000_000,
     )
+    return joined.groupBy("a_id").agg(F.count("*").alias("n_followups"))
 
 
 @register(

@@ -34,6 +34,7 @@ from kafka_s3_etl_spark.streaming.jobs import (
     flagship_filter,
     session_counts,
     sliding_counts,
+    stream_stream_followups,
     tumbling_counts,
 )
 from kafka_s3_etl_spark.streaming.runner import (
@@ -124,6 +125,28 @@ def s_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = dedup_within_watermark(stream_table(spark, sf_dir, "events"))
     return run_available_now(dedup.select("user_id", "event_type"), output_mode="append")
+
+
+@register(
+    "s_stream_join",
+    category="streaming",
+    doc=(
+        "Stream-stream inner join with double watermark + time-bounded "
+        "condition (finite state both sides); inner emission is "
+        "batching-invariant so the batch range join is the oracle."
+    ),
+    oracle="""
+        SELECT e1.event_id AS a_id, e2.event_id AS b_id
+        FROM events e1 JOIN events e2
+          ON e1.user_id = e2.user_id
+         AND e2.ts > e1.ts
+         AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+    """,
+)
+def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left = stream_table(spark, sf_dir, "events")
+    right = stream_table(spark, sf_dir, "events")
+    return run_available_now(stream_stream_followups(left, right))
 
 
 @register(

@@ -84,6 +84,33 @@ def session_counts(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
     )
 
 
+def stream_stream_followups(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Stream-stream inner join: follow-up events within 1h per user.
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both ends, so each side's state is finite (Spark drops buffered
+    rows once the watermark passes the window). Inner-join emission does
+    not depend on micro-batch boundaries, which makes the result equal to
+    the batch range join — the oracle exploits exactly that.
+    """
+    l_side = left.select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("l_ts"),
+    ).withWatermark("l_ts", "1 hour")
+    r_side = right.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+    ).withWatermark("r_ts", "1 hour")
+    return l_side.join(
+        r_side,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("a_id", "b_id")
+
+
 def dedup_within_watermark(events: DataFrame) -> DataFrame:
     """Streaming dedup bounded by the watermark (state is droppable at
     scale, unlike an unbounded dropDuplicates)."""

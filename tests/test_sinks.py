@@ -38,6 +38,25 @@ def test_partitioned_write_then_pruned_read(spark, sf_dir):
     assert read.count() == orders.filter(F.col("o_orderstatus") == "O").count()
 
 
+def test_schema_evolution_merge(spark, sf_dir):
+    """Schema drift discipline: a corpus written over months grows
+    columns. mergeSchema reads old+new files as one table with the
+    union schema, old rows null-filled in the added column."""
+    out = scratch_dir("evolving")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    v1 = docs.filter(F.col("doc_id") < 100)
+    v2 = docs.filter(F.col("doc_id") >= 100).withColumn(
+        "quality", F.lit(0.5)
+    )
+    v1.write.parquet(out + "/batch=1")
+    v2.write.parquet(out + "/batch=2")
+    merged = spark.read.option("mergeSchema", True).parquet(out)
+    assert set(merged.columns) == {"doc_id", "lang", "quality", "batch"}
+    assert merged.count() == docs.count()
+    old_rows = merged.filter(F.col("doc_id") < 100)
+    assert old_rows.filter(F.col("quality").isNotNull()).count() == 0
+
+
 def test_max_records_per_file_bounds_file_size(spark, sf_dir):
     """maxRecordsPerFile caps output file size — the knob that keeps
     single files splittable/readable when a partition is huge."""
