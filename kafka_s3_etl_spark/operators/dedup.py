@@ -77,14 +77,21 @@ def word_shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
 
 
 def minhash_signatures(shingles: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """K minhashes per doc in ONE aggregation pass: k seeded xxhash64
-    columns, map-side-combined min() per doc."""
-    hashed = shingles.select(
+    """K minhashes per doc in ONE aggregation pass, map-side combined.
+
+    The shingle STRING is scanned by xxhash64 once; the K hash functions
+    re-hash that 8-byte value with per-function seeds (fixed-width
+    input, far cheaper than k full string scans). NOTE: affine maps
+    a_i*h+b_i mod p are NOT a valid cheap alternative here — with the
+    multiplier range bigint overflow allows, they wrap at most once and
+    stay piecewise-monotone in h, so every "permutation" picks nearly
+    the same argmin shingle and Jaccard estimates collapse upward
+    (measured: 17x more >=0.5 pairs on the sf0.1 corpus).
+    """
+    base = shingles.select("doc_id", F.xxhash64("shingle").alias("h"))
+    hashed = base.select(
         "doc_id",
-        *[
-            F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"h{i}")
-            for i in range(k)
-        ],
+        *[F.xxhash64(F.col("h"), F.lit(i)).alias(f"h{i}") for i in range(k)],
     )
     return hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"mh{i}") for i in range(k)]

@@ -1,0 +1,123 @@
+"""Property-based tests for the temporal operators: random inputs,
+independent reference implementations (pandas merge_asof; a brute-force
+python sessionizer). The DuckDB oracle checks one fixed corpus; these
+check the operator CONTRACT over the input space — ties, empty sides,
+keys with no matches, boundary-exact timestamps.
+
+Settings note: each example pays Spark job latency, so examples are few
+and deadlines disabled; shrunk failures still reproduce exactly
+(deterministic operators, seeded hypothesis).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kafka_s3_etl_spark.operators.temporal import asof_join, sessionize
+
+BASE = datetime.datetime(2024, 1, 1)
+
+
+def _ts(seconds: int) -> datetime.datetime:
+    return BASE + datetime.timedelta(seconds=seconds)
+
+
+# (key, ts_seconds) pairs; unique ts per key is the documented contract.
+left_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 5000)),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda r: (r[0], r[1]),
+)
+right_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 5000)),
+    min_size=0,
+    max_size=25,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(left=left_rows, right=right_rows)
+@_SETTINGS
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(k, i, _ts(s)) for i, (k, s) in enumerate(left)],
+        "k long, lid long, lts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, i + 1000, _ts(s)) for i, (k, s) in enumerate(right)],
+        "rk long, rid long, rts timestamp",
+    ) if right else spark.createDataFrame([], "rk long, rid long, rts timestamp")
+
+    got = {
+        (r.lid): (r.last_rid)
+        for r in asof_join(
+            ldf, rdf, key="k", right_key="rk", left_ts="lts", right_ts="rts",
+            payload=["rid"],
+        ).collect()
+    }
+
+    if not right:
+        # merge_asof cannot type an empty frame; the contract is simply
+        # "no right row precedes anything" -> all-NULL payload
+        want = {i: None for i in range(len(left))}
+    else:
+        lp = pd.DataFrame(
+            [(k, i, _ts(s)) for i, (k, s) in enumerate(left)],
+            columns=["k", "lid", "lts"],
+        ).sort_values("lts", kind="stable")
+        rp = pd.DataFrame(
+            [(k, i + 1000, _ts(s)) for i, (k, s) in enumerate(right)],
+            columns=["k", "rid", "rts"],
+        ).sort_values("rts", kind="stable")
+        merged = pd.merge_asof(
+            lp, rp, left_on="lts", right_on="rts", by="k", direction="backward"
+        )
+        want = {
+            int(row.lid): (None if pd.isna(row.rid) else int(row.rid))
+            for row in merged.itertuples()
+        }
+    assert got == want
+
+
+@given(rows=left_rows, gap=st.integers(1, 100))
+@_SETTINGS
+def test_sessionize_matches_bruteforce(spark, rows, gap):
+    df = spark.createDataFrame(
+        [(k, _ts(s)) for (k, s) in rows], "user_id long, ts timestamp"
+    )
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.session_start, r.session_end)
+        for r in sessionize(df, gap_minutes=gap).collect()
+    }
+
+    # brute force: sort per key, split where gap exceeded, number from 1
+    want = {}
+    by_key: dict[int, list[int]] = {}
+    for k, s in rows:
+        by_key.setdefault(k, []).append(s)
+    for k, ss in by_key.items():
+        ss.sort()
+        sid, start = 0, None
+        members: list[int] = []
+        for prev, cur in zip([None] + ss[:-1], ss):
+            if prev is None or cur - prev > gap * 60:
+                if members:
+                    want[(k, sid)] = (len(members), _ts(members[0]), _ts(members[-1]))
+                sid += 1
+                members = [cur]
+            else:
+                members.append(cur)
+        want[(k, sid)] = (len(members), _ts(members[0]), _ts(members[-1]))
+    assert got == want
