@@ -45,14 +45,19 @@ HEADLINE = [
 
 
 def _warm_python_workers(spark) -> None:
-    """Touch every core with a trivial pandas UDF so Arrow worker
-    processes exist before any timed query runs."""
+    """Touch every core with trivial scalar AND grouped pandas UDFs so
+    Arrow worker processes (and both eval-path codegens) exist before
+    any timed query runs."""
     from pyspark.sql.functions import col, pandas_udf
 
     # lambda form: module-level `from __future__ import annotations`
     # stringifies hints, which the decorator's type inference rejects
     _ident = pandas_udf(lambda s: s, "long")
     spark.range(10_000, numPartitions=64).select(_ident(col("id"))).count()
+    df = spark.range(10_000, numPartitions=64).withColumn("g", col("id") % 4)
+    df.groupBy("g").applyInPandas(
+        lambda pdf: pdf.head(1), schema="id long, g long"
+    ).count()
 
 
 def main() -> None:

@@ -83,11 +83,26 @@ def test_theta_range_join_keeps_equi_key(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+# Queries whose builder already executes work (streaming runs, ML fit,
+# driver-side reference-file reads) — excluded from the cheap whole-
+# catalog plan sweep.
+_EAGER = {n for n in _CAT if n.startswith("s_")} | {"q_sim_ivf", "x_json_to_xml"}
+
+
 @pytest.mark.parametrize("name", _JOIN_QUERIES)
 def test_no_cartesian_anywhere(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_whole_catalog_never_plans_cartesian(spark, sf_dir):
+    """Sweep every lazily-buildable catalog query: none may plan a
+    cartesian product or a row-at-a-time Python eval."""
+    for name in sorted(set(_CAT) - _EAGER):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
 
 
 def test_group_agg_has_partial_phase(spark, sf_dir):
