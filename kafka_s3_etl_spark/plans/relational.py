@@ -896,3 +896,34 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, o, key="l_orderkey", dim_key="o_orderkey",
         fact_salt_cols=["l_orderkey", "l_linenumber"],
     ).select("l_orderkey", "l_linenumber", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "q_window_range_frame",
+    category="windows",
+    doc=(
+        "RANGE frame: count of same-priority orders within 10k price "
+        "below each order (value-based frame, vs the ROWS frame of "
+        "q_window_running)."
+    ),
+    oracle="""
+        SELECT o_orderkey, o_orderpriority,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY o_orderpriority ORDER BY o_totalprice
+                   RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_near_below
+        FROM orders
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.count("*").over(w).alias("n_near_below"),
+    )

@@ -198,3 +198,30 @@ def test_frame_sample_only_video(docs):
 def test_decode_pixels_is_explicit_stub(docs):
     with pytest.raises(NotImplementedError):
         decode_pixels(documents_as_media(docs))
+
+
+# ------------------------------------------------------- approx accuracy
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    """HLL estimate must sit within its documented rsd (default 5%) of
+    the exact distinct count — the property the rows-only oracle can't
+    check."""
+    from kafka_s3_etl_spark.plans.registry import all_queries
+    import pyspark.sql.functions as F
+
+    cat = all_queries()
+    approx = {
+        r.l_returnflag: r.approx_parts
+        for r in cat["q_agg_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, est in approx.items():
+        assert abs(est - exact[flag]) / exact[flag] <= 0.15, (flag, est, exact[flag])
