@@ -76,20 +76,38 @@ def word_shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     )
 
 
-def minhash_signatures(shingles: DataFrame, k: int = MINHASH_K) -> DataFrame:
+def shingle_hashes(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, h) rows: distinct 8-byte hashes of word n-grams.
+
+    The string shingle is hashed BEFORE the distinct, so the set-forming
+    shuffle moves fixed-width ints instead of ~n-word strings (~3x less
+    shuffle volume) and each string is scanned exactly once."""
+    words = documents.select("doc_id", F.split("text", " ").alias("w"))
+    shingle_expr = (
+        f"transform(sequence(0, size(w) - {n}), i -> "
+        f"concat_ws(' ', slice(w, i + 1, {n})))"
+    )
+    return (
+        words.filter(F.size("w") >= n)
+        .select("doc_id", F.explode(F.expr(shingle_expr)).alias("shingle"))
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
+        .distinct()
+    )
+
+
+def minhash_signatures(hashes: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """K minhashes per doc in ONE aggregation pass, map-side combined.
 
-    The shingle STRING is scanned by xxhash64 once; the K hash functions
-    re-hash that 8-byte value with per-function seeds (fixed-width
-    input, far cheaper than k full string scans). NOTE: affine maps
-    a_i*h+b_i mod p are NOT a valid cheap alternative here — with the
-    multiplier range bigint overflow allows, they wrap at most once and
-    stay piecewise-monotone in h, so every "permutation" picks nearly
-    the same argmin shingle and Jaccard estimates collapse upward
-    (measured: 17x more >=0.5 pairs on the sf0.1 corpus).
+    Input is ``shingle_hashes`` output; the K hash functions re-hash the
+    8-byte shingle hash with per-function seeds (fixed-width input, far
+    cheaper than k full string scans). NOTE: affine maps a_i*h+b_i mod p
+    are NOT a valid cheap alternative here — with the multiplier range
+    bigint overflow allows, they wrap at most once and stay
+    piecewise-monotone in h, so every "permutation" picks nearly the
+    same argmin shingle and Jaccard estimates collapse upward (measured:
+    17x more >=0.5 pairs on the sf0.1 corpus).
     """
-    base = shingles.select("doc_id", F.xxhash64("shingle").alias("h"))
-    hashed = base.select(
+    hashed = hashes.select(
         "doc_id",
         *[F.xxhash64(F.col("h"), F.lit(i)).alias(f"h{i}") for i in range(k)],
     )
@@ -156,7 +174,7 @@ def minhash_near_dups(
     on the same key, so Spark reuses one exchange for both sides.
     """
     banded = _banded_signatures(
-        minhash_signatures(word_shingles(documents), k), k, bands
+        minhash_signatures(shingle_hashes(documents), k), k, bands
     )
     a, b = banded.alias("a"), banded.alias("b")
     agree: Column = F.size(
