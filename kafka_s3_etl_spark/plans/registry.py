@@ -28,6 +28,7 @@ _PLAN_MODULES = [
     "kafka_s3_etl_spark.plans.relational",
     "kafka_s3_etl_spark.plans.temporal",
     "kafka_s3_etl_spark.plans.llm",
+    "kafka_s3_etl_spark.plans.prep",
     "kafka_s3_etl_spark.plans.etl",
     "kafka_s3_etl_spark.plans.streaming_queries",
 ]

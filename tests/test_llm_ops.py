@@ -225,3 +225,49 @@ def test_approx_count_distinct_error_bound(spark, sf_dir):
     assert set(approx) == set(exact)
     for flag, est in approx.items():
         assert abs(est - exact[flag]) / exact[flag] <= 0.15, (flag, est, exact[flag])
+
+
+# ------------------------------------------------------------------- prep
+
+
+def test_stratified_sample_fractions(spark, sf_dir):
+    """Seeded Bernoulli sample: per-stratum rate must track the requested
+    fraction (binomial tolerance), and sampling must be reproducible for
+    the same seed."""
+    from kafka_s3_etl_spark.operators.prep import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fractions = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.25}
+    got1 = stratified_sample(docs, fractions).collect()
+    got2 = stratified_sample(docs, fractions).collect()
+    assert sorted(r.doc_id for r in got1) == sorted(r.doc_id for r in got2)
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sampled: dict[str, int] = {}
+    for r in got1:
+        sampled[r.lang] = sampled.get(r.lang, 0) + 1
+    for lang, frac in fractions.items():
+        if totals.get(lang, 0) < 20:
+            continue
+        rate = sampled.get(lang, 0) / totals[lang]
+        assert abs(rate - frac) < 0.2, (lang, rate, frac)
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing invariants: bins are consecutive from 0 per language, and
+    every doc's bin equals floor(preceding-token-sum / capacity)."""
+    from kafka_s3_etl_spark.operators.prep import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = pack_sequences(docs, capacity=2048).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.doc_id)
+        offset = 0
+        bins = set()
+        for r in rs:
+            assert r.bin == offset // 2048, (lang, r.doc_id)
+            bins.add(r.bin)
+            offset += r.n_tok
+        assert bins == set(range(max(bins) + 1))  # consecutive from 0
