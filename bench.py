@@ -41,6 +41,7 @@ HEADLINE = [
     "q_text_stats",
     "q_text_fingerprint",
     "q_udaf",
+    "q_corpus_pipeline",
 ]
 
 

@@ -81,6 +81,66 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_corpus_pipeline",
+    category="prep",
+    doc=(
+        "End-to-end corpus prep in ONE lineage: quality-filter -> exact "
+        "dedup (keep lowest doc_id per normalized fingerprint) -> "
+        "deterministic train/val split -> token-bin packing of the train "
+        "split. Every stage is a pure row/window function, so DuckDB "
+        "replays the whole pipeline."
+    ),
+    oracle="""
+        WITH kept AS (
+          SELECT doc_id, lang, text,
+                 CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= 5
+        ),
+        deduped AS (
+          SELECT doc_id, lang, n_tok FROM (
+            SELECT doc_id, lang, n_tok,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                     ORDER BY doc_id) AS rn
+            FROM kept
+          ) WHERE rn = 1
+        ),
+        split AS (
+          SELECT doc_id, lang, n_tok FROM deduped
+          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 100 < 90
+        )
+        SELECT doc_id, lang, n_tok,
+               CAST(FLOOR((SUM(n_tok) OVER (
+                    PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tok) / 2048.0) AS INTEGER) AS bin
+        FROM split
+    """,
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(F.size(F.split("text", " ")) >= 5)
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    dedup_w = Window.partitionBy(fp).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "text")
+    )
+    train = train_val_split(deduped.select("doc_id", "lang")).filter(
+        F.col("split") == "train"
+    )
+    return pack_sequences(
+        deduped.join(train.select("doc_id"), "doc_id")
+    )
+
+
+@register(
     "q_sample_stratified",
     category="prep",
     doc=(
