@@ -263,6 +263,76 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def connected_components(
+    pairs: DataFrame, nodes: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components by min-label propagation: every node's label
+    converges to the smallest doc_id in its component.
+
+    ``pairs`` is (doc_a, doc_b) edges; ``nodes`` is one doc_id per
+    document (singletons become their own cluster). Iterates
+    label <- min(label, neighbors' labels) until a fixpoint, checked
+    with a cheap count per round; diameter bounds the round count, and
+    near-dup graphs are shallow (cliques of boilerplate), so this
+    converges in a handful of rounds. At extreme scale the same loop
+    upgrades to the large-star/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce") without changing the caller.
+
+    Returns (doc_id, cluster_id). The dedup policy is then one line:
+    keep doc_id == cluster_id (the smallest member of each cluster).
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = nodes.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # cut lineage: iterative joins otherwise stack plans
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def dedup_clusters(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Full fuzzy-dedup resolution: MinHash near-dup pairs -> connected
+    components -> (doc_id, cluster_id, keep). ``keep`` marks the
+    smallest doc_id of each cluster — the survivor set."""
+    pairs = minhash_near_dups(documents, threshold=threshold)
+    clusters = connected_components(pairs, documents.select("doc_id"))
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
 def ngram_jaccard_consecutive(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """Exact word-n-gram Jaccard for (doc_id, doc_id+1) pairs — the
     verification stage a candidate generator (LSH) would feed at scale;

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from kafka_s3_etl_spark.operators.dedup import (
+    dedup_clusters,
     exact_dedup,
     minhash_near_dups,
     ngram_jaccard_consecutive,
@@ -123,6 +124,21 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(load_table(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+@register(
+    "q_dedup_clusters",
+    category="dedup",
+    doc=(
+        "Fuzzy-dedup resolution: MinHash pairs -> connected components "
+        "(iterative min-label propagation) -> per-doc cluster id + keep "
+        "flag. Rows-only: iterative algorithm over hash-seeded pairs; "
+        "component correctness asserted against union-find in tests."
+    ),
+    oracle=None,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_clusters(load_table(spark, sf_dir, "documents"))
 
 
 @register(

@@ -271,3 +271,44 @@ def test_pack_sequences_invariants(spark, sf_dir):
             bins.add(r.bin)
             offset += r.n_tok
         assert bins == set(range(max(bins) + 1))  # consecutive from 0
+
+
+# ------------------------------------------------------ dedup clustering
+
+
+def test_dedup_clusters_match_union_find(spark, sf_dir):
+    """Connected components must agree with a driver-side union-find
+    over the same near-dup pairs: identical partition into clusters,
+    labels = min doc_id of each component, keep flag on exactly the
+    minima."""
+    from kafka_s3_etl_spark.operators.dedup import dedup_clusters, minhash_near_dups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = [(r.doc_a, r.doc_b) for r in minhash_near_dups(docs).collect()]
+    got = {r.doc_id: (r.cluster_id, r.keep) for r in dedup_clusters(docs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    all_ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    for d in all_ids:
+        parent.setdefault(d, d)
+    for a, b in pairs:
+        union(a, b)
+    # root after path compression == min of component (unions keep minima)
+    want = {}
+    for d in all_ids:
+        root = find(d)
+        want[d] = (root, d == root)
+    assert got == want
