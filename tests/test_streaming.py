@@ -82,6 +82,40 @@ def test_stateful_counts_survive_microbatches(spark):
     assert (2, 1) in emitted and (3, 1) in emitted
 
 
+def test_checkpoint_makes_parquet_sink_idempotent(spark):
+    """Exactly-once discipline: restarting the same stream with the same
+    checkpoint must NOT re-append already-committed data — the property
+    that makes the Kafka->S3 north star safe to retry (the reference
+    relies on Airflow retries with no such guarantee)."""
+    src = scratch_dir("idem_src")
+    out = scratch_dir("idem_out")
+    ckpt = scratch_dir("idem_ckpt")
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, base) for i in range(100)], "id long, ts timestamp"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(df.schema)
+            .parquet(src)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    run_once()  # same checkpoint: no new input -> no new output
+    n2 = spark.read.parquet(out).count()
+    assert n1 == 100 and n2 == 100
+
+
 def test_kafka_to_s3_roundtrip_schema(spark, sf_dir):
     from kafka_s3_etl_spark.plans.registry import all_queries
 
