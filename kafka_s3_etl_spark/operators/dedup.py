@@ -77,11 +77,15 @@ def word_shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
 
 
 def shingle_hashes(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
-    """(doc_id, h) rows: distinct 8-byte hashes of word n-grams.
+    """(doc_id, h) rows: 8-byte hashes of word n-grams, duplicates KEPT.
 
-    The string shingle is hashed BEFORE the distinct, so the set-forming
-    shuffle moves fixed-width ints instead of ~n-word strings (~3x less
-    shuffle volume) and each string is scanned exactly once."""
+    No distinct: ``min()`` is idempotent under duplicates, so the
+    minhash of the shingle multiset equals the minhash of the set — a
+    dedup shuffle here would be pure waste. The downstream signature
+    aggregation is map-side combined, so the exploded rows never shuffle
+    at all (only one partial row per doc per partition does). Operators
+    needing true set semantics (exact Jaccard) use ``word_shingles``
+    + distinct instead."""
     words = documents.select("doc_id", F.split("text", " ").alias("w"))
     shingle_expr = (
         f"transform(sequence(0, size(w) - {n}), i -> "
@@ -91,7 +95,6 @@ def shingle_hashes(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
         words.filter(F.size("w") >= n)
         .select("doc_id", F.explode(F.expr(shingle_expr)).alias("shingle"))
         .select("doc_id", F.xxhash64("shingle").alias("h"))
-        .distinct()
     )
 
 
