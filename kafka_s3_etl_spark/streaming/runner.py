@@ -56,20 +56,45 @@ def kafka_wire_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame
     return spark.readStream.text(wire_dir).withColumnRenamed("value", "value")
 
 
+class _pinned_stream_partitions:
+    """Temporarily pin spark.sql.shuffle.partitions for a stream start.
+
+    A stateful query's state-store partition count is frozen at the
+    FIRST run of its checkpoint from this conf; under a vanilla session
+    the default 200 means 200 state-store tasks per micro-batch for
+    kilobytes of state (~13s of pure task overhead per query in the
+    driver's harness). Results are partition-count-independent; the conf
+    is restored on exit. The count is only read at query start, so the
+    narrow window is safe for sequential harnesses (tests, driver)."""
+
+    N = "8"
+
+    def __init__(self, df: DataFrame):
+        self.conf = df.sparkSession.conf
+
+    def __enter__(self) -> None:
+        self.prev = self.conf.get("spark.sql.shuffle.partitions")
+        self.conf.set("spark.sql.shuffle.partitions", self.N)
+
+    def __exit__(self, *exc: object) -> None:
+        self.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def run_available_now(
     df: DataFrame, output_mode: str = "append", timeout_sec: int = 120
 ) -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink and
     return the result as a batch DataFrame."""
     name = f"mem_{uuid.uuid4().hex[:10]}"
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", scratch_dir("ckpt"))
-        .start()
-    )
+    with _pinned_stream_partitions(df):
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", scratch_dir("ckpt"))
+            .start()
+        )
     q.awaitTermination(timeout_sec)
     spark = df.sparkSession
     return spark.table(name)
