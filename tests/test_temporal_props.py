@@ -121,3 +121,71 @@ def test_sessionize_matches_bruteforce(spark, rows, gap):
                 members.append(cur)
         want[(k, sid)] = (len(members), _ts(members[0]), _ts(members[-1]))
     assert got == want
+
+
+@given(left=left_rows, right=right_rows)
+@_SETTINGS
+def test_range_bucket_join_matches_bruteforce(spark, left, right):
+    """Bucketed range join == naive all-pairs filter: every (l, r) pair
+    with same key and r.ts in (l.ts, l.ts + window] appears exactly once."""
+    from kafka_s3_etl_spark.operators.temporal import range_bucket_join
+
+    window_s = 600  # bucket width = window = 10 min
+    ldf = spark.createDataFrame(
+        [(k, i, _ts(s)) for i, (k, s) in enumerate(left)],
+        "k long, lid long, lts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, i + 1000, _ts(s)) for i, (k, s) in enumerate(right)],
+        "rk long, rid long, rts timestamp",
+    ) if right else spark.createDataFrame([], "rk long, rid long, rts timestamp")
+    got = sorted(
+        (r.lid, r.rid)
+        for r in range_bucket_join(
+            ldf, rdf, key="k", right_key="rk", left_ts="lts", right_ts="rts",
+            window_micros=window_s * 1_000_000,
+        ).collect()
+    )
+    want = sorted(
+        (li, ri + 1000)
+        for li, (lk, ls) in enumerate(left)
+        for ri, (rk, rs) in enumerate(right)
+        if lk == rk and ls < rs <= ls + window_s
+    )
+    assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] < e[1]),
+        max_size=20,
+        unique=True,
+    )
+)
+@_SETTINGS
+def test_connected_components_match_union_find(spark, edges):
+    """Min-label propagation == union-find on arbitrary random graphs
+    (not just near-dup shaped ones): same partition, labels = min id."""
+    from kafka_s3_etl_spark.operators.dedup import connected_components
+
+    nodes = sorted({n for e in edges for n in e} | {0, 15})
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "doc_a long, doc_b long"
+    ).filter("doc_a < doc_b")
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs, nodes_df).collect()}
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in nodes}
+    assert got == want
