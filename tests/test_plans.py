@@ -158,3 +158,31 @@ def test_sessionize_single_partitioning(spark, sf_dir):
 def test_expression_path_is_codegened(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_expr_arith")
     assert "codegen id" in plan
+
+
+def test_view_backed_query_stays_bound_to_its_sf(spark):
+    """q_grouping_sets registers a temp view; building the query for a
+    second sf_dir must NOT rebind the first DataFrame (spark.sql
+    analyzes eagerly, so each df captures its own scan). Guards the
+    global-state trap of createOrReplaceTempView."""
+    from pyspark.sql import functions as F
+
+    from kafka_s3_etl_spark.sources.tables import load_table
+
+    sf_a, sf_b = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    df_a = _CAT["q_grouping_sets"].fn(spark, sf_a)
+    df_b = _CAT["q_grouping_sets"].fn(spark, sf_b)  # overwrites the view
+
+    def grand_total(df):
+        row = [r for r in df.collect() if r.l_returnflag is None and r.l_linestatus is None]
+        return row[0].sum_qty
+
+    want_a = load_table(spark, sf_a, "lineitem").agg(
+        F.round(F.sum("l_quantity"), 2)
+    ).first()[0]
+    want_b = load_table(spark, sf_b, "lineitem").agg(
+        F.round(F.sum("l_quantity"), 2)
+    ).first()[0]
+    assert want_a != want_b  # different scales really differ
+    assert grand_total(df_a) == want_a  # still bound to sf_a
+    assert grand_total(df_b) == want_b
