@@ -108,6 +108,49 @@ def decode_pixels(media: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Resize plumbing via mapInPandas: partition-preserving, Arrow-
+    batched, binary-in/binary-out — the exact shape a PIL/pyav resize
+    plugs into. STUB codec: the "resized" payload is a deterministic
+    byte slice/pad to the target pixel budget (w*h bytes), so batch
+    shapes, schema, and size accounting are real and testable without
+    image libraries.
+    """
+    budget = target_w * target_h
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for pl in pdf["payload"]:
+                b = bytes(pl)
+                # STUB — replace with Image.open(...).resize(...).tobytes()
+                out.append((b * (budget // max(len(b), 1) + 1))[:budget])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": out,
+                }
+            )
+
+    return media.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_nth: int = 10) -> DataFrame:
     """Frame-sampling plumbing: expands fake per-frame rows (real codec
     would emit decoded frames; the fan-out/batch shape is the same)."""

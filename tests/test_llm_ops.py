@@ -312,3 +312,16 @@ def test_dedup_clusters_match_union_find(spark, sf_dir):
         root = find(d)
         want[d] = (root, d == root)
     assert got == want
+
+
+def test_resize_media_plumbing(docs):
+    """Resize plumbing: every output payload hits the target byte budget
+    exactly, schema carries the target dims, row set is preserved."""
+    from kafka_s3_etl_spark.operators.multimodal import documents_as_media, resize_media
+
+    media = documents_as_media(docs)
+    out = resize_media(media, target_w=16, target_h=8).collect()
+    assert {r.doc_id for r in out} == {r.doc_id for r in media.collect()}
+    for r in out:
+        assert (r.width, r.height) == (16, 8)
+        assert len(bytes(r.payload)) == 16 * 8
