@@ -38,10 +38,20 @@ SIMHASH_BITS = 64
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Keep the lowest doc_id per exact text; deterministic (unlike a
-    bare dropDuplicates, which keeps an arbitrary row)."""
-    w = Window.partitionBy("text").orderBy("doc_id")
+    bare dropDuplicates, which keeps an arbitrary row).
+
+    The window partitions on a 64-bit hash of the text, not the text
+    itself, and the body is projected away BEFORE the shuffle — at
+    100 TB the exchange moves fixed-width fingerprints, not document
+    bodies. (A 64-bit collision between distinct texts is ~1e-19 per
+    pair; an engine needing certainty swaps in md5's 128 bits at the
+    same plan shape.)"""
+    w = Window.partitionBy("fp").orderBy("doc_id")
     return (
-        documents.withColumn("rn", F.row_number().over(w))
+        documents.select(
+            "doc_id", "lang", "source", "n_chars", F.xxhash64("text").alias("fp")
+        )
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "source", "n_chars")
     )
@@ -318,6 +328,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Silent exit at max_iter would hand back inconsistent labels (a
+        # node's cluster_id naming a node whose own cluster_id differs)
+        # and the keep-flag policy would quietly keep extra survivors.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter or switch "
+            "to large-star/small-star for high-diameter graphs"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

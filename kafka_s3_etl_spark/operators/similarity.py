@@ -184,11 +184,15 @@ def ivf_topk(
     corpus into cells; each query probes only its ``n_probe`` nearest
     cells and exact-cosine re-ranks the candidates.
 
-    Scale shape: the quantizer fits on a driver-side sample (centroid
-    table is tiny — cells x dims), assignment is one JVM pass
-    (ml.KMeans transform), and the probe is a broadcast equi join on
+    Scale shape: the quantizer fits on a SAMPLE, never the corpus — a
+    coarse quantizer only needs ~tens of points per cell, so the fit
+    input is capped at ``64 * n_cells`` vectors (deterministic prefix by
+    vec_id, coalesced small so the iterative k-means jobs don't inherit
+    a vanilla session's 200-partition shuffle layout) with maxIter
+    pinned. Assignment of the full corpus is one JVM pass (ml.KMeans
+    transform, no shuffle), and the probe is a broadcast equi join on
     cell id touching ~n_probe/n_cells of the corpus per query. At 100 TB
-    raise n_cells ~ sqrt(N) and fit on .sample(); everything else is
+    raise n_cells ~ sqrt(N); the fit stays O(sample), everything else is
     unchanged.
     """
     from pyspark.ml.clustering import KMeans
@@ -197,9 +201,10 @@ def ivf_topk(
     base = with_norm(embeddings).withColumn(
         "fv", array_to_vector(F.col("embedding").cast("array<double>"))
     )
+    fit_sample = base.filter(F.col("vec_id") < 64 * n_cells).select("fv").coalesce(4)
     model = KMeans(
-        k=n_cells, seed=42, featuresCol="fv", predictionCol="cell"
-    ).fit(base)
+        k=n_cells, seed=42, maxIter=8, featuresCol="fv", predictionCol="cell"
+    ).fit(fit_sample)
     assigned = model.transform(base).select("vec_id", "embedding", "norm", "cell")
 
     # Tiny centroid table -> which cells each query probes.

@@ -42,22 +42,36 @@ def asof_join(
     Returns all left columns plus ``prefix + right_ts`` and
     ``prefix + c`` for each payload column (NULL when no right row
     precedes the left timestamp).
+
+    The matched right row travels as ONE atomic struct: carrying each
+    payload column through its own ``last(ignorenulls)`` would, when the
+    latest right row holds a genuine NULL in one payload column, splice
+    in an older row's non-NULL value — mixing columns from different
+    right rows and violating merge_asof semantics. The struct itself is
+    non-NULL on every right row (even an all-NULL payload), so
+    ``last(struct, ignorenulls=True)`` always picks the latest right row
+    wholesale and preserves its NULLs.
     """
+    from pyspark.sql import types as T
+
     left_cols = left.columns
     out_cols = [right_ts] + payload
+    row_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in out_cols]
+    )
     l_side = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *left_cols,
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in out_cols],
+        F.lit(None).cast(row_type).alias("_r"),
     )
     r_side = right.select(
         F.col(right_key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
-        *[F.col(c).alias(f"_r_{c}") for c in out_cols],
+        F.struct(*[F.col(c) for c in out_cols]).alias("_r"),
     )
     # One timeline per key: right rows sort before left rows at equal ts
     # (_side 0 < 1), which makes the join boundary-inclusive.
@@ -66,15 +80,12 @@ def asof_join(
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    merged = l_side.unionByName(r_side).select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in out_cols
-        ],
+    merged = l_side.unionByName(r_side).withColumn(
+        "_last_r", F.last("_r", ignorenulls=True).over(w)
     )
     return merged.filter(F.col("_side") == 1).select(
-        *left_cols, *[f"{prefix}{c}" for c in out_cols]
+        *left_cols,
+        *[F.col(f"_last_r.{c}").alias(f"{prefix}{c}") for c in out_cols],
     )
 
 

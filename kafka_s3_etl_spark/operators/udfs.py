@@ -38,7 +38,17 @@ def label_price_tiers(orders: DataFrame) -> DataFrame:
 
 def weighted_avg_price(lineitem: DataFrame) -> DataFrame:
     """Grouped pandas UDAF: quantity-weighted mean extended price per
-    return flag (applyInPandas: one pandas frame per group).
+    SUPPLIER (applyInPandas: one pandas frame per group).
+
+    Group-key choice is the whole scale story here: applyInPandas
+    materializes each group as one in-memory pandas frame on one
+    worker, so a low-cardinality key (e.g. the 3-value returnflag)
+    hands a single worker a third of a 100 TB table. l_suppkey's
+    cardinality grows WITH the data (TPC-H: suppliers = SF x 10k,
+    lineitem = SF x 6M), so every frame stays ~600 rows at any scale —
+    bounded memory AND bounded per-group Python overhead. The built-in
+    ``sum(price*qty)/sum(qty)`` expression is the production form; this
+    exercises the custom-UDAF surface.
 
     Projected to the three used columns BEFORE the groupBy: the UDF
     receives whole rows, so Catalyst cannot prune through
@@ -47,16 +57,27 @@ def weighted_avg_price(lineitem: DataFrame) -> DataFrame:
     """
 
     def wavg(pdf: pd.DataFrame) -> pd.DataFrame:
-        w = pdf["l_quantity"].sum()
-        v = (pdf["l_extendedprice"] * pdf["l_quantity"]).sum() / w
+        # Exact-integer accumulation: prices are exact cents and
+        # quantities whole units, so summing int64 cents*qty is
+        # order-independent (unlike float sums, whose last-bit noise
+        # flips a rounded 4th decimal on ~1/1000 groups vs the oracle).
+        # The single final division is one IEEE op — bit-identical to
+        # the oracle's, so the output needs no rounding at all.
+        cents = (pdf["l_extendedprice"] * 100).round().astype("int64")
+        qty = pdf["l_quantity"].astype("int64")
+        v = int((cents * qty).sum()) / (100.0 * int(qty.sum()))
         return pd.DataFrame(
-            {"l_returnflag": [pdf["l_returnflag"].iloc[0]], "wavg_price": [round(v, 4)]}
+            {"l_suppkey": [int(pdf["l_suppkey"].iloc[0])], "wavg_price": [v]}
         )
 
     return (
-        lineitem.select("l_returnflag", "l_extendedprice", "l_quantity")
-        .groupBy("l_returnflag")
-        .applyInPandas(wavg, schema="l_returnflag string, wavg_price double")
+        lineitem.select(
+            F.col("l_suppkey").cast("bigint").alias("l_suppkey"),
+            "l_extendedprice",
+            "l_quantity",
+        )
+        .groupBy("l_suppkey")
+        .applyInPandas(wavg, schema="l_suppkey bigint, wavg_price double")
     )
 
 

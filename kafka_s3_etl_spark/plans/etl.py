@@ -31,14 +31,17 @@ REFERENCE_SAMPLE_JSON = "/root/reference/data/sample_products.json"
     category="etl",
     doc="Row -> JSON Kafka message value (reference A8: json.dumps per row).",
     oracle="""
-        SELECT to_json(struct_pack(
+        -- outer CAST: to_json returns the JSON logical type; Spark emits
+        -- plain string. Same text, different type — cast so a type-aware
+        -- comparator (the driver's hash) sees matching schemas.
+        SELECT CAST(to_json(struct_pack(
                    o_orderkey := o_orderkey,
                    o_custkey := o_custkey,
                    o_orderstatus := o_orderstatus,
                    o_totalprice := o_totalprice,
                    o_orderdate := CAST(o_orderdate AS VARCHAR),
                    o_orderpriority := o_orderpriority
-               )) AS value
+               )) AS VARCHAR) AS value
         FROM orders
     """,
 )

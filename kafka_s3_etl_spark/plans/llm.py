@@ -65,6 +65,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_fuzzy",
+    cost=1,
     category="dedup",
     doc="MinHash+LSH near-dup pairs (rows-only: seeded xxhash64 has no "
     "DuckDB equivalent; properties asserted in tests).",
@@ -76,6 +77,7 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_simhash",
+    cost=1,
     category="dedup",
     doc="SimHash near-dup pairs via 16-bit chunk candidates (rows-only).",
     oracle=None,
@@ -119,15 +121,31 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_embedding",
     category="dedup",
-    doc="Embedding-cosine near-dup pairs (rows-only: float tolerance).",
-    oracle=None,
+    doc=(
+        "Embedding-cosine near-dup pairs. Threshold 0.2 is matched to the "
+        "synthetic corpus (near-random vectors, consecutive-pair cosine "
+        "~N(0, 1/sqrt(d)), max ~0.47) so the check is non-vacuous. Output "
+        "is the pair ids only — both sides compute cosine in double with "
+        "the same association order, so the >= threshold membership is "
+        "hash-stable; the float value itself is not emitted (per-row "
+        "float rounding is the one thing the oracle hash cannot absorb)."
+    ),
+    oracle="""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.2
+    """,
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_near_dups(load_table(spark, sf_dir, "embeddings"), threshold=0.9)
+    return embedding_near_dups(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.2
+    ).select("vec_a", "vec_b")
 
 
 @register(
     "q_dedup_clusters",
+    cost=4,
     category="dedup",
     doc=(
         "Fuzzy-dedup resolution: MinHash pairs -> connected components "
@@ -175,6 +193,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_sim_topk",
+    cost=1,
     category="similarity",
     doc="Brute-force exact cosine top-5 for 8 query vectors (rows-only: "
     "float-ranked ties).",
@@ -186,6 +205,7 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_sim_ann_lsh",
+    cost=2,
     category="similarity",
     doc="Sign-random-projection LSH ANN top-5 (rows-only; recall vs "
     "brute force asserted in tests).",
@@ -197,6 +217,7 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_sim_ivf",
+    cost=2,
     category="similarity",
     doc="IVF ANN top-5: k-means coarse quantizer, 4-of-16 cell probe, "
     "exact re-rank (rows-only; recall asserted in tests).",
@@ -330,18 +351,20 @@ def q_text_rollhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Binary media columns -> typed metadata via mapInPandas with a "
         "deterministic fake decoder; oracle recomputes the same metadata "
-        "from text length (payload = utf-8 text bytes, ascii corpus)."
+        "from the UTF-8 BYTE length (octet_length(encode(..))) — the Spark "
+        "side measures payload bytes, and character count only coincides "
+        "with it on pure-ASCII text."
     ),
     oracle="""
         SELECT doc_id,
                CASE WHEN doc_id % 3 = 0 THEN 'image'
                     WHEN doc_id % 3 = 1 THEN 'audio'
                     ELSE 'video' END AS media_type,
-               CAST(length(text) AS INTEGER) AS n_bytes,
-               CAST(64 + length(text) % 129 AS INTEGER) AS width,
-               CAST(64 + length(text) % 97 AS INTEGER) AS height,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               CAST(64 + octet_length(encode(text)) % 129 AS INTEGER) AS width,
+               CAST(64 + octet_length(encode(text)) % 97 AS INTEGER) AS height,
                CAST(CASE WHEN doc_id % 3 = 0 THEN 1
-                         ELSE 1 + length(text) % 30 END AS INTEGER) AS n_frames
+                         ELSE 1 + octet_length(encode(text)) % 30 END AS INTEGER) AS n_frames
         FROM documents
     """,
 )
@@ -372,12 +395,20 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_udaf",
     category="udf",
-    doc="Grouped pandas UDAF: quantity-weighted avg price per returnflag.",
+    doc=(
+        "Grouped pandas UDAF: quantity-weighted avg price per SUPPLIER — "
+        "a key whose cardinality scales with the data, so each pandas "
+        "frame stays ~600 rows at any corpus size and no worker ever "
+        "materializes a table-sized group. (The built-in "
+        "sum(price*qty)/sum(qty) expression is the production form; the "
+        "UDAF surface is what is being exercised.)"
+    ),
     oracle="""
-        SELECT l_returnflag,
-               ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
-                   AS wavg_price
-        FROM lineitem GROUP BY l_returnflag
+        SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(l_quantity AS BIGINT))
+               / (100.0 * SUM(CAST(l_quantity AS BIGINT))) AS wavg_price
+        FROM lineitem GROUP BY l_suppkey
     """,
 )
 def q_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,27 +41,48 @@ class Query:
     oracle: str | None  # None => driver's weaker rows-only check
     category: str
     doc: str = ""
+    cost: int = 0  # relative runtime hint; orders the sweep, see all_queries()
 
 
 REGISTRY: dict[str, Query] = {}
 
 
 def register(
-    name: str, *, oracle: str | None = None, category: str, doc: str = ""
+    name: str,
+    *,
+    oracle: str | None = None,
+    category: str,
+    doc: str = "",
+    cost: int = 0,
 ) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: add a query builder to the catalog."""
+    """Decorator: add a query builder to the catalog.
+
+    ``cost`` is a coarse relative-runtime hint (0 = cheap expression
+    plan, higher = streaming micro-batches / iterative algorithms); it
+    only affects sweep ordering, never semantics.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, category=category, doc=doc)
+        REGISTRY[name] = Query(
+            name=name, fn=fn, oracle=oracle, category=category, doc=doc, cost=cost
+        )
         return fn
 
     return deco
 
 
 def all_queries() -> dict[str, Query]:
-    """Import all plan modules (idempotent) and return the full catalog."""
+    """Import all plan modules (idempotent) and return the full catalog,
+    ordered for a time-budgeted correctness sweep: hash-checkable
+    (oracle-backed) entries first, rows-only after, and within each tier
+    cheap before expensive — so a sweep cut short still covers every
+    oracle query before spending time on iterative/streaming rows-only
+    entries. Registration order breaks ties (stable sort)."""
     for mod in _PLAN_MODULES:
         importlib.import_module(mod)
-    return REGISTRY
+    ordered = sorted(
+        REGISTRY.values(), key=lambda q: (q.oracle is None, q.cost)
+    )
+    return {q.name: q for q in ordered}

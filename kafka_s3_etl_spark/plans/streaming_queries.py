@@ -48,6 +48,7 @@ from kafka_s3_etl_spark.streaming.runner import (
 @register(
     "s_kafka_to_s3",
     category="streaming",
+    cost=3,
     doc=(
         "North-star pipeline: Kafka-format JSON messages -> typed decode -> "
         "A4 filter -> parquet sink with checkpoint -> read back."
@@ -68,6 +69,7 @@ def s_kafka_to_s3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s_window_tumbling",
     category="streaming",
+    cost=3,
     doc="Event-time 5-minute tumbling window agg with watermark.",
     oracle="""
         SELECT make_timestamp(CAST(floor(epoch(ts)/300)*300*1000000 AS BIGINT)) AS ws,
@@ -87,6 +89,7 @@ def s_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s_window_sliding",
     category="streaming",
+    cost=3,
     doc="10-minute windows sliding by 5: every event lands in 2 windows.",
     oracle="""
         SELECT make_timestamp(CAST((floor(epoch(ts)/300) - off.o)*300*1000000 AS BIGINT)) AS ws,
@@ -105,8 +108,36 @@ def s_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s_window_session",
     category="streaming",
-    doc="Session windows (10-minute gap merge) per user — rows-only.",
-    oracle=None,
+    cost=3,
+    doc=(
+        "Session windows (10-minute gap merge) per user. Oracle: the batch "
+        "gap-merge (lag-mark + running-sum) with session_window's exact "
+        "semantics — STRICT < gap merge (intervals are half-open) and "
+        "we = last event + gap."
+    ),
+    oracle="""
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                               PARTITION BY user_id ORDER BY ts)
+                           < 600000000
+                      THEN 0 ELSE 1 END AS new_session
+          FROM events
+        ),
+        numbered AS (
+          SELECT user_id, ts,
+                 CAST(SUM(new_session) OVER (
+                     PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS sid
+          FROM marked
+        )
+        SELECT MIN(ts) AS ws,
+               MAX(ts) + INTERVAL 10 MINUTE AS we,
+               user_id,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM numbered GROUP BY user_id, sid
+    """,
 )
 def s_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = session_counts(stream_table(spark, sf_dir, "events"))
@@ -116,6 +147,7 @@ def s_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s_dedup_watermark",
     category="streaming",
+    cost=3,
     doc=(
         "Streaming dedup with droppable state; projected to key columns the "
         "surviving set equals DISTINCT keys."
@@ -130,6 +162,7 @@ def s_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s_stream_join",
     category="streaming",
+    cost=3,
     doc=(
         "Stream-stream inner join with double watermark + time-bounded "
         "condition (finite state both sides); inner emission is "
@@ -152,6 +185,7 @@ def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s_stateful_counts",
     category="streaming",
+    cost=3,
     doc=(
         "Custom stateful operator (applyInPandasWithState): per-user "
         "running event counts; the max emitted count per user equals the "
@@ -177,6 +211,7 @@ def s_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s_late_data",
     category="streaming",
+    cost=3,
     doc=(
         "Late-data discipline: append mode + watermark over a 2-batch file "
         "source whose second batch is entirely older than the advanced "

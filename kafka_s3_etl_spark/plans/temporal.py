@@ -68,11 +68,13 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM events
         ),
         numbered AS (
+          -- CAST: DuckDB widens SUM(int) to HUGEINT (int128); Spark emits
+          -- BIGINT. Uncast, the driver's value hash distinguishes them.
           SELECT user_id, ts,
-                 SUM(new_session) OVER (
+                 CAST(SUM(new_session) OVER (
                      PARTITION BY user_id ORDER BY ts
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                 ) AS session_id
+                 ) AS BIGINT) AS session_id
           FROM marked
         )
         SELECT user_id, session_id,

@@ -95,9 +95,21 @@ def run_available_now(
             .option("checkpointLocation", scratch_dir("ckpt"))
             .start()
         )
-    q.awaitTermination(timeout_sec)
+    _await_or_fail(q, timeout_sec)
     spark = df.sparkSession
     return spark.table(name)
+
+
+def _await_or_fail(q, timeout_sec: int) -> None:
+    """awaitTermination(timeout) returns False on timeout with the query
+    STILL RUNNING — reading the sink then would silently hand partial
+    results to the oracle. Surface it as a failure instead."""
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} still running after "
+            f"{timeout_sec}s; sink contents would be partial"
+        )
 
 
 def run_to_parquet(
@@ -115,5 +127,5 @@ def run_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    _await_or_fail(q, timeout_sec)
     return df.sparkSession.read.schema(df.schema).parquet(out)

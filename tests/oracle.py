@@ -10,6 +10,12 @@ Strict by design: floats are compared via repr so any summation-order
 noise shows up here before it shows up in CORRECTNESS_r{N}.json — the
 query catalog rounds float aggregates on both sides for exactly this
 reason.
+
+Also compares column TYPES (via DESCRIBE on the oracle SQL): DuckDB
+silently widens (SUM(int) -> HUGEINT, to_json -> JSON) and Python
+fetchall() renders the widened values identically, so a value-only
+comparison passes locally while a type-aware hash (the driver's)
+fails. Round 1 lost q_sessionize exactly this way.
 """
 
 from __future__ import annotations
@@ -43,6 +49,22 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     return con
+
+
+# Spark simpleString -> the one DuckDB type the oracle must produce.
+# Anything else (HUGEINT, JSON, FLOAT, DECIMAL, TIMESTAMP_NS...) is a
+# driver-hash hazard and fails the comparison even when values match.
+_TYPE_MAP = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "smallint": "SMALLINT",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "string": "VARCHAR",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+}
 
 
 def _norm_value(v: object) -> str:
@@ -85,8 +107,12 @@ class CompareResult:
 def compare(name: str, sdf: DataFrame, sql: str, sf_dir: str) -> CompareResult:
     spark_rows = sdf.collect()
     spark_cols = sdf.columns
+    spark_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
     con = duckdb_connect(sf_dir)
     try:
+        oracle_types = {
+            r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()
+        }
         cur = con.execute(sql)
         oracle_cols = [d[0] for d in cur.description]
         oracle_rows = cur.fetchall()
@@ -99,6 +125,16 @@ def compare(name: str, sdf: DataFrame, sql: str, sf_dir: str) -> CompareResult:
         res.mismatches.append(
             f"column mismatch: spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}"
         )
+        return res
+    for col, st in spark_types.items():
+        want = _TYPE_MAP.get(st)
+        got = oracle_types.get(col)
+        if want is not None and got != want:
+            res.ok = False
+            res.mismatches.append(
+                f"type mismatch on {col}: spark={st} expects duckdb {want}, got {got}"
+            )
+    if not res.ok:
         return res
     if len(spark_rows) != len(oracle_rows):
         res.ok = False
