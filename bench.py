@@ -21,27 +21,48 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from kafka_s3_etl_spark.plans.registry import all_queries
 from kafka_s3_etl_spark.session import build_session
 
-# Query families to time; expanded as milestones land.
+# Query families to time; expanded as milestones land. Covers every
+# family so round-over-round deltas track the whole surface: scan,
+# filter, joins (incl. theta/asof/salted), agg/rollup/pivot/percentile,
+# window, set ops, semi-structured, all dedup families, ANN (brute/
+# LSH/IVF), text, multimodal UDF path, prep, ETL serialization, and
+# streaming micro-batch pipelines.
 HEADLINE = [
     "q_filter_conj",
     "q_agg_group",
+    "q_rollup",
+    "q_pivot",
+    "q_percentiles",
     "q_join_inner",
     "q_join_multiway",
     "q_join_theta_range",
+    "q_window_rank",
     "q_window_running",
     "q_topk_per_group",
     "q_agg_distinct",
+    "q_union_distinct",
     "q_array_explode",
     "q_json_extract",
     "q_asof_join",
     "q_sessionize",
     "q_dedup_exact",
     "q_dedup_fuzzy",
+    "q_dedup_simhash",
+    "q_dedup_incremental",
     "q_sim_topk",
+    "q_sim_ann_lsh",
+    "q_sim_ivf",
     "q_text_stats",
+    "q_text_langid",
     "q_text_fingerprint",
+    "q_multimodal_meta",
     "q_udaf",
+    "q_pack_sequences",
     "q_corpus_pipeline",
+    "q_kafka_roundtrip",
+    "s_kafka_to_s3",
+    "s_window_tumbling",
+    "s_stream_join",
 ]
 
 

@@ -1,0 +1,115 @@
+"""Env-gated integration smoke tests for the real Kafka broker and S3
+object-store paths — the reference's namesake transports
+(src/sql_to_kafka.py:171-226 producer; src/s3_json_to_xml.py:71-93,
+252-279 S3 get/put).
+
+SKIPPED BY DEFAULT: this sandbox has no broker, no object store, and no
+network to fetch the Kafka connector jar. Bring up
+``docker/docker-compose.integration.yml`` and export the env vars in
+its header to run them. The gating keeps the production wire paths
+honest (they are exercised end-to-end, not just shape-checked) without
+making the offline suite depend on infrastructure.
+
+What runs when enabled:
+
+* Kafka round-trip — ``write_kafka_batch`` produces the orders table as
+  value-only JSON, ``read_kafka_stream`` + ``parse_kafka_json`` read it
+  back with ``Trigger.AvailableNow``; the parsed rows must equal the
+  source table. This is the broker-backed twin of the offline
+  ``s_kafka_to_s3``/``q_kafka_roundtrip`` checks (which simulate the
+  wire through text files).
+* S3A write/read — the flagship filter result is written as parquet to
+  ``s3a://$SPARK_GRAFT_S3_BUCKET/...`` and read back; row counts and a
+  keyed checksum must match. Exercises ``session.py``'s S3A endpoint +
+  path-style config against a real (MinIO) endpoint.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+KAFKA_BOOTSTRAP = os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP")
+S3_ENDPOINT = os.environ.get("SPARK_GRAFT_S3_ENDPOINT")
+S3_BUCKET = os.environ.get("SPARK_GRAFT_S3_BUCKET")
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+# The Kafka source/sink ships as a separate package; offline images may
+# not bundle it. Overridable so an air-gapped CI can point at a local jar.
+KAFKA_PACKAGE = os.environ.get(
+    "SPARK_GRAFT_KAFKA_PACKAGES", "org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2"
+)
+
+
+def _integration_session(**conf: str) -> SparkSession:
+    from kafka_s3_etl_spark.session import build_session
+
+    return build_session(
+        app_name="kafka_s3_etl_spark_integration",
+        shuffle_partitions=8,
+        s3_endpoint=S3_ENDPOINT,
+        extra_conf=conf,
+    )
+
+
+@pytest.mark.skipif(
+    not KAFKA_BOOTSTRAP,
+    reason="set SPARK_GRAFT_KAFKA_BOOTSTRAP (see docker/docker-compose.integration.yml)",
+)
+def test_kafka_roundtrip_against_broker(tmp_path):
+    from kafka_s3_etl_spark.schemas import TESTDATA_SCHEMAS
+    from kafka_s3_etl_spark.sources.kafka import (
+        parse_kafka_json,
+        read_kafka_stream,
+        write_kafka_batch,
+    )
+    from kafka_s3_etl_spark.sources.tables import load_table
+
+    spark = _integration_session(**{"spark.jars.packages": KAFKA_PACKAGE})
+    topic = f"spark_graft_it_{uuid.uuid4().hex[:8]}"
+    orders = load_table(spark, SF_DIR, "orders")
+
+    write_kafka_batch(orders, KAFKA_BOOTSTRAP, topic)
+
+    wire = read_kafka_stream(spark, KAFKA_BOOTSTRAP, topic)
+    parsed = parse_kafka_json(wire, TESTDATA_SCHEMAS["orders"]).withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp")
+    )
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName("kafka_it")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(120), "broker read did not complete"
+    got = spark.table("kafka_it")
+    assert got.count() == orders.count()
+    # Keyed content check, not just counts: anti-join both directions.
+    assert got.join(orders, got.columns, "left_anti").count() == 0
+    assert orders.join(got, got.columns, "left_anti").count() == 0
+
+
+@pytest.mark.skipif(
+    not (S3_ENDPOINT and S3_BUCKET),
+    reason="set SPARK_GRAFT_S3_ENDPOINT + SPARK_GRAFT_S3_BUCKET "
+    "(see docker/docker-compose.integration.yml)",
+)
+def test_s3a_parquet_write_read():
+    from kafka_s3_etl_spark.plans.registry import all_queries
+    from kafka_s3_etl_spark.sources.tables import load_table
+
+    spark = _integration_session()
+    df = all_queries()["q_filter_conj"].fn(spark, SF_DIR)
+    path = f"s3a://{S3_BUCKET}/it_{uuid.uuid4().hex[:8]}/flagship.parquet"
+    df.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    assert back.count() == df.count()
+    checksum = lambda d: d.agg(  # noqa: E731
+        F.sum(F.xxhash64(*sorted(d.columns))).alias("h")
+    ).collect()[0]["h"]
+    assert checksum(back) == checksum(df)
