@@ -89,24 +89,81 @@ def brute_force_topk(
     )
 
 
-def _bucket_bits(emb: Column, table: int, planes: int = ANN_PLANES) -> Column:
-    """P-bit sign-random-projection bucket for one hash table.
+_SIGN_CACHE: dict[tuple[int, int, int], list[list[list[float]]]] = {}
 
-    Hyperplane entry h[p][d] = +1/-1 from the parity of
-    xxhash64(table, p, d) — deterministic, computed inline, no
-    broadcast state.
+
+def _plane_signs(spark, tables: int, planes: int, dim: int) -> list[list[list[float]]]:
+    """Hyperplane entry h[t][p][d] = +1/-1 from the parity of
+    xxhash64(t, p, d) — deterministic, derived once per (tables, planes,
+    dim) with one tiny Spark job and cached for the session."""
+    key = (tables, planes, dim)
+    if key not in _SIGN_CACHE:
+        combos = [
+            (t, p, d)
+            for t in range(tables)
+            for p in range(planes)
+            for d in range(dim)
+        ]
+        rows = (
+            spark.createDataFrame(combos, "t int, p int, d int")
+            .select(
+                "t",
+                "p",
+                "d",
+                F.when(F.pmod(F.xxhash64("t", "p", "d"), 2) == 0, 1.0)
+                .otherwise(-1.0)
+                .alias("s"),
+            )
+            .collect()
+        )
+        signs = [
+            [[0.0] * dim for _ in range(planes)] for _ in range(tables)
+        ]
+        for r in rows:
+            signs[r.t][r.p][r.d] = r.s
+        _SIGN_CACHE[key] = signs
+    return _SIGN_CACHE[key]
+
+
+def _sign_table(spark, tables: int, planes: int, dim: int) -> DataFrame:
+    """The hyperplane matrix as a TINY DataFrame: one row per hash
+    table, one array<double> column per plane. Broadcast-crossed with
+    the corpus it both fans each vector out to its ``tables`` rows
+    (replacing an explode) and delivers the signs as DATA.
+
+    Why data and not plan constants: embedding the 2048 sign literals
+    in the expression tree costs one py4j round-trip per literal at
+    build time and blows up analysis/codegen (measured: the whole ANN
+    query became data-independent ~10s of pure driver overhead, at
+    sf0.001 and sf0.1 alike). An 8-row broadcast costs none of that at
+    any corpus size.
+    """
+    signs = _plane_signs(spark, tables, planes, dim)
+    rows = [
+        tuple([t] + [signs[t][p] for p in range(planes)]) for t in range(tables)
+    ]
+    schema = "table_id int, " + ", ".join(
+        f"s{p} array<double>" for p in range(planes)
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _bucket_bits(emb: Column, planes: int = ANN_PLANES) -> Column:
+    """P-bit sign-random-projection bucket for one hash table; reads
+    the plane sign vectors from the ``s{p}`` columns a ``_sign_table``
+    cross join provides.
+
+    The projection folds ``zip_with(emb, s_p, v*s)`` — the per-element
+    lambda is a bare multiply. Deriving the sign inline (xxhash64 +
+    branch per element, the original shape) made the interpreted lambda
+    ~20x more expensive and dominated the whole ANN query. Multiplying
+    by exactly +/-1.0 is lossless, so buckets are bit-identical to the
+    inline-hash derivation.
     """
     bits: Column = F.lit(0).cast("bigint")
     for p in range(planes):
         proj = F.aggregate(
-            F.zip_with(
-                emb,
-                F.sequence(F.lit(0), F.size(emb) - 1),
-                lambda v, d: v.cast("double")
-                * F.when(
-                    F.pmod(F.xxhash64(F.lit(table), F.lit(p), d), 2) == 0, 1.0
-                ).otherwise(-1.0),
-            ),
+            F.zip_with(emb, F.col(f"s{p}"), lambda v, s: v.cast("double") * s),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -122,24 +179,22 @@ def ann_lsh_topk(
     tables: int = ANN_TABLES,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in any of
-    ``tables`` hash tables; exact cosine re-rank of candidates only."""
+    ``tables`` hash tables; exact cosine re-rank of candidates only.
+
+    The corpus is fanned out to its ``tables`` bucket rows by a cross
+    join against the broadcast 8-row sign table (see ``_sign_table``) —
+    the same tables-x blowup an explode would produce, but the
+    hyperplanes arrive as data, keeping the plan small."""
+    dim = embeddings.select(F.size("embedding")).first()[0]
+    sign_df = _sign_table(embeddings.sparkSession, tables, planes, dim)
     base = with_norm(embeddings)
-    bucketed = base.select(
+    bucketed = base.crossJoin(F.broadcast(sign_df)).select(
         "vec_id",
         "embedding",
         "norm",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table_id"),
-                        _bucket_bits(F.col("embedding"), t, planes).alias("bucket"),
-                    )
-                    for t in range(tables)
-                ]
-            )
-        ).alias("b"),
-    ).select("vec_id", "embedding", "norm", "b.table_id", "b.bucket")
+        "table_id",
+        _bucket_bits(F.col("embedding"), planes).alias("bucket"),
+    )
     queries = bucketed.filter(F.col("vec_id") < n_queries)
     cands = (
         bucketed.alias("c")

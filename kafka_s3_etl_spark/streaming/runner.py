@@ -26,6 +26,13 @@ def scratch_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=f"kafka_s3_etl_spark_{prefix}_")
 
 
+# Materialized stream-source dirs, keyed by (sf_dir, table). The
+# testdata is immutable, so the converted-parquet / wire-text stand-ins
+# are too — rebuilding them per stream_table call would bill one full
+# table write to every streaming query (twice for a self-join).
+_SRC_CACHE: dict[tuple[str, str], str] = {}
+
+
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Open a testdata table as a *stream* (file source over its parquet).
 
@@ -37,9 +44,12 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Stream the converted table: materialize once to scratch parquet
         # (micro-batch file source can't do the nanos conversion lazily
         # with a forced schema).
-        out = scratch_dir(f"stream_src_{name}")
-        batch.write.mode("overwrite").parquet(out)
-        return spark.readStream.schema(batch.schema).parquet(out)
+        key = (sf_dir, f"stream_src_{name}")
+        if key not in _SRC_CACHE:
+            out = scratch_dir(f"stream_src_{name}")
+            batch.write.mode("overwrite").parquet(out)
+            _SRC_CACHE[key] = out
+        return spark.readStream.schema(batch.schema).parquet(_SRC_CACHE[key])
     path = os.path.join(sf_dir, f"{name}.parquet")
     return spark.readStream.schema(TESTDATA_SCHEMAS[name]).parquet(path)
 
@@ -49,11 +59,14 @@ def kafka_wire_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame
     messages (reference A8/A9 format) written as text files, then open
     them as a stream with a ``value`` column — exactly the shape
     ``readStream.format("kafka")`` delivers."""
-    wire_dir = scratch_dir(f"wire_{table}")
-    to_kafka_value(load_table(spark, sf_dir, table)).write.mode("overwrite").text(
-        wire_dir
-    )
-    return spark.readStream.text(wire_dir).withColumnRenamed("value", "value")
+    key = (sf_dir, f"wire_{table}")
+    if key not in _SRC_CACHE:
+        wire_dir = scratch_dir(f"wire_{table}")
+        to_kafka_value(load_table(spark, sf_dir, table)).write.mode("overwrite").text(
+            wire_dir
+        )
+        _SRC_CACHE[key] = wire_dir
+    return spark.readStream.text(_SRC_CACHE[key]).withColumnRenamed("value", "value")
 
 
 class _pinned_stream_partitions:
