@@ -355,6 +355,37 @@ def dedup_clusters(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
+def decontaminate(
+    documents: DataFrame, n: int = 8, holdout_mod: int = 10
+) -> DataFrame:
+    """Train/eval decontamination: flag every held-out document
+    (``doc_id % holdout_mod == 0``) that shares any word ``n``-gram with
+    the training split — the standard benchmark-leakage check an LLM
+    data pipeline runs before training.
+
+    Scale shape: shingles are hashed to 8 bytes BEFORE the distinct and
+    the semi join (``shingle_hashes``), so the only shuffles move
+    fixed-width keys, never text. The semi join on the shingle hash is
+    the same equi-shuffle as the LSH band join; a 64-bit collision
+    (~1e-19 per pair) could at worst flag one extra doc. Eval docs
+    shorter than ``n`` words have no shingles and are clean by
+    definition.
+    """
+    hashed = shingle_hashes(documents, n).distinct()
+    ev = hashed.filter(F.col("doc_id") % holdout_mod == 0)
+    train = hashed.filter(F.col("doc_id") % holdout_mod != 0).select("h")
+    hits = (
+        ev.join(train, "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    eval_docs = documents.filter(F.col("doc_id") % holdout_mod == 0).select("doc_id")
+    return eval_docs.join(hits, "doc_id", "left").select(
+        "doc_id", F.coalesce("contaminated", F.lit(False)).alias("contaminated")
+    )
+
+
 def ngram_jaccard_consecutive(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """Exact word-n-gram Jaccard for (doc_id, doc_id+1) pairs — the
     verification stage a candidate generator (LSH) would feed at scale;

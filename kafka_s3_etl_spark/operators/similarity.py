@@ -228,6 +228,32 @@ IVF_CELLS = 16
 IVF_PROBE = 4
 
 
+def _lloyd_numpy(sample, k: int, iters: int = 8, seed: int = 42):
+    """Deterministic Lloyd's k-means on the driver-side fit sample.
+
+    A coarse quantizer needs only ~tens of points per cell, so the fit
+    input is a few hundred KB even when the corpus is 100 TB — fitting
+    it in-process on a collected sample is the production shape (FAISS
+    trains IVF quantizers the same way) and avoids an iterative
+    distributed-ML job (8+ jobs of pure scheduling overhead here, and
+    under a vanilla 200-shuffle-partition driver session, the round-1
+    correctness-sweep killer). Empty cells keep their previous centroid.
+    """
+    import numpy as np
+
+    X = np.asarray(sample, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
 def ivf_topk(
     embeddings: DataFrame,
     n_queries: int = 8,
@@ -239,34 +265,47 @@ def ivf_topk(
     corpus into cells; each query probes only its ``n_probe`` nearest
     cells and exact-cosine re-ranks the candidates.
 
-    Scale shape: the quantizer fits on a SAMPLE, never the corpus — a
-    coarse quantizer only needs ~tens of points per cell, so the fit
-    input is capped at ``64 * n_cells`` vectors (deterministic prefix by
-    vec_id, coalesced small so the iterative k-means jobs don't inherit
-    a vanilla session's 200-partition shuffle layout) with maxIter
-    pinned. Assignment of the full corpus is one JVM pass (ml.KMeans
-    transform, no shuffle), and the probe is a broadcast equi join on
-    cell id touching ~n_probe/n_cells of the corpus per query. At 100 TB
-    raise n_cells ~ sqrt(N); the fit stays O(sample), everything else is
+    Scale shape: the quantizer fits on a SAMPLE, never the corpus — the
+    fit input is capped at ``64 * n_cells`` vectors (deterministic
+    prefix by vec_id) collected to the driver and fit with in-process
+    Lloyd's (see ``_lloyd_numpy``). Corpus assignment is a broadcast
+    join against the tiny centroid table + one argmin window per vector
+    — pure JVM expressions, one corpus pass, no shuffle of the corpus.
+    The probe is a broadcast equi join on cell id touching
+    ~n_probe/n_cells of the corpus per query. At 100 TB raise
+    n_cells ~ sqrt(N); the fit stays O(sample), everything else is
     unchanged.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    base = with_norm(embeddings).withColumn(
-        "fv", array_to_vector(F.col("embedding").cast("array<double>"))
-    )
-    fit_sample = base.filter(F.col("vec_id") < 64 * n_cells).select("fv").coalesce(4)
-    model = KMeans(
-        k=n_cells, seed=42, maxIter=8, featuresCol="fv", predictionCol="cell"
-    ).fit(fit_sample)
-    assigned = model.transform(base).select("vec_id", "embedding", "norm", "cell")
-
-    # Tiny centroid table -> which cells each query probes.
     spark = embeddings.sparkSession
+    base = with_norm(embeddings)
+    sample = [
+        r.embedding
+        for r in base.filter(F.col("vec_id") < 64 * n_cells)
+        .select("embedding")
+        .collect()
+    ]
+    cent = _lloyd_numpy(sample, k=n_cells)
     centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
         "cell int, centroid array<double>",
+    )
+
+    sq_dist = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("centroid"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cell_rank = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cell"))
+    assigned = (
+        base.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "embedding", "norm", "cell", sq_dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(cell_rank))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "norm", "cell")
     )
     queries = assigned.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),

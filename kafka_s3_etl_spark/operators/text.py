@@ -138,6 +138,50 @@ def rolling_hash(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", rolled.alias("roll_fp"))
 
 
+# The corpus stopword set for the cleaning op (both present in the
+# synthetic vocabulary, so the transform is observable in tests).
+STOPWORDS = ("a", "the")
+
+
+def vocab_topk(documents: DataFrame, top_n: int = 100) -> DataFrame:
+    """Vocabulary construction: the ``top_n`` most frequent whitespace
+    tokens with their occurrence and document frequencies — the counting
+    pass a BPE/unigram tokenizer trainer runs first.
+
+    Scale shape: explode + count is one map-side-combined aggregation
+    over the corpus; the counts table is vocabulary-sized (millions of
+    rows at 100 TB, not corpus-sized), and the top-N is
+    ``orderBy().limit()`` — Spark plans TakeOrdered, a per-partition
+    heap + driver merge, never a global sort. Only the final rank
+    window runs single-partition, over exactly ``top_n`` rows."""
+    from pyspark.sql.window import Window
+
+    toks = documents.select(
+        "doc_id", F.explode(word_tokens(F.col("text"))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    top = counts.orderBy(F.col("n_occurrences").desc(), "token").limit(top_n)
+    w = Window.orderBy(F.col("n_occurrences").desc(), "token")
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+def remove_stopwords(documents: DataFrame) -> DataFrame:
+    """Stopword-removal cleaning pass: per document, the token counts
+    before/after and the cleaned text. Pure per-row expressions (array
+    filter + join) — no shuffle, scans the corpus once at any scale."""
+    toks = word_tokens(F.col("text"))
+    kept = F.filter(toks, lambda w: ~w.isin(*STOPWORDS))
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(kept).cast("int").alias("n_kept"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase text
     (content-defined identity for exact-dup detection across formats)."""

@@ -32,8 +32,10 @@ from kafka_s3_etl_spark.operators.text import (
     fingerprint,
     language_id,
     quality_score,
+    remove_stopwords,
     rolling_hash,
     text_stats,
+    vocab_topk,
 )
 from kafka_s3_etl_spark.operators.udfs import (
     explode_quantity_units,
@@ -340,6 +342,86 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_rollhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_hash(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_vocab_topk",
+    category="text",
+    doc=(
+        "Vocabulary construction: top-100 tokens by occurrence count "
+        "with document frequency — the tokenizer-training counting pass. "
+        "TakeOrdered top-N; the rank window runs over exactly 100 rows."
+    ),
+    oracle="""
+        SELECT token, n_occurrences, n_docs,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token)
+                    AS INTEGER) AS rnk
+        FROM (
+          SELECT s AS token,
+                 CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                 CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS s
+                FROM documents)
+          GROUP BY s
+        )
+        QUALIFY rnk <= 100
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_topk(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_text_clean",
+    category="text",
+    doc=(
+        "Stopword-removal cleaning pass: per-doc token counts before/"
+        "after plus the cleaned text. Pure per-row array expressions."
+    ),
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               CAST(len(list_filter(string_split(text, ' '),
+                        w -> w NOT IN ('a', 'the'))) AS INTEGER) AS n_kept,
+               array_to_string(list_filter(string_split(text, ' '),
+                        w -> w NOT IN ('a', 'the')), ' ') AS clean_text
+        FROM documents
+    """,
+)
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return remove_stopwords(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_decontaminate",
+    category="dedup",
+    doc=(
+        "Train/eval decontamination: held-out docs (doc_id % 10 == 0) "
+        "flagged when any word-8-gram also occurs in the training split. "
+        "Spark joins on the 8-byte shingle hash (fixed-width shuffle); "
+        "the oracle joins on the raw shingle — identical up to a ~1e-19 "
+        "collision."
+    ),
+    oracle="""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            UNNEST(list_transform(range(len(w) - 7), i ->
+              w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' ||
+              w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] || ' ' || w[i+8])) AS t(s)
+          WHERE len(w) >= 8
+        )
+        SELECT d.doc_id,
+               EXISTS (SELECT 1 FROM sh e JOIN sh t
+                       ON t.s = e.s AND t.doc_id % 10 != 0
+                       WHERE e.doc_id = d.doc_id) AS contaminated
+        FROM documents d WHERE d.doc_id % 10 = 0
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.dedup import decontaminate
+
+    return decontaminate(load_table(spark, sf_dir, "documents"))
 
 
 # ------------------------------------------------------------- multimodal

@@ -325,3 +325,51 @@ def test_resize_media_plumbing(docs):
     for r in out:
         assert (r.width, r.height) == (16, 8)
         assert len(bytes(r.payload)) == 16 * 8
+
+
+# ------------------------------------------------------- text: vocab/clean
+
+
+def test_vocab_topk_counts_and_rank(spark):
+    from kafka_s3_etl_spark.operators.text import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(0, "b a a"), (1, "a c c"), (2, "c")], "doc_id long, text string"
+    )
+    rows = {r.token: r for r in vocab_topk(docs, top_n=2).collect()}
+    # a and c tie at 3 occurrences; lexicographic tie-break ranks a first
+    assert set(rows) == {"a", "c"}
+    assert (rows["a"].n_occurrences, rows["a"].n_docs, rows["a"].rnk) == (3, 2, 1)
+    assert (rows["c"].n_occurrences, rows["c"].n_docs, rows["c"].rnk) == (3, 2, 2)
+
+
+def test_remove_stopwords_strips_only_stopwords(spark):
+    from kafka_s3_etl_spark.operators.text import STOPWORDS, remove_stopwords
+
+    docs = spark.createDataFrame(
+        [(0, "the quick a fox the"), (1, "no stop words here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in remove_stopwords(docs).collect()}
+    assert got[0].clean_text == "quick fox"
+    assert (got[0].n_tokens, got[0].n_kept) == (5, 2)
+    assert got[1].clean_text == "no stop words here"
+    assert (got[1].n_tokens, got[1].n_kept) == (4, 4)
+    for r in got.values():
+        assert not set(r.clean_text.split(" ")) & set(STOPWORDS)
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    from kafka_s3_etl_spark.operators.dedup import decontaminate
+
+    leak = "one two three four five six seven eight nine"
+    rows = [
+        (0, f"prefix {leak} suffix"),  # eval: shares an 8-gram with train doc 1
+        (1, f"other intro {leak} tail words"),  # train
+        (10, "totally unrelated words that never appear in training data x y"),  # eval, clean
+        (20, "short eval doc"),  # eval, < 8 words -> no shingles -> clean
+        (3, "unrelated training document with completely different content here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.contaminated for r in decontaminate(docs).collect()}
+    assert got == {0: True, 10: False, 20: False}
