@@ -287,9 +287,9 @@ def connected_components(
     label <- min(label, neighbors' labels) until a fixpoint, checked
     with a cheap count per round; diameter bounds the round count, and
     near-dup graphs are shallow (cliques of boilerplate), so this
-    converges in a handful of rounds. At extreme scale the same loop
-    upgrades to the large-star/small-star algorithm (Kiveris et al.,
-    "Connected Components in MapReduce") without changing the caller.
+    converges in a handful of rounds. For deep graphs use
+    ``connected_components_star`` (same contract, O(log n) rounds
+    regardless of diameter).
 
     Returns (doc_id, cluster_id). The dedup policy is then one line:
     keep doc_id == cluster_id (the smallest member of each cluster).
@@ -334,11 +334,107 @@ def connected_components(
         # and the keep-flag policy would quietly keep extra survivors.
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); raise max_iter or switch "
-            "to large-star/small-star for high-diameter graphs"
+            f"({changed} labels still changing); raise max_iter or use "
+            "connected_components_star for high-diameter graphs"
         )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame, nodes: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    converges in O(log n) rounds regardless of graph diameter, where
+    min-label propagation needs diameter-many rounds.
+
+    Each round is two grouped-min + join passes over the edge list:
+
+    * large-star: every node u links its strictly-larger neighbors to
+      m = min(neighborhood(u) + {u});
+    * small-star: edges oriented larger->smaller; u links its smaller
+      neighbors and itself to their minimum.
+
+    The edge set monotonically contracts toward a star forest rooted at
+    each component's minimum; convergence = the directed edge set stops
+    changing (checked with a count + hash aggregate, not a collect).
+    Use this over ``connected_components`` when components may be deep
+    (chains of pairwise near-dups); for shallow boilerplate cliques the
+    label-propagation loop does fewer shuffles per round.
+
+    Returns (doc_id, cluster_id) with cluster_id = the component's
+    smallest doc_id, exactly like ``connected_components``.
+    """
+
+    def _canon(e: DataFrame) -> DataFrame:
+        return (
+            e.select(
+                F.greatest("src", "dst").alias("src"),
+                F.least("src", "dst").alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        return (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        canon = _canon(e)
+        mins = canon.groupBy("src").agg(F.min("dst").alias("m"))
+        linked = (
+            canon.join(mins, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(mins.select("src", F.col("m").alias("dst")))
+        )
+        return linked.filter(F.col("src") != F.col("dst"))
+
+    def _fingerprint(e: DataFrame) -> tuple[int, int]:
+        # xor-fold, not sum: order-independent like sum but cannot
+        # overflow bigint under ANSI arithmetic
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+        ).first()
+        return row["n"], row["h"]
+
+    edges = _canon(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    ).localCheckpoint()
+    prev = None
+    for _ in range(max_iter):
+        edges = _canon(_small_star(_large_star(edges))).localCheckpoint()
+        fp = _fingerprint(edges)
+        if fp == prev:
+            break
+        prev = fp
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # Converged: canonical edges form (child -> component root) stars.
+    roots = edges.select(
+        F.col("src").alias("node"), F.col("dst").alias("label")
+    )
+    return (
+        nodes.select(F.col("doc_id").alias("node"))
+        .join(roots, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("label", F.col("node")).alias("cluster_id"),
+        )
     )
 
 

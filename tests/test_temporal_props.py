@@ -189,3 +189,57 @@ def test_connected_components_match_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in nodes}
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] < e[1]),
+        max_size=20,
+        unique=True,
+    )
+)
+@_SETTINGS
+def test_connected_components_star_match_union_find(spark, edges):
+    """Large-star/small-star == union-find on arbitrary random graphs."""
+    from kafka_s3_etl_spark.operators.dedup import connected_components_star
+
+    nodes = sorted({n for e in edges for n in e} | {0, 15})
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "doc_a long, doc_b long"
+    ).filter("doc_a < doc_b")
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components_star(pairs, nodes_df).collect()
+    }
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in nodes}
+    assert got == want
+
+
+def test_connected_components_star_deep_chain(spark):
+    """A 40-node path has diameter > the label-propagation round cap;
+    the star algorithm must still resolve it to one component in its
+    O(log n) rounds (this is exactly the case the min-label loop raises
+    on)."""
+    from kafka_s3_etl_spark.operators.dedup import connected_components_star
+
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = {r.doc_id: r.cluster_id for r in connected_components_star(pairs, nodes).collect()}
+    assert got == {i: 0 for i in range(n)}
