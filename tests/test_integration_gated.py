@@ -113,3 +113,38 @@ def test_s3a_parquet_write_read():
         F.sum(F.xxhash64(*sorted(d.columns))).alias("h")
     ).collect()[0]["h"]
     assert checksum(back) == checksum(df)
+
+
+@pytest.mark.skipif(
+    not (S3_ENDPOINT and S3_BUCKET),
+    reason="set SPARK_GRAFT_S3_ENDPOINT + SPARK_GRAFT_S3_BUCKET "
+    "(see docker/docker-compose.integration.yml)",
+)
+def test_s3a_single_xml_object_put(tmp_path):
+    """Reference B4/B5 parity over the real transport: the assembled XML
+    document lands as ONE s3a:// object and reads back byte-identical
+    (reference put_object at src/s3_json_to_xml.py:252-279; ContentType
+    metadata is an S3-client nicety S3A does not expose — documented
+    divergence, bytes are what parity is measured on)."""
+    from kafka_s3_etl_spark.operators.xml_pipeline import build_xml_document
+
+    spark = _integration_session()
+    doc = build_xml_document(spark, "/root/reference/data/sample_products.json")
+    path = f"s3a://{S3_BUCKET}/it_{uuid.uuid4().hex[:8]}/output.xml"
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    out = fs.create(p, True)
+    out.write(bytearray(doc.encode("utf-8")))
+    out.close()
+    stream = fs.open(p)
+    got = bytearray()
+    buf = bytearray(65536)
+    while True:
+        n = stream.read(buf)
+        if n <= 0:
+            break
+        got.extend(buf[:n])
+    stream.close()
+    assert bytes(got) == doc.encode("utf-8")
