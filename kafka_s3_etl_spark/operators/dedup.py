@@ -271,8 +271,12 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: hamming is a pure function of the pair,
+        # and a clustered corpus produces many duplicate chunk collisions
+        # per pair (measured 236k collision rows -> 525 pairs at sf0.1) —
+        # the exact-Hamming cut shrinks the dedup shuffle ~100x.
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

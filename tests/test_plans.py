@@ -186,3 +186,18 @@ def test_view_backed_query_stays_bound_to_its_sf(spark):
     assert want_a != want_b  # different scales really differ
     assert grand_total(df_a) == want_a  # still bound to sf_a
     assert grand_total(df_b) == want_b
+
+
+def test_vocab_topk_uses_take_ordered(spark, sf_dir):
+    # top-N must plan as TakeOrdered (per-partition heap + driver merge),
+    # never a global sort of the counts table
+    plan = plan_of(spark, sf_dir, "q_vocab_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_decontaminate_joins_on_hashes(spark, sf_dir):
+    # leakage check = semi join on the 8-byte shingle hash; no raw-text
+    # join key, no cartesian
+    plan = plan_of(spark, sf_dir, "q_decontaminate")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
