@@ -78,6 +78,27 @@ def read_kafka_stream(
     return reader.load()
 
 
+def is_kafka_available(bootstrap_servers: str, timeout_sec: float = 1.0) -> bool:
+    """TCP reachability probe over the bootstrap list (reference A10,
+    src/sql_to_kafka.py:228-250): True if ANY server accepts a
+    connection. Used the same way the reference uses it — decide
+    broker-backed vs fallback behavior before building a pipeline; the
+    actual protocol handshake is left to the Kafka client at
+    save()/start() time."""
+    import socket
+
+    for server in bootstrap_servers.split(","):
+        host, _, port_str = server.strip().rpartition(":")
+        try:
+            with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as sock:
+                sock.settimeout(timeout_sec)
+                if sock.connect_ex((host, int(port_str))) == 0:
+                    return True
+        except (OSError, ValueError):  # unreachable, unresolvable, malformed
+            continue
+    return False
+
+
 def parse_kafka_json(df: DataFrame, schema: T.StructType) -> DataFrame:
     """Decode Kafka value bytes -> typed columns (reference B2 semantics
     on the streaming path: from_json with an explicit schema)."""

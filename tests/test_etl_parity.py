@@ -65,3 +65,28 @@ def test_kafka_value_roundtrip(spark):
     parsed = parse_kafka_json(to_kafka_value(df), df.schema)
     back = {r.id: (r.s, r.x) for r in parsed.collect()}
     assert back == {1: ("a", 1.5), 2: ("b", None)}
+
+
+def test_kafka_availability_probe():
+    """Reference A10 parity: TCP probe returns True for a listening
+    socket, False for a closed port / unresolvable host / garbage."""
+    import socket
+    import threading
+
+    from kafka_s3_etl_spark.sources.kafka import is_kafka_available
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    t = threading.Thread(target=lambda: srv.accept(), daemon=True)
+    t.start()
+    try:
+        assert is_kafka_available(f"127.0.0.1:{port}")
+        # second entry listening is enough even when the first is dead
+        assert is_kafka_available(f"127.0.0.1:1,127.0.0.1:{port}")
+    finally:
+        srv.close()
+    assert not is_kafka_available("127.0.0.1:1")
+    assert not is_kafka_available("no-such-host.invalid:9092")
+    assert not is_kafka_available("garbage")
