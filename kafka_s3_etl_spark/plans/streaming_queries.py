@@ -224,3 +224,60 @@ def s_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_s3_etl_spark.streaming.late import late_data_demo
 
     return late_data_demo(spark, sf_dir)
+
+
+@register(
+    "s_foreach_rollup",
+    category="streaming",
+    cost=3,
+    doc=(
+        "foreachBatch custom sink: each micro-batch appends its PARTIAL "
+        "per-status aggregate to a parquet table; the final read "
+        "re-aggregates partials — the incremental-rollup-into-a-lakehouse "
+        "pattern, batch-count-invariant by construction (sum of partial "
+        "counts/sums = the global aggregate regardless of micro-batch "
+        "boundaries)."
+    ),
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders GROUP BY o_orderstatus
+    """,
+)
+def s_foreach_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.streaming.runner import (
+        _await_or_fail,
+        _pinned_stream_partitions,
+        scratch_dir,
+    )
+
+    decoded = decode_orders_wire(kafka_wire_stream(spark, sf_dir, "orders"))
+    out = scratch_dir("foreach_rollup")
+
+    def write_partial(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("o_totalprice").alias("s"),
+            )
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    with _pinned_stream_partitions(decoded):
+        q = (
+            decoded.writeStream.foreachBatch(write_partial)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", scratch_dir("ckpt"))
+            .start()
+        )
+    _await_or_fail(q, 120)
+    partials = spark.read.schema("o_orderstatus string, n bigint, s double").parquet(
+        out
+    )
+    return partials.groupBy("o_orderstatus").agg(
+        F.sum("n").cast("bigint").alias("n_orders"),
+        F.round(F.sum("s"), 2).alias("total_price"),
+    )
