@@ -927,3 +927,56 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.count("*").over(w).alias("n_near_below"),
     )
+
+
+@register(
+    "q_window_ntile",
+    category="windows",
+    doc=(
+        "Distribution windows: decile bucket (ntile), percent_rank, "
+        "cume_dist per order over price within status — the quality-"
+        "decile shape a curation pipeline uses to keep the top slice of "
+        "a corpus. Ordering key includes the unique o_orderkey so every "
+        "rank is deterministic; percent_rank/cume_dist are exact integer "
+        "ratios, bit-identical across engines."
+    ),
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               CAST(NTILE(10) OVER w AS INTEGER) AS decile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "q_agg_approx_quantile",
+    category="aggregation",
+    doc=(
+        "Sketch-family quantiles: percentile_approx over lineitem price "
+        "per returnflag. Rows-only: Spark's GK sketch and DuckDB's "
+        "t-digest give different approximations; the error bound vs the "
+        "exact percentile is asserted in tests."
+    ),
+    oracle=None,
+)
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 1000).alias(
+            "approx_pcts"
+        )
+    )

@@ -373,3 +373,26 @@ def test_decontaminate_flags_shared_ngrams(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r.contaminated for r in decontaminate(docs).collect()}
     assert got == {0: True, 10: False, 20: False}
+
+
+def test_approx_quantile_error_bound(spark, sf_dir):
+    """percentile_approx (GK sketch, accuracy=1000) must land within 2%
+    relative error of the exact percentile at every probed quantile."""
+    from kafka_s3_etl_spark.plans.registry import all_queries
+    from kafka_s3_etl_spark.sources.tables import load_table
+
+    approx = {
+        r.l_returnflag: r.approx_pcts
+        for r in all_queries()["q_agg_approx_quantile"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.l_returnflag: r.pcts
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.percentile("l_extendedprice", F.lit([0.5, 0.9, 0.99])).alias("pcts"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, approx_pcts in approx.items():
+        for a, e in zip(approx_pcts, exact[flag]):
+            assert abs(a - e) / e < 0.02, (flag, a, e)
