@@ -55,6 +55,10 @@ HEADLINE = [
     "q_text_stats",
     "q_text_langid",
     "q_text_fingerprint",
+    "q_text_clean",
+    "q_vocab_topk",
+    "q_decontaminate",
+    "q_window_ntile",
     "q_multimodal_meta",
     "q_udaf",
     "q_pack_sequences",
@@ -63,6 +67,7 @@ HEADLINE = [
     "s_kafka_to_s3",
     "s_window_tumbling",
     "s_stream_join",
+    "s_foreach_rollup",
 ]
 
 
