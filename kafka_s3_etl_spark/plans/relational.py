@@ -980,3 +980,36 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_pcts"
         )
     )
+
+
+@register(
+    "q_scalar_subquery",
+    category="joins",
+    doc=(
+        "Correlated scalar subquery: orders priced above their status's "
+        "average — Catalyst decorrelates it into an aggregate + join, "
+        "never a per-row re-execution (the plan-shape test pins the "
+        "absence of nested loops). ROUND(avg) on both sides so the "
+        "comparison threshold is identical."
+    ),
+    oracle="""
+        SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+        FROM orders o
+        WHERE o.o_totalprice > (
+            SELECT ROUND(AVG(i.o_totalprice), 2) FROM orders i
+            WHERE i.o_orderstatus = o.o_orderstatus
+        )
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ssq")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+        FROM orders_ssq o
+        WHERE o.o_totalprice > (
+            SELECT ROUND(AVG(i.o_totalprice), 2) FROM orders_ssq i
+            WHERE i.o_orderstatus = o.o_orderstatus
+        )
+        """
+    )
