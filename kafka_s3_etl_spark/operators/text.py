@@ -142,6 +142,10 @@ def rolling_hash(documents: DataFrame) -> DataFrame:
 # synthetic vocabulary, so the transform is observable in tests).
 STOPWORDS = ("a", "the")
 
+# n-gram width for the repetition heuristic (Gopher uses 2..4-gram dup
+# fractions; 3 matches the shingle width used elsewhere).
+SHINGLE_FOR_REP = 3
+
 
 def vocab_topk(documents: DataFrame, top_n: int = 100) -> DataFrame:
     """Vocabulary construction: the ``top_n`` most frequent whitespace
@@ -179,6 +183,63 @@ def remove_stopwords(documents: DataFrame) -> DataFrame:
         F.size(toks).cast("int").alias("n_tokens"),
         F.size(kept).cast("int").alias("n_kept"),
         F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
+def repetition_score(documents: DataFrame, n: int = SHINGLE_FOR_REP) -> DataFrame:
+    """Gopher-style repetition heuristic: the fraction of duplicated
+    word n-grams per document (1 - distinct/total). Boilerplate and
+    degenerate generations repeat n-grams; natural prose mostly doesn't.
+    Pure per-row array expressions — one corpus scan, no shuffle."""
+    w = word_tokens(F.col("text"))
+    # guard: Spark's sequence(0, -1) counts DOWN (unlike DuckDB's empty
+    # range), so short docs must short-circuit to an empty gram array
+    grams = F.expr(
+        f"if(size(split(text, ' ')) >= {n}, "
+        f"transform(sequence(0, size(split(text, ' ')) - {n}), i -> "
+        f"concat_ws(' ', slice(split(text, ' '), i + 1, {n}))), "
+        f"array())"
+    )
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    ratio = F.when(
+        total > 0, 1.0 - distinct.cast("double") / total.cast("double")
+    ).otherwise(0.0)
+    return documents.filter(F.size(w) >= 1).select(
+        "doc_id",
+        total.cast("int").alias("n_grams"),
+        distinct.cast("int").alias("n_distinct"),
+        ratio.alias("dup_ratio"),
+        (ratio > 0.2).alias("repetitive"),
+    )
+
+
+CHUNK_TOKENS = 32
+
+
+def chunk_windows(documents: DataFrame, chunk_size: int = CHUNK_TOKENS) -> DataFrame:
+    """Context-window chunking: split each document's token sequence
+    into fixed-size windows with document-relative indexes — the
+    shaping pass that feeds fixed-context LM pretraining. The explode
+    is the only fan-out (sum of chunks = corpus token count / size);
+    no shuffle, chunk assembly is per-row."""
+    w = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(w) / F.lit(float(chunk_size))).cast("int")
+    chunked = (
+        documents.filter(F.size(w) >= 1)
+        .select("doc_id", w.alias("w"), n_chunks.alias("nc"))
+        .select(
+            "doc_id",
+            "w",
+            F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_idx"),
+        )
+    )
+    piece = F.slice(F.col("w"), F.col("chunk_idx") * chunk_size + 1, chunk_size)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(piece).cast("int").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
     )
 
 

@@ -29,10 +29,12 @@ from kafka_s3_etl_spark.operators.similarity import (
     ivf_topk,
 )
 from kafka_s3_etl_spark.operators.text import (
+    chunk_windows,
     fingerprint,
     language_id,
     quality_score,
     remove_stopwords,
+    repetition_score,
     rolling_hash,
     text_stats,
     vocab_topk,
@@ -390,6 +392,62 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_stopwords(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_text_repetition",
+    category="text",
+    doc=(
+        "Gopher-style repetition heuristic: fraction of duplicated word "
+        "3-grams per doc; flags repetitive boilerplate. Per-row array "
+        "expressions, one scan. Exact integer ratio -> bit-identical "
+        "division on both engines."
+    ),
+    oracle="""
+        SELECT doc_id,
+               CAST(len(g) AS INTEGER) AS n_grams,
+               CAST(len(list_distinct(g)) AS INTEGER) AS n_distinct,
+               CASE WHEN len(g) > 0
+                    THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+                    ELSE 0.0 END AS dup_ratio,
+               (CASE WHEN len(g) > 0
+                     THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+                     ELSE 0.0 END) > 0.2 AS repetitive
+        FROM (
+          SELECT doc_id,
+                 list_transform(range(len(w) - 2),
+                     i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS g
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+          WHERE len(w) >= 1
+        )
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_chunk_windows",
+    category="text",
+    doc=(
+        "Context-window chunking: each doc's tokens split into 32-token "
+        "windows with doc-relative indexes — the fixed-context shaping "
+        "pass of LM pretraining. Explode fan-out only; no shuffle."
+    ),
+    oracle="""
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS chunk_idx,
+               CAST(len(w[i*32+1 : least((i+1)*32, len(w))]) AS INTEGER)
+                   AS n_tokens,
+               array_to_string(w[i*32+1 : least((i+1)*32, len(w))], ' ')
+                   AS chunk_text
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+              WHERE len(string_split(text, ' ')) >= 1),
+             UNNEST(range(CAST(ceil(len(w) / 32.0) AS BIGINT))) AS t(i)
+    """,
+)
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_windows(load_table(spark, sf_dir, "documents"))
 
 
 @register(

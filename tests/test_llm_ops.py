@@ -396,3 +396,43 @@ def test_approx_quantile_error_bound(spark, sf_dir):
     for flag, approx_pcts in approx.items():
         for a, e in zip(approx_pcts, exact[flag]):
             assert abs(a - e) / e < 0.02, (flag, a, e)
+
+
+def test_repetition_score_flags_repeats(spark):
+    from kafka_s3_etl_spark.operators.text import repetition_score
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam spam spam spam"),  # one distinct 3-gram
+            (1, "every word here is used exactly once total"),  # all distinct
+            (2, "ab"),  # < 3 words -> no grams -> ratio 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_score(docs).collect()}
+    assert got[0].n_grams == 6 and got[0].n_distinct == 1
+    assert got[0].repetitive and got[0].dup_ratio == pytest.approx(5 / 6)
+    assert not got[1].repetitive and got[1].dup_ratio == 0.0
+    assert got[2].n_grams == 0 and got[2].dup_ratio == 0.0
+
+
+def test_chunk_windows_reconstruct(spark, sf_dir):
+    """Chunks concatenated in index order rebuild each document exactly,
+    every chunk except the last is full, and token counts add up."""
+    from kafka_s3_etl_spark.operators.text import chunk_windows
+    from kafka_s3_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_windows(docs, chunk_size=32).collect()
+    by_doc = {}
+    for r in sorted(chunks, key=lambda r: (r.doc_id, r.chunk_idx)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    originals = {r.doc_id: r.text for r in docs.collect()}
+    assert set(by_doc) == set(originals)
+    for doc_id, rows in by_doc.items():
+        assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+        assert " ".join(r.chunk_text for r in rows) == originals[doc_id]
+        n_tok = len(originals[doc_id].split(" "))
+        assert sum(r.n_tokens for r in rows) == n_tok
+        for r in rows[:-1]:
+            assert r.n_tokens == 32
