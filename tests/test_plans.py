@@ -201,3 +201,50 @@ def test_decontaminate_joins_on_hashes(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_decontaminate")
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """100 TB insurance for skewed keys: with one hot key holding ~99%
+    of rows, AQE must re-plan the sort-merge join with skew splitting
+    (SortMergeJoin(skew=true) in the final plan) — the runtime half of
+    the skew story, complementing q_join_salted's explicit salting."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    keys = (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.shuffle.partitions",
+    )
+    saved = {k: conf.get(k, None) for k in keys}
+    try:
+        # thresholds scaled down so test-size partitions count as skewed
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        conf.set("spark.sql.shuffle.partitions", "8")
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 100 < 99, 0)
+            .otherwise(F.col("id") % 40)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 40).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = left.join(right, "k")
+        assert len(joined.collect()) == 200_000
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
