@@ -215,10 +215,26 @@ def s_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Late-data discipline: append mode + watermark over a 2-batch file "
         "source whose second batch is entirely older than the advanced "
-        "watermark -> its rows are excluded from emitted windows (assertion "
-        "in tests/test_streaming.py)."
+        "watermark -> its rows are excluded from emitted windows (targeted "
+        "assertion in tests/test_streaming.py). Oracle: append-mode output "
+        "is exactly the on-time windows FINALIZED below the advanced "
+        "watermark — tumbling agg over ts >= cutoff, filtered to "
+        "we <= max(on-time ts) - 10min."
     ),
-    oracle=None,
+    oracle="""
+        WITH on_time AS (
+          SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+        ),
+        wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM on_time)
+        SELECT ws, we, event_type, n, sum_value FROM (
+          SELECT make_timestamp(CAST(floor(epoch(ts)/300)*300*1000000 AS BIGINT)) AS ws,
+                 make_timestamp(CAST((floor(epoch(ts)/300)+1)*300*1000000 AS BIGINT)) AS we,
+                 event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(SUM(value), 2) AS sum_value
+          FROM on_time GROUP BY 1, 2, 3
+        ), wm WHERE we <= wm.w
+    """,
 )
 def s_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_s3_etl_spark.streaming.late import late_data_demo
