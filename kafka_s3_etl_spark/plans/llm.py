@@ -10,6 +10,7 @@ rows-only, with property assertions in tests/test_llm_ops.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kafka_s3_etl_spark.operators.dedup import (
     dedup_clusters,
@@ -568,3 +569,60 @@ def q_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return explode_quantity_units(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "q_multimodal_frames",
+    category="multimodal",
+    doc=(
+        "Frame sampling: every-10th-frame index per video document "
+        "(fake codec derives n_frames from payload bytes; the fan-out/"
+        "batch shape is what a real decoder plugs into)."
+    ),
+    oracle="""
+        SELECT doc_id, CAST(i AS INTEGER) AS frame_idx
+        FROM (SELECT doc_id,
+                     1 + octet_length(encode(text)) % 30 AS n_frames
+              FROM documents WHERE doc_id % 3 = 2),
+             UNNEST(range(0, n_frames, 10)) AS t(i)
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.multimodal import frame_sample
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return frame_sample(media)
+
+
+@register(
+    "q_multimodal_resize",
+    category="multimodal",
+    doc=(
+        "Resize plumbing: binary-in/binary-out mapInPandas to a fixed "
+        "224x224 pixel budget; the oracle checks the metadata and byte "
+        "accounting (payload bytes are a deterministic slice/pad, "
+        "exercised byte-level in tests/test_llm_ops.py)."
+    ),
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               CAST(224 AS INTEGER) AS width,
+               CAST(224 AS INTEGER) AS height,
+               CAST(224 * 224 AS INTEGER) AS n_bytes
+        FROM documents
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.multimodal import resize_media
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    resized = resize_media(media)
+    return resized.select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        F.length("payload").cast("int").alias("n_bytes"),
+    )
