@@ -243,3 +243,35 @@ def test_connected_components_star_deep_chain(spark):
     nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     got = {r.doc_id: r.cluster_id for r in connected_components_star(pairs, nodes).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_asof_join_null_payload_travels_atomically(spark):
+    """Regression pin: when the LATEST preceding right row holds a
+    genuinely NULL payload value, the output must carry that NULL — not
+    splice in an older row's non-NULL value (the per-column
+    last(ignorenulls) bug: each payload column traveling independently
+    mixes columns from different right rows)."""
+    left = spark.createDataFrame(
+        [(1, 100, _ts(100))], "k long, lid long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(10), "older-value", 7),
+            (1, _ts(50), None, 9),  # latest preceding row: NULL payload a
+        ],
+        "rk long, rts timestamp, a string, b long",
+    )
+    out = asof_join(
+        left,
+        right,
+        key="k",
+        right_key="rk",
+        left_ts="lts",
+        right_ts="rts",
+        payload=["a", "b"],
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.last_rts == _ts(50)
+    assert row.last_a is None  # NOT "older-value"
+    assert row.last_b == 9
