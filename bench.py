@@ -63,6 +63,7 @@ HEADLINE = [
     "q_udaf",
     "q_pack_sequences",
     "q_corpus_pipeline",
+    "q_curation_pipeline",
     "q_kafka_roundtrip",
     "s_kafka_to_s3",
     "s_window_tumbling",

@@ -151,3 +151,119 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_curation_pipeline",
+    category="prep",
+    cost=1,
+    doc=(
+        "Full curation flagship in ONE lineage: quality gate (length + "
+        "repetition) -> train-side decontamination vs the doc_id%10 "
+        "holdout (semi join on 8-byte 8-gram hashes) -> exact dedup -> "
+        "deterministic 90/10 split -> token-bin packing of the train "
+        "side. Stage order is the production order: per-row filters "
+        "shrink the corpus before the shingle join; every stage is "
+        "row/window/join-pure so DuckDB replays the whole pipeline."
+    ),
+    oracle="""
+        WITH cand AS (
+          SELECT doc_id, lang, text,
+                 string_split(text, ' ') AS w,
+                 CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok
+          FROM documents WHERE doc_id % 10 != 0
+        ),
+        quality AS (
+          SELECT doc_id, lang, text, w, n_tok,
+                 CASE WHEN len(w) >= 3 THEN
+                   list_transform(range(len(w) - 2),
+                       i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+                 ELSE [] END AS g
+          FROM cand WHERE n_tok >= 5
+        ),
+        kept AS (
+          SELECT doc_id, lang, text, w, n_tok FROM quality
+          WHERE len(g) = 0
+             OR 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g) <= 0.2
+        ),
+        holdout_sh AS (
+          SELECT DISTINCT s FROM (
+            SELECT string_split(text, ' ') AS hw FROM documents
+            WHERE doc_id % 10 = 0 AND len(string_split(text, ' ')) >= 8),
+            UNNEST(list_transform(range(len(hw) - 7), i ->
+              hw[i+1] || ' ' || hw[i+2] || ' ' || hw[i+3] || ' ' || hw[i+4] || ' ' ||
+              hw[i+5] || ' ' || hw[i+6] || ' ' || hw[i+7] || ' ' || hw[i+8])) AS t(s)
+        ),
+        clean AS (
+          SELECT k.doc_id, k.lang, k.text, k.n_tok FROM kept k
+          WHERE len(k.w) < 8 OR NOT EXISTS (
+            SELECT 1 FROM (
+              SELECT UNNEST(list_transform(range(len(k.w) - 7), i ->
+                k.w[i+1] || ' ' || k.w[i+2] || ' ' || k.w[i+3] || ' ' || k.w[i+4] || ' ' ||
+                k.w[i+5] || ' ' || k.w[i+6] || ' ' || k.w[i+7] || ' ' || k.w[i+8])) AS s
+            ) ks JOIN holdout_sh h ON h.s = ks.s
+          )
+        ),
+        deduped AS (
+          SELECT doc_id, lang, n_tok FROM (
+            SELECT doc_id, lang, n_tok,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                     ORDER BY doc_id) AS rn
+            FROM clean
+          ) WHERE rn = 1
+        ),
+        split AS (
+          SELECT doc_id, lang, n_tok FROM deduped
+          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 100 < 90
+        )
+        SELECT doc_id, lang, n_tok,
+               CAST(FLOOR((SUM(n_tok) OVER (
+                    PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tok) / 2048.0) AS INTEGER) AS bin
+        FROM split
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from kafka_s3_etl_spark.operators.dedup import shingle_hashes
+    from kafka_s3_etl_spark.operators.text import repetition_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = docs.filter(F.col("doc_id") % 10 != 0)
+
+    # quality gate: length + repetition (per-row, shrink before joins)
+    rep = repetition_score(cand).select("doc_id", "dup_ratio")
+    kept = (
+        cand.filter(F.size(F.split("text", " ")) >= 5)
+        .join(rep, "doc_id")
+        .filter(F.col("dup_ratio") <= 0.2)
+        .select("doc_id", "lang", "text")
+    )
+
+    # decontamination: drop kept docs sharing any 8-gram with the holdout
+    all_sh = shingle_hashes(docs, 8).distinct()
+    holdout_sh = all_sh.filter(F.col("doc_id") % 10 == 0).select("h")
+    contaminated = (
+        all_sh.filter(F.col("doc_id") % 10 != 0)
+        .join(holdout_sh, "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = kept.join(contaminated, "doc_id", "left_anti")
+
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    dedup_w = Window.partitionBy(fp).orderBy("doc_id")
+    deduped = (
+        clean.withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "text")
+    )
+    train = train_val_split(deduped.select("doc_id", "lang")).filter(
+        F.col("split") == "train"
+    )
+    return pack_sequences(deduped.join(train.select("doc_id"), "doc_id"))
