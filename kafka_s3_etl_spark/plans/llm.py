@@ -200,12 +200,37 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sim_topk",
     cost=1,
     category="similarity",
-    doc="Brute-force exact cosine top-5 for 8 query vectors (rows-only: "
-    "float-ranked ties).",
-    oracle=None,
+    doc=(
+        "Brute-force exact cosine top-5 for 8 query vectors, emitted as "
+        "RANKS (the float cosine itself stays out of the hash — per-row "
+        "floats are the one thing the oracle cannot absorb). Both sides "
+        "compute cosine in double and break ties by neighbor_id, so the "
+        "ranking agrees unless two candidates sit within float-rounding "
+        "of each other (verified stable at sf0.001/0.01/0.1; the cosine "
+        "values are recall-tested in tests/test_llm_ops.py)."
+    ),
+    oracle="""
+        WITH base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        q AS (SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < 8),
+        scored AS (
+          SELECT q.qid AS query_id, b.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.qe, b.e) AS c
+          FROM base b JOIN q ON b.vec_id != q.qid
+        )
+        SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY query_id ORDER BY c DESC, neighbor_id
+                 ) AS rnk
+          FROM scored) WHERE rnk <= 5
+    """,
 )
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return brute_force_topk(load_table(spark, sf_dir, "embeddings"))
+    return brute_force_topk(load_table(spark, sf_dir, "embeddings")).select(
+        "query_id", "neighbor_id", "rank"
+    )
 
 
 @register(
