@@ -107,6 +107,45 @@ def parse_kafka_json(df: DataFrame, schema: T.StructType) -> DataFrame:
     ).select("r.*")
 
 
+def split_malformed(
+    df: DataFrame, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split for a Kafka ``value`` stream (reference B2
+    error discipline: src/s3_json_to_xml.py:110-113 catches
+    JSONDecodeError per object; here the same records are quarantined
+    instead of aborting the batch).
+
+    Malformed detection uses PERMISSIVE mode's corrupt-record column —
+    the struct-is-NULL check is NOT sufficient, because Spark
+    best-effort-parses partially-valid JSON (e.g. ``{not json`` yields
+    a non-NULL struct of NULL fields). With ``columnNameOfCorruptRecord``
+    the parser stores the raw text of every undecodable value, so:
+    * good — decoded typed rows (malformed rows dropped);
+    * bad  — the raw ``value`` of every malformed message, ready for a
+      dead-letter topic/path.
+
+    Works identically on batch and streaming DataFrames; the check is
+    per-row, no shuffle. NOTE: a JSON value that is valid but lacks the
+    schema's fields decodes to a row of NULLs, not a parse failure.
+    """
+    corrupt = "_corrupt_record"
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt, T.StringType())]
+    )
+    parsed = df.select(
+        F.col("value"),
+        F.from_json(
+            F.col("value").cast("string"),
+            with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
+        ).alias("r"),
+    )
+    is_bad = F.col("r").isNull() | F.col(f"r.{corrupt}").isNotNull()
+    good = parsed.filter(~is_bad).select("r.*").drop(corrupt)
+    bad = parsed.filter(is_bad).select("value")
+    return good, bad
+
+
 def write_kafka_stream(
     df: DataFrame,
     bootstrap_servers: str,

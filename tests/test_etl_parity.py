@@ -90,3 +90,59 @@ def test_kafka_availability_probe():
     assert not is_kafka_available("127.0.0.1:1")
     assert not is_kafka_available("no-such-host.invalid:9092")
     assert not is_kafka_available("garbage")
+
+
+def test_split_malformed_quarantines_bad_json(spark):
+    """Reference B2 error discipline as a dead-letter split: undecodable
+    values land in the bad stream with their raw payload; decodable ones
+    parse to typed rows; a valid-but-wrong-shape object decodes to a
+    NULL-field row (documented), not a parse failure."""
+    from pyspark.sql import types as T
+
+    from kafka_s3_etl_spark.sources.kafka import split_malformed
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    rows = [
+        ('{"id": 1, "name": "ok"}',),
+        ("{not json at all",),
+        ('{"id": 2, "name": "also ok"}',),
+        ("",),
+        ('{"wrong": "shape"}',),  # valid JSON, no matching fields
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    good, bad = split_malformed(df, schema)
+    got_good = {(r.id, r.name) for r in good.collect()}
+    assert (1, "ok") in got_good and (2, "also ok") in got_good
+    assert (None, None) in got_good  # wrong-shape row decodes to NULLs
+    assert {r.value for r in bad.collect()} == {"{not json at all", ""}
+
+
+def test_split_malformed_on_stream(spark, tmp_path):
+    """The same split works on a streaming DataFrame end-to-end."""
+    from pyspark.sql import types as T
+
+    from kafka_s3_etl_spark.sources.kafka import split_malformed
+    from kafka_s3_etl_spark.streaming.runner import run_available_now
+
+    wire = tmp_path / "wire"
+    wire.mkdir()
+    (wire / "msgs.txt").write_text(
+        '{"id": 1, "name": "ok"}\nBROKEN\n{"id": 2, "name": "fine"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.text(str(wire))
+    good, bad = split_malformed(stream, schema)
+    got = run_available_now(good)
+    assert {(r.id, r.name) for r in got.collect()} == {(1, "ok"), (2, "fine")}
+    dead = run_available_now(bad)
+    assert {r.value for r in dead.collect()} == {"BROKEN"}
