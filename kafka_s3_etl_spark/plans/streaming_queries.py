@@ -297,3 +297,38 @@ def s_foreach_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("n_orders"),
         F.round(F.sum("s"), 2).alias("total_price"),
     )
+
+
+@register(
+    "s_kafka_deadletter",
+    category="streaming",
+    cost=3,
+    doc=(
+        "Dead-letter discipline on the wire: the orders topic plus "
+        "planted garbage messages -> split_malformed -> typed rows; "
+        "the oracle is the clean orders table, so the hash proves the "
+        "garbage was quarantined without corrupting a single good row."
+    ),
+    oracle="SELECT * FROM orders",
+)
+def s_kafka_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from kafka_s3_etl_spark.schemas import TESTDATA_SCHEMAS
+    from kafka_s3_etl_spark.sources.kafka import split_malformed, to_kafka_value
+    from kafka_s3_etl_spark.sources.tables import load_table
+    from kafka_s3_etl_spark.streaming.runner import _SRC_CACHE, scratch_dir
+
+    key = (sf_dir, "wire_orders_dirty")
+    if key not in _SRC_CACHE:
+        wire_dir = scratch_dir("wire_orders_dirty")
+        to_kafka_value(load_table(spark, sf_dir, "orders")).write.mode(
+            "overwrite"
+        ).text(wire_dir)
+        with open(os.path.join(wire_dir, "garbage.txt"), "w") as fh:
+            fh.write("{not json at all\n\nBROKEN{]}\n")
+        _SRC_CACHE[key] = wire_dir
+    stream = spark.readStream.text(_SRC_CACHE[key])
+    good, _bad = split_malformed(stream, TESTDATA_SCHEMAS["orders"])
+    decoded = good.withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    return run_available_now(decoded)
