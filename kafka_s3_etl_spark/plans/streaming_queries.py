@@ -12,13 +12,20 @@ hash-match it:
   mode. Oracle: epoch-floor bucketing (the batch analogue of a window
   with all data inside the watermark).
 * s_window_session — session windows (gap merge); complete mode.
-  Rows-only: gap-merge is not expressible as a simple GROUP BY.
+  Oracle: batch gap-merge with session_window's strict-< semantics.
 * s_dedup_watermark — dropDuplicatesWithinWatermark projected onto its
   key columns, which makes the surviving set deterministic and equal to
   SELECT DISTINCT keys.
 * s_late_data — append mode + watermark on a two-batch source whose
   second batch is entirely late -> late rows are dropped from state.
-  Rows-only; the targeted assertion lives in tests/test_streaming.py.
+  Oracle: on-time windows finalized below the advanced watermark
+  (targeted drop assertion in tests/test_streaming.py).
+* s_stream_join / s_stateful_counts — stream-stream inner join with
+  double watermarks; applyInPandasWithState running counts.
+* s_foreach_rollup — foreachBatch partial-aggregate appends + final
+  re-aggregate (batch-count-invariant incremental rollup).
+* s_kafka_deadletter — split_malformed quarantine on a wire with
+  planted garbage; oracle = the clean table.
 """
 
 from __future__ import annotations
