@@ -186,31 +186,69 @@ def remove_stopwords(documents: DataFrame) -> DataFrame:
     )
 
 
+def gram_array_over_w(n: int = SHINGLE_FOR_REP) -> Column:
+    """Word n-gram array computed from a PRE-SPLIT token column ``w``.
+
+    The tokens MUST come from a projected column, never ``split(text)``
+    inlined in the lambda: an inlined split re-tokenizes the whole text
+    once per gram index — O(words^2) per document (measured 30x slower
+    on the sf0.1 corpus). Guarded so short docs yield an empty array
+    (Spark's sequence(0, -1) counts DOWN, unlike DuckDB's empty range).
+    """
+    return F.expr(
+        f"if(size(w) >= {n}, "
+        f"transform(sequence(0, size(w) - {n}), i -> "
+        f"concat_ws(' ', slice(w, i + 1, {n}))), "
+        f"array())"
+    )
+
+
 def repetition_score(documents: DataFrame, n: int = SHINGLE_FOR_REP) -> DataFrame:
     """Gopher-style repetition heuristic: the fraction of duplicated
     word n-grams per document (1 - distinct/total). Boilerplate and
     degenerate generations repeat n-grams; natural prose mostly doesn't.
-    Pure per-row array expressions — one corpus scan, no shuffle."""
-    w = word_tokens(F.col("text"))
-    # guard: Spark's sequence(0, -1) counts DOWN (unlike DuckDB's empty
-    # range), so short docs must short-circuit to an empty gram array
-    grams = F.expr(
-        f"if(size(split(text, ' ')) >= {n}, "
-        f"transform(sequence(0, size(split(text, ' ')) - {n}), i -> "
-        f"concat_ws(' ', slice(split(text, ' '), i + 1, {n}))), "
-        f"array())"
+
+    Shape: explode grams once -> ONE aggregation with count +
+    count(distinct hash), map-side combined. The tempting pure-row
+    alternative (size(grams) / size(array_distinct(grams)) in a
+    projection) evaluates the interpreted gram-transform once PER
+    REFERENCE — and any pre-projected token/gram column gets re-inlined
+    by CollapseProject — measured ~9s vs ~0.6s at sf0.1. Grams shuffle
+    as 8-byte hashes, never strings; docs shorter than ``n`` words have
+    no gram rows and re-enter via the left join with ratio 0.
+    """
+    toks = documents.select("doc_id", word_tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= 1
     )
-    total = F.size(grams)
-    distinct = F.size(F.array_distinct(grams))
-    ratio = F.when(
-        total > 0, 1.0 - distinct.cast("double") / total.cast("double")
-    ).otherwise(0.0)
-    return documents.filter(F.size(w) >= 1).select(
+    grams = toks.filter(F.size("w") >= n).select(
         "doc_id",
-        total.cast("int").alias("n_grams"),
-        distinct.cast("int").alias("n_distinct"),
-        ratio.alias("dup_ratio"),
-        (ratio > 0.2).alias("repetitive"),
+        F.explode(gram_array_over_w(n)).alias("g"),
+    )
+    counted = grams.select("doc_id", F.xxhash64("g").alias("h")).groupBy(
+        "doc_id"
+    ).agg(
+        F.count("*").cast("int").alias("n_grams"),
+        F.countDistinct("h").cast("int").alias("n_distinct"),
+    )
+    ratio = F.when(
+        F.col("n_grams") > 0,
+        1.0 - F.col("n_distinct").cast("double") / F.col("n_grams").cast("double"),
+    ).otherwise(0.0)
+    return (
+        toks.select("doc_id")
+        .join(counted, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            ratio.alias("dup_ratio"),
+            (ratio > 0.2).alias("repetitive"),
+        )
     )
 
 

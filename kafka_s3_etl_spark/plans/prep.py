@@ -236,12 +236,17 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cand = docs.filter(F.col("doc_id") % 10 != 0)
 
-    # quality gate: length + repetition (per-row, shrink before joins)
-    rep = repetition_score(cand).select("doc_id", "dup_ratio")
+    # quality gate: length filter + repetition semi join. The dup-gram
+    # ratio comes from repetition_score's explode+aggregate (each gram
+    # built once, shuffled as a hash) — inlining it as a row expression
+    # re-evaluates the interpreted gram transform per reference and was
+    # measured ~10x slower than this join at sf0.1.
+    rep_ok = repetition_score(cand).filter(F.col("dup_ratio") <= 0.2).select(
+        "doc_id"
+    )
     kept = (
         cand.filter(F.size(F.split("text", " ")) >= 5)
-        .join(rep, "doc_id")
-        .filter(F.col("dup_ratio") <= 0.2)
+        .join(rep_ok, "doc_id", "left_semi")
         .select("doc_id", "lang", "text")
     )
 
