@@ -89,6 +89,37 @@ def asof_join(
     )
 
 
+def ewma_by_key(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Exponentially-weighted moving average of ``value`` per key in
+    event-time order — the decayed-engagement feature shape. Uses the
+    closed form y = sum_i alpha*(1-alpha)^(n-i) * x_i (zero init), so
+    instead of a sequential per-key fold it is ONE ranking window plus
+    one map-side-combined aggregation — no per-key array
+    materialization, shuffles once on the key at any scale. Weights for
+    deep histories underflow to 0.0 harmlessly."""
+    w = Window.partitionBy(key).orderBy(ts)
+    ranked = events.select(
+        key,
+        F.col(value),
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(Window.partitionBy(key)).alias("_n"),
+    )
+    term = F.col(value) * alpha * F.pow(F.lit(1.0 - alpha), F.col("_n") - F.col("_rn"))
+    return (
+        ranked.groupBy(key)
+        .agg(
+            F.round(F.sum(term), 4).alias("ewma"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+    )
+
+
 def range_bucket_join(
     left: DataFrame,
     right: DataFrame,

@@ -1013,3 +1013,30 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "q_variant_extract",
+    category="semi-structured",
+    doc=(
+        "VARIANT semi-structured path (Spark 4): parse_json into the "
+        "binary variant encoding, typed field extraction with "
+        "try_variant_get — the schema-on-read shape for heterogeneous "
+        "event payloads (vs q_json_extract's string-path get_json_object)."
+    ),
+    oracle="""
+        SELECT event_id,
+               CAST(props->>'$.k' AS INTEGER) AS k,
+               (CAST(props->>'$.k' AS INTEGER) >= 50) AS k_high
+        FROM events
+    """,
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "int")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        (k >= 50).alias("k_high"),
+    )

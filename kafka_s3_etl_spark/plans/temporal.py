@@ -87,3 +87,32 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "q_ewma_user",
+    category="temporal",
+    doc=(
+        "Per-user EWMA of event values in event-time order (alpha=0.1) — "
+        "the decayed-engagement feature. Closed-form weighted sum: one "
+        "ranking window + one map-side-combined aggregation, no per-key "
+        "fold or array. Rounded aggregate absorbs libm pow/summation "
+        "last-bit differences."
+    ),
+    oracle="""
+        WITH ranked AS (
+          SELECT user_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n
+          FROM events
+        )
+        SELECT user_id,
+               ROUND(SUM(value * 0.1 * pow(0.9, n - rn)), 4) AS ewma,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM ranked GROUP BY user_id
+    """,
+)
+def q_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.temporal import ewma_by_key
+
+    return ewma_by_key(load_table(spark, sf_dir, "events"))

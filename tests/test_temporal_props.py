@@ -275,3 +275,27 @@ def test_asof_join_null_payload_travels_atomically(spark):
     assert row.last_rts == _ts(50)
     assert row.last_a is None  # NOT "older-value"
     assert row.last_b == 9
+
+
+def test_ewma_matches_recursive_reference(spark):
+    """Closed-form weighted-sum EWMA == the recursive definition
+    y_t = alpha*x_t + (1-alpha)*y_{t-1}, y_0 = 0."""
+    from kafka_s3_etl_spark.operators.temporal import ewma_by_key
+
+    rows = [
+        (1, _ts(10), 10.0),
+        (1, _ts(20), 20.0),
+        (1, _ts(30), 30.0),
+        (2, _ts(5), 100.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {r.user_id: (r.ewma, r.n_events) for r in ewma_by_key(df, alpha=0.1).collect()}
+
+    def recursive(xs, alpha=0.1):
+        y = 0.0
+        for x in xs:
+            y = alpha * x + (1 - alpha) * y
+        return round(y, 4)
+
+    assert got[1] == (recursive([10.0, 20.0, 30.0]), 3)
+    assert got[2] == (recursive([100.0]), 1)
