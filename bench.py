@@ -43,7 +43,9 @@ HEADLINE = [
     "q_union_distinct",
     "q_array_explode",
     "q_json_extract",
+    "q_variant_extract",
     "q_asof_join",
+    "q_ewma_user",
     "q_sessionize",
     "q_dedup_exact",
     "q_dedup_fuzzy",
