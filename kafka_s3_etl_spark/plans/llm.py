@@ -651,3 +651,49 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.length("payload").cast("int").alias("n_bytes"),
     )
+
+
+@register(
+    "q_term_doc_stats",
+    category="text",
+    doc=(
+        "Sparse doc-term matrix with BM25-ready statistics: per (doc, "
+        "token) term frequency, per-token document frequency, and the "
+        "per-doc length — the exact inputs of TF-IDF/BM25 scoring, kept "
+        "as exact integers (the float weighting is a trivial per-row "
+        "formula downstream). One explode + two map-side-combined "
+        "aggregations; the token-stats join is left UNhinted — the "
+        "vocabulary is broadcastable at test scale but can reach GBs at "
+        "100 TB, so AQE picks broadcast vs shuffle from the actual size."
+    ),
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM toks GROUP BY doc_id, token
+        ),
+        df AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+        ),
+        dl AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS doc_len
+          FROM toks GROUP BY doc_id
+        )
+        SELECT tf.doc_id, tf.token, tf.tf, df.df, dl.doc_len
+        FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+    """,
+)
+def q_term_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    return (
+        tf.join(df, "token")
+        .join(dl, "doc_id")
+        .select("doc_id", "token", "tf", "df", "doc_len")
+    )
