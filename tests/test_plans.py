@@ -248,3 +248,15 @@ def test_aqe_splits_skewed_join(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_scalar_subquery_stays_bound_to_its_sf(spark):
+    """Same view-rebinding guard as q_grouping_sets, for the other
+    temp-view-backed query: building it for a second sf_dir must not
+    rebind the first DataFrame."""
+    sf_a, sf_b = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    df_a = _CAT["q_scalar_subquery"].fn(spark, sf_a)
+    n_a = df_a.count()
+    df_b = _CAT["q_scalar_subquery"].fn(spark, sf_b)  # overwrites the view
+    assert df_b.count() != n_a  # scales really differ
+    assert df_a.count() == n_a  # still bound to sf_a
