@@ -150,27 +150,6 @@ def _banded_signatures(
     ).select("doc_id", "sig", "band.band_id", "band.key")
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
-) -> DataFrame:
-    """Banded LSH: docs agreeing on ALL rows of any band become a
-    candidate pair. Equi join on (band_id, band_key) — near-linear."""
-    banded = _banded_signatures(signatures, k, bands)
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-
-
 def minhash_near_dups(
     documents: DataFrame,
     threshold: float = 0.5,
