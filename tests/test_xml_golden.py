@@ -39,3 +39,13 @@ def test_spark_pipeline_matches_golden(spark):
 def test_renderer_rejects_non_list():
     with pytest.raises(TypeError):
         json_document_to_xml('{"not": "a list"}')
+
+
+def test_write_xml_document_single_object(spark, tmp_path):
+    """B4 parity: the assembled document lands as ONE local object,
+    byte-identical to the golden output."""
+    from kafka_s3_etl_spark.operators.xml_pipeline import write_xml_document
+
+    out = tmp_path / "output.xml"
+    write_xml_document(spark, SAMPLE_JSON, str(out))
+    assert out.read_bytes() == open(GOLDEN_FULL, "rb").read()
