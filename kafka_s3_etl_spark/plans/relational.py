@@ -1040,3 +1040,31 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k"),
         (k >= 50).alias("k_high"),
     )
+
+
+@register(
+    "q_unpivot",
+    category="aggregation",
+    doc=(
+        "UNPIVOT/melt — the inverse of q_pivot: wide per-line measures "
+        "(quantity, price, discount) to long (measure, value) rows. "
+        "Pure row expansion (3x Generate), no shuffle."
+    ),
+    oracle="""
+        SELECT l_orderkey, l_linenumber, measure, value
+        FROM (SELECT l_orderkey, l_linenumber,
+                     l_quantity, l_extendedprice, l_discount
+              FROM lineitem)
+        UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount))
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    ).unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
