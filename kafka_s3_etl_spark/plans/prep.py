@@ -272,3 +272,78 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("split") == "train"
     )
     return pack_sequences(deduped.join(train.select("doc_id"), "doc_id"))
+
+
+@register(
+    "q_winsorize",
+    category="prep",
+    doc=(
+        "Winsorization: clamp per-returnflag prices to the rank-based "
+        "p01/p99 cut values — the outlier-clipping prep pass. The cuts "
+        "are DISCRETE (actual data values picked by deterministic rank "
+        "with a unique-key tie-break), so every output value is an "
+        "exact input double and the per-row floats hash cleanly with no "
+        "rounding anywhere. One window pass + a broadcast join of the "
+        "3-row cut table."
+    ),
+    oracle="""
+        WITH ranked AS (
+          SELECT l_returnflag, l_extendedprice,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                 ) AS rn,
+                 COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM lineitem
+        ),
+        cuts AS (
+          SELECT l_returnflag,
+                 MAX(CASE WHEN rn = CAST(ceil(0.01 * n) AS BIGINT)
+                          THEN l_extendedprice END) AS lo,
+                 MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                          THEN l_extendedprice END) AS hi
+          FROM ranked GROUP BY l_returnflag
+        )
+        SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+               LEAST(GREATEST(l.l_extendedprice, c.lo), c.hi) AS price_w
+        FROM lineitem l JOIN cuts c USING (l_returnflag)
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    cuts = ranked.groupBy("l_returnflag").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.01 * F.col("n")).cast("bigint"),
+                F.col("l_extendedprice"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.99 * F.col("n")).cast("bigint"),
+                F.col("l_extendedprice"),
+            )
+        ).alias("hi"),
+    )
+    return li.join(F.broadcast(cuts), "l_returnflag").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.least(F.greatest("l_extendedprice", F.col("lo")), F.col("hi")).alias(
+            "price_w"
+        ),
+    )
