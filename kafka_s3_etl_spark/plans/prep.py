@@ -283,8 +283,11 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "are DISCRETE (actual data values picked by deterministic rank "
         "with a unique-key tie-break), so every output value is an "
         "exact input double and the per-row floats hash cleanly with no "
-        "rounding anywhere. One window pass + a broadcast join of the "
-        "3-row cut table."
+        "rounding anywhere. SCALE NOTE: the exact rank window partitions "
+        "on the 3-value flag — fine here, a single-reducer sort at "
+        "100 TB; at that scale swap ONLY the cut stage for "
+        "percentile_approx (or a sampled rank), keeping the broadcast "
+        "clipping join unchanged. The oracle needs the exact form."
     ),
     oracle="""
         WITH ranked AS (
