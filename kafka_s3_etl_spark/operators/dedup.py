@@ -120,12 +120,16 @@ def minhash_signatures(hashes: DataFrame, k: int = MINHASH_K) -> DataFrame:
     same argmin shingle and Jaccard estimates collapse upward (measured:
     17x more >=0.5 pairs on the sf0.1 corpus).
     """
+    # expr strings, not Column operators: one py4j round-trip per
+    # aggregate instead of several (same build-time trap as
+    # simhash_signatures); integer literals parse as INT, matching the
+    # F.lit(i) seeds bit-for-bit
     hashed = hashes.select(
         "doc_id",
-        *[F.xxhash64(F.col("h"), F.lit(i)).alias(f"h{i}") for i in range(k)],
+        *[F.expr(f"xxhash64(h, {i}) AS h{i}") for i in range(k)],
     )
     return hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(k)]
+        *[F.expr(f"min(h{i}) AS mh{i}") for i in range(k)]
     )
 
 
@@ -136,17 +140,17 @@ def _banded_signatures(
     signature as an array, so the downstream self-join never has to
     join back to the signature table."""
     r = k // bands
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)]).alias("key"),
+    band_structs = ", ".join(
+        "struct({b} AS band_id, xxhash64({cols}) AS key)".format(
+            b=b, cols=", ".join(f"mh{b * r + j}" for j in range(r))
         )
         for b in range(bands)
-    ]
+    )
+    sig_cols = ", ".join(f"mh{i}" for i in range(k))
     return signatures.select(
         "doc_id",
-        F.array(*[F.col(f"mh{i}") for i in range(k)]).alias("sig"),
-        F.explode(F.array(*band_cols)).alias("band"),
+        F.expr(f"array({sig_cols}) AS sig"),
+        F.explode(F.expr(f"array({band_structs})")).alias("band"),
     ).select("doc_id", "sig", "band.band_id", "band.key")
 
 
