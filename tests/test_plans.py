@@ -260,3 +260,17 @@ def test_scalar_subquery_stays_bound_to_its_sf(spark):
     df_b = _CAT["q_scalar_subquery"].fn(spark, sf_b)  # overwrites the view
     assert df_b.count() != n_a  # scales really differ
     assert df_a.count() == n_a  # still bound to sf_a
+
+
+def test_sweep_order_oracle_first_cheap_first():
+    """The driver sweep contract: every hash-checkable entry precedes
+    every rows-only entry, and costs never decrease within a tier — so
+    a time-budgeted correctness run maximizes hash-checked coverage."""
+    entries = list(all_queries().values())
+    tiers = [(q.oracle is None, q.cost) for q in entries]
+    assert tiers == sorted(tiers), "registry sweep order violated"
+    first_rows_only = next(
+        (i for i, q in enumerate(entries) if q.oracle is None), len(entries)
+    )
+    assert all(q.oracle is not None for q in entries[:first_rows_only])
+    assert all(q.oracle is None for q in entries[first_rows_only:])
