@@ -95,6 +95,7 @@ def ewma_by_key(
     ts: str = "ts",
     value: str = "value",
     alpha: float = 0.1,
+    tiebreak: str = "event_id",
 ) -> DataFrame:
     """Exponentially-weighted moving average of ``value`` per key in
     event-time order — the decayed-engagement feature shape. Uses the
@@ -102,8 +103,10 @@ def ewma_by_key(
     instead of a sequential per-key fold it is ONE ranking window plus
     one map-side-combined aggregation — no per-key array
     materialization, shuffles once on the key at any scale. Weights for
-    deep histories underflow to 0.0 harmlessly."""
-    w = Window.partitionBy(key).orderBy(ts)
+    deep histories underflow to 0.0 harmlessly. ``tiebreak`` makes the
+    rank total when two events share (key, ts) — without it the weight
+    assignment (hence the sum) is engine/run-dependent."""
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
     ranked = events.select(
         key,
         F.col(value),

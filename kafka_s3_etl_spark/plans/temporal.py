@@ -102,7 +102,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH ranked AS (
           SELECT user_id, value,
-                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
                  COUNT(*) OVER (PARTITION BY user_id) AS n
           FROM events
         )
