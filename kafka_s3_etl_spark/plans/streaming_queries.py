@@ -279,11 +279,17 @@ def s_foreach_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scratch_dir("foreach_rollup")
 
     def write_partial(batch_df: DataFrame, batch_id: int) -> None:
+        # Partials accumulate integer CENTS, not doubles: float partial
+        # sums re-summed at read time would make the rounded total
+        # depend on micro-batch boundaries (the q_udaf rule — exact
+        # integers, divide ONCE at the end).
         (
             batch_df.groupBy("o_orderstatus")
             .agg(
                 F.count("*").alias("n"),
-                F.sum("o_totalprice").alias("s"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                    "s_cents"
+                ),
             )
             .write.mode("append")
             .parquet(out)
@@ -297,12 +303,12 @@ def s_foreach_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
     _await_or_fail(q, 120)
-    partials = spark.read.schema("o_orderstatus string, n bigint, s double").parquet(
-        out
-    )
+    partials = spark.read.schema(
+        "o_orderstatus string, n bigint, s_cents bigint"
+    ).parquet(out)
     return partials.groupBy("o_orderstatus").agg(
         F.sum("n").cast("bigint").alias("n_orders"),
-        F.round(F.sum("s"), 2).alias("total_price"),
+        F.round(F.sum("s_cents") / 100.0, 2).alias("total_price"),
     )
 
 

@@ -3,8 +3,11 @@ operators built as single-shuffle DataFrame compositions (see
 operators/temporal.py for the scaling argument).
 
 Both are fully oracle-checked: DuckDB has a native ASOF JOIN, and
-sessionization is plain ANSI window SQL. (user_id, ts) is unique in the
-events table, so both operators are deterministic.
+sessionization is plain ANSI window SQL. Event-time orderings are made
+total with an explicit unique-column tiebreak where the query's result
+depends on rank (q_ewma_user orders by (ts, event_id), matching the
+q_lag_lead pattern at plans/relational.py); without it the assignment
+would be engine/run-dependent whenever (user_id, ts) repeats.
 """
 
 from __future__ import annotations
@@ -58,8 +61,9 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     oracle="""
         WITH marked AS (
-          -- epoch_us on both sides: the events parquet is nano-precision,
-          -- Spark timestamps are micro; compare at the shared precision
+          -- epoch_us on both sides: gap comparison at microsecond
+          -- precision (Spark timestamp precision) regardless of the
+          -- parquet file's physical unit
           SELECT user_id, ts,
                  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
                                PARTITION BY user_id ORDER BY ts)
@@ -96,8 +100,9 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Per-user EWMA of event values in event-time order (alpha=0.1) — "
         "the decayed-engagement feature. Closed-form weighted sum: one "
         "ranking window + one map-side-combined aggregation, no per-key "
-        "fold or array. Rounded aggregate absorbs libm pow/summation "
-        "last-bit differences."
+        "fold or array. Ordering made total via the event_id tiebreak; "
+        "rounded aggregate absorbs libm pow/summation last-bit "
+        "differences."
     ),
     oracle="""
         WITH ranked AS (
@@ -115,4 +120,4 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_s3_etl_spark.operators.temporal import ewma_by_key
 
-    return ewma_by_key(load_table(spark, sf_dir, "events"))
+    return ewma_by_key(load_table(spark, sf_dir, "events"), tiebreak="event_id")

@@ -86,11 +86,14 @@ TESTDATA_SCHEMAS: dict[str, T.StructType] = {
             ("l_shipdate", T.TimestampType()),
         ]
     ),
-    # NOTE: events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
-    # parquet reader rejects; it is read as nanos-since-epoch (LongType,
-    # via spark.sql.legacy.parquet.nanosAsLong) and converted to a real
-    # TimestampType in sources.tables.load_table. This dict records the
-    # *file* schema; the loaded DataFrame exposes ts: timestamp.
+    # NOTE: the testdata generator has shipped events.ts as both
+    # TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds.
+    # sources.tables.load_table sniffs the parquet footer: NANOS files
+    # (which Spark's reader rejects) are read as nanos-since-epoch
+    # (LongType, via spark.sql.legacy.parquet.nanosAsLong) and converted;
+    # MICROS files are read directly with EVENTS_LOADED_SCHEMA. This dict
+    # records the NANOS-path *file* schema; the loaded DataFrame always
+    # exposes ts: timestamp.
     "events": _struct(
         [
             ("event_id", T.LongType()),

@@ -11,18 +11,61 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from kafka_s3_etl_spark.schemas import TESTDATA_SCHEMAS, TESTDATA_TABLES
 from kafka_s3_etl_spark.shiplib import ensure_workers_can_import
+
+# Loaded events always expose ts as a real TimestampType regardless of the
+# file's physical precision (see _events_ts_is_nanos).
+EVENTS_LOADED_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            f.name,
+            T.TimestampType() if f.name == "ts" else f.dataType,
+            True,
+        )
+        for f in TESTDATA_SCHEMAS["events"].fields
+    ]
+)
+
+# Footer sniff results, keyed by file path. The sniff is one parquet
+# footer read (no data scan); caching makes repeated load_table calls
+# (driver sweep, streaming scratch sources) free after the first.
+_TS_PRECISION_CACHE: dict[str, bool] = {}
+
+
+def _events_ts_is_nanos(spark: SparkSession, path: str) -> bool:
+    """True when events.ts is stored as parquet TIMESTAMP(NANOS).
+
+    The testdata generator has shipped both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) files across rounds, so the loader must branch on
+    the footer instead of assuming. Detection is Spark-native (works for
+    any filesystem Spark can read): with ``nanosAsLong`` off, Spark's
+    schema inference rejects TIMESTAMP(NANOS) outright, while a MICROS
+    file infers cleanly as ts: timestamp.
+    """
+    if path not in _TS_PRECISION_CACHE:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        try:
+            inferred = spark.read.parquet(path).schema
+            nanos = isinstance(inferred["ts"].dataType, T.LongType)
+        except Exception as exc:  # inference raises on TIMESTAMP(NANOS)
+            if "NANOS" not in str(exc).upper():
+                raise
+            nanos = True
+        _TS_PRECISION_CACHE[path] = nanos
+    return _TS_PRECISION_CACHE[path]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame with its declared schema.
 
-    events.ts is stored as parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects outright; we read it as nanos-since-epoch via the
-    ``nanosAsLong`` legacy conf and rebuild a proper TimestampType with
-    integer (DIV) arithmetic — exact for micro-precision values.
+    events.ts precision is sniffed from the parquet footer: NANOS files
+    (which Spark's reader rejects) are read as nanos-since-epoch via the
+    ``nanosAsLong`` legacy conf and rebuilt into TimestampType with
+    integer (DIV) arithmetic — exact for micro-precision values; MICROS
+    files are read directly as TimestampType.
     """
     if name not in TESTDATA_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TESTDATA_TABLES}")
@@ -34,9 +77,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_workers_can_import(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(path)
-        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        if _events_ts_is_nanos(spark, path):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(path)
+            return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return spark.read.schema(EVENTS_LOADED_SCHEMA).parquet(path)
     return spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(path)
 
 

@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from kafka_s3_etl_spark.schemas import TESTDATA_SCHEMAS
 from kafka_s3_etl_spark.sources.kafka import to_kafka_value
-from kafka_s3_etl_spark.sources.tables import load_table
+from kafka_s3_etl_spark.sources.tables import (
+    EVENTS_LOADED_SCHEMA,
+    _events_ts_is_nanos,
+    load_table,
+)
 
 
 def scratch_dir(prefix: str) -> str:
@@ -36,22 +40,34 @@ _SRC_CACHE: dict[tuple[str, str], str] = {}
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Open a testdata table as a *stream* (file source over its parquet).
 
-    events.ts needs the same nanos handling as the batch loader, so the
-    batch loader's output schema is re-derived by snapshotting it.
+    events.ts needs the same precision handling as the batch loader
+    (sources/tables.py): MICROS files stream directly off the original
+    parquet; NANOS files are materialized once (per sf_dir, cached) as
+    converted scratch parquet, because the micro-batch file source can't
+    apply the nanos conversion lazily under a forced schema.
     """
     batch = load_table(spark, sf_dir, name)  # also pins tz + ships lib
+    path = os.path.join(sf_dir, f"{name}.parquet")
+
+    def _stream_single_file(schema):
+        # The streaming file source wants a directory; select the one
+        # table file out of sf_dir with a glob filter.
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", f"{name}.parquet")
+            .parquet(sf_dir)
+        )
+
     if name == "events":
-        # Stream the converted table: materialize once to scratch parquet
-        # (micro-batch file source can't do the nanos conversion lazily
-        # with a forced schema).
+        if not _events_ts_is_nanos(spark, path):
+            return _stream_single_file(EVENTS_LOADED_SCHEMA)
         key = (sf_dir, f"stream_src_{name}")
         if key not in _SRC_CACHE:
             out = scratch_dir(f"stream_src_{name}")
             batch.write.mode("overwrite").parquet(out)
             _SRC_CACHE[key] = out
         return spark.readStream.schema(batch.schema).parquet(_SRC_CACHE[key])
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    return spark.readStream.schema(TESTDATA_SCHEMAS[name]).parquet(path)
+    return _stream_single_file(TESTDATA_SCHEMAS[name])
 
 
 def kafka_wire_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

@@ -436,3 +436,64 @@ def test_chunk_windows_reconstruct(spark, sf_dir):
         assert sum(r.n_tokens for r in rows) == n_tok
         for r in rows[:-1]:
             assert r.n_tokens == 32
+
+
+# ----------------------------------------------- guard-rail regressions
+
+
+def test_connected_components_reject_zero_iterations(spark):
+    """max_iter < 1 must fail fast (a zero-round run used to hit the
+    non-convergence branch with an unbound loop variable)."""
+    from kafka_s3_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a bigint, doc_b bigint")
+    nodes = spark.createDataFrame([(1,), (2,)], "doc_id bigint")
+    for cc in (connected_components, connected_components_star):
+        with pytest.raises(ValueError, match="max_iter"):
+            cc(pairs, nodes, max_iter=0)
+
+
+def test_ivf_handles_tiny_and_offset_corpora(spark):
+    """The quantizer fit must survive corpora smaller than n_cells and
+    vec_ids that don't start at 0 (the prefix filter then catches
+    nothing and the fallback sample kicks in)."""
+    rows = [(100_000 + i, [float(i + 1), float(i % 3 + 1)], 0) for i in range(10)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = ivf_topk(emb, n_queries=0, k=3, n_cells=16, n_probe=4)
+    assert got.count() == 0  # no queries under 100k; fit must not crash
+
+    got2 = ivf_topk(
+        emb.withColumn("vec_id", F.col("vec_id") - 100_000 + 2),
+        n_queries=4,
+        k=3,
+        n_cells=16,
+        n_probe=4,
+    )
+    assert got2.count() > 0
+
+
+def test_ivf_empty_corpus_raises(spark):
+    from kafka_s3_etl_spark.operators.similarity import ivf_topk as ivf
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>, label int")
+    with pytest.raises(ValueError, match="empty"):
+        ivf(empty)
+
+
+def test_auto_planes_scales_with_corpus():
+    """Bucket layout must densify as the corpus grows and stay clamped."""
+    from kafka_s3_etl_spark.operators.similarity import _auto_planes
+
+    assert _auto_planes(0) == 4
+    assert _auto_planes(500) == 4  # sf0.001 layout unchanged
+    assert _auto_planes(2_000) == 5  # sf0.1: 32 buckets, ~62/bucket
+    assert _auto_planes(1_000_000) == 14
+    assert _auto_planes(10**12) == 16  # clamp: raise tables instead
+    # monotone non-decreasing over decades
+    vals = [_auto_planes(10**e) for e in range(2, 13)]
+    assert vals == sorted(vals)
