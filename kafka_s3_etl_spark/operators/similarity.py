@@ -110,35 +110,24 @@ _SIGN_CACHE: dict[tuple[int, int, int], list[list[list[float]]]] = {}
 
 
 def _plane_signs(spark, tables: int, planes: int, dim: int) -> list[list[list[float]]]:
-    """Hyperplane entry h[t][p][d] = +1/-1 from the parity of
-    xxhash64(t, p, d) — deterministic, derived once per (tables, planes,
-    dim) with one tiny Spark job and cached for the session."""
+    """Hyperplane entry h[t][p][d] = +1/-1 from a seeded driver-side RNG
+    — deterministic per (tables, planes, dim), cached for the session.
+
+    The signs are pure config data shipped to executors as a broadcast
+    DataFrame (see ``_sign_table``), so nothing about their derivation
+    needs to be reproducible JVM-side; an earlier version derived them
+    with a tiny Spark job (xxhash64 parity over a combos DataFrame),
+    which billed ~3s of scheduler/codegen time to the first ANN query of
+    every session for a matrix numpy materializes in microseconds."""
     key = (tables, planes, dim)
     if key not in _SIGN_CACHE:
-        combos = [
-            (t, p, d)
-            for t in range(tables)
-            for p in range(planes)
-            for d in range(dim)
-        ]
-        rows = (
-            spark.createDataFrame(combos, "t int, p int, d int")
-            .select(
-                "t",
-                "p",
-                "d",
-                F.when(F.pmod(F.xxhash64("t", "p", "d"), 2) == 0, 1.0)
-                .otherwise(-1.0)
-                .alias("s"),
-            )
-            .collect()
+        import numpy as np
+
+        rng = np.random.default_rng(42)
+        signs = np.where(
+            rng.random((tables, planes, dim)) < 0.5, 1.0, -1.0
         )
-        signs = [
-            [[0.0] * dim for _ in range(planes)] for _ in range(tables)
-        ]
-        for r in rows:
-            signs[r.t][r.p][r.d] = r.s
-        _SIGN_CACHE[key] = signs
+        _SIGN_CACHE[key] = signs.tolist()
     return _SIGN_CACHE[key]
 
 
