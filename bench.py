@@ -67,10 +67,14 @@ HEADLINE = [
     "q_corpus_pipeline",
     "q_curation_pipeline",
     "q_kafka_roundtrip",
+    "q_merge_upsert",
+    "q_sample_per_group",
+    "q_bm25",
     "s_kafka_to_s3",
     "s_window_tumbling",
     "s_stream_join",
     "s_foreach_rollup",
+    "s_enrich_static",
 ]
 
 

@@ -107,3 +107,29 @@ def stratified_sample(
     return documents.sampleBy("lang", fractions, seed=seed).select(
         "doc_id", "lang", "source"
     )
+
+
+def sample_per_group(
+    df: DataFrame,
+    group: str,
+    order_key: str,
+    n: int,
+) -> DataFrame:
+    """Deterministic fixed-size per-group sample: the ``n`` rows of each
+    group with the smallest md5(order_key) — a pure row function of the
+    data (like train_val_split's bucketing), so the sample is identical
+    across re-runs, repartitionings, and engines, unlike reservoir or
+    seeded-RNG sampling whose output depends on partition layout.
+
+    One shuffle on the group key + a rank window; at 100 TB Spark's
+    WindowGroupLimit pushes the rank<=n cut to the map side, so each
+    partition forwards at most n rows per group into the shuffle.
+
+    Returns (order_key, group, rk) with rk in [1, n].
+    """
+    hk = F.md5(F.col(order_key).cast("string"))
+    w = Window.partitionBy(group).orderBy(hk, F.col(order_key))
+    return (
+        df.select(order_key, group, F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= n)
+    )

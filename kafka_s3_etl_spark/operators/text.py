@@ -290,3 +290,67 @@ def fingerprint(documents: DataFrame) -> DataFrame:
         F.md5(normalized).alias("fp"),
         token_count_regex(F.col("text")).cast("int").alias("n_bpe_tokens"),
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(documents: DataFrame, query_terms: list[str]) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed term set —
+    the retrieval-quality filter of a training-data pipeline (and the
+    scoring half of BM25 decontamination against an eval benchmark).
+
+    Built on the exact-integer sparse matrix of ``q_term_doc_stats``
+    (tf, df, doc_len are exact counts; the float weighting happens once
+    per (doc, matched term)). idf uses the +1 variant
+    (ln(1 + (N-df+0.5)/(df+0.5))) so scores stay positive for terms in
+    more than half the corpus. Corpus constants (N, avgdl) arrive via a
+    1-row broadcast cross join, never a driver round-trip.
+
+    Scale shape: the explode feeds ONE map-side-combined tf aggregation
+    filtered to the query terms — candidate rows are |terms| * |docs
+    containing them|, not the corpus token count; df is an aggregation
+    of THAT small set. The per-doc score sum is rounded (aggregate-only
+    rounding rule) so summation order can't flip a value hash.
+
+    Returns (doc_id, matched_terms, round(score, 4) as bm25).
+    """
+    toks = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    # doc_len is a per-row expression (size == exploded count), NOT a
+    # second explode + aggregation shuffle over the whole corpus.
+    dl = documents.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("doc_len")
+    )
+    consts = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("doc_len") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(query_terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1
+        * (1 - BM25_B + BM25_B * F.col("doc_len") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(consts))
+        .select("doc_id", (idf * tf_part).alias("term_score"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("matched_terms"),
+            F.round(F.sum("term_score"), 4).alias("bm25"),
+        )
+    )

@@ -102,3 +102,56 @@ def x_json_to_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_s3_etl_spark.operators.xml_pipeline import xml_fragments
 
     return xml_fragments(spark, REFERENCE_SAMPLE_JSON)
+
+
+@register(
+    "q_merge_upsert",
+    category="etl",
+    doc=(
+        "Lakehouse CDC apply (MERGE INTO semantics without a table "
+        "format): a deterministic change-set (5% price-bumped updates + "
+        "shifted-key inserts derived from orders itself) upserted onto "
+        "the table via one full-outer join + column-wise coalesce; rows "
+        "tagged U/I/K. One shuffle per side on the merge key."
+    ),
+    oracle="""
+        WITH t AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        ), s AS (
+          SELECT o_orderkey, o_custkey,
+                 'U_' || o_orderstatus AS o_orderstatus,
+                 o_totalprice * CAST(1.05 AS DOUBLE) AS o_totalprice
+          FROM orders WHERE o_orderkey % 7 = 0
+          UNION ALL
+          SELECT CAST(o_orderkey + 1000000 AS BIGINT), o_custkey, 'N', o_totalprice
+          FROM orders WHERE o_orderkey % 97 = 0
+        )
+        SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+               COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
+               COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+               COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+               CASE WHEN t.o_orderkey IS NULL THEN 'I'
+                    WHEN s.o_orderkey IS NULL THEN 'K'
+                    ELSE 'U' END AS action
+        FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.merge import merge_upsert
+
+    target = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = target.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.concat(F.lit("U_"), F.col("o_orderstatus")).alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.05).alias("o_totalprice"),
+    )
+    inserts = target.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    return merge_upsert(target, updates.unionByName(inserts), "o_orderkey")

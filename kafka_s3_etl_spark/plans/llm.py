@@ -697,3 +697,64 @@ def q_term_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dl, "doc_id")
         .select("doc_id", "token", "tf", "df", "doc_len")
     )
+
+
+# Fixed retrieval query for q_bm25 (mid-frequency corpus terms).
+BM25_QUERY_TERMS = ["join", "scan", "vector", "merge"]
+
+
+@register(
+    "q_bm25",
+    category="text",
+    doc=(
+        "Okapi BM25 relevance of every document against a fixed 4-term "
+        "query — the retrieval-scoring layer over q_term_doc_stats' "
+        "exact-integer tf/df/doc_len. Token explode is filtered to the "
+        "query terms before aggregation, so candidate volume is "
+        "|terms|x|matching docs|, not corpus tokens; per-doc score sum "
+        "rounded (aggregate-only rounding rule)."
+    ),
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+          FROM documents
+        ),
+        dl AS (
+          -- per-row length (mirrors Spark's size(split(..)) — no second
+          -- corpus explode)
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS doc_len
+          FROM documents
+        ),
+        consts AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 SUM(doc_len) / COUNT(*) AS avgdl
+          FROM dl
+        ),
+        tf AS (
+          SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM toks WHERE token IN ('join', 'scan', 'vector', 'merge')
+          GROUP BY doc_id, token
+        ),
+        df AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+        )
+        SELECT tf.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS matched_terms,
+               ROUND(SUM(
+                 ln(CAST(1.0 AS DOUBLE) + (consts.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * ((tf.tf * CAST(2.2 AS DOUBLE))
+                    / (tf.tf + CAST(1.2 AS DOUBLE)
+                       * (CAST(0.25 AS DOUBLE)
+                          + (CAST(0.75 AS DOUBLE) * dl.doc_len) / consts.avgdl)))
+               ), 4) AS bm25
+        FROM tf
+        JOIN df USING (token)
+        JOIN dl USING (doc_id)
+        CROSS JOIN consts
+        GROUP BY tf.doc_id
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.text import bm25_scores
+
+    return bm25_scores(load_table(spark, sf_dir, "documents"), BM25_QUERY_TERMS)

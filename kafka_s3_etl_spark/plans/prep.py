@@ -350,3 +350,31 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_w"
         ),
     )
+
+
+@register(
+    "q_sample_per_group",
+    category="prep",
+    doc=(
+        "Deterministic fixed-size per-group sample: the 20 docs per "
+        "language with the smallest md5(doc_id) — a pure row function "
+        "(stable across re-runs/partitionings/engines), unlike seeded "
+        "RNG sampling. WindowGroupLimit pushes the cut map-side."
+    ),
+    oracle="""
+        SELECT doc_id, lang, rk FROM (
+          SELECT doc_id, lang,
+                 CAST(ROW_NUMBER() OVER (
+                     PARTITION BY lang
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS INTEGER) AS rk
+          FROM documents
+        ) WHERE rk <= 20
+    """,
+)
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.prep import sample_per_group
+
+    return sample_per_group(
+        load_table(spark, sf_dir, "documents"), group="lang", order_key="doc_id", n=20
+    )

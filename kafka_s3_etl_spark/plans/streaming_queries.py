@@ -345,3 +345,35 @@ def s_kafka_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     good, _bad = split_malformed(stream, TESTDATA_SCHEMAS["orders"])
     decoded = good.withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
     return run_available_now(decoded)
+
+
+@register(
+    "s_enrich_static",
+    category="streaming",
+    cost=3,
+    doc=(
+        "Stream-static enrichment: the events stream joined to the "
+        "customer dimension via a broadcast hash join — stateless (no "
+        "watermark, no state store), the dimension is re-broadcast per "
+        "micro-batch, so the streaming plan is the batch plan applied "
+        "incrementally. Oracle = the equivalent batch join."
+    ),
+    oracle="""
+        SELECT e.event_id, e.user_id, e.event_type, e.value,
+               c.c_mktsegment, c.c_nationkey
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def s_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.sources.tables import load_table
+
+    ev = stream_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+    )
+    joined = ev.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "event_type", "value", "c_mktsegment", "c_nationkey"
+    )
+    return run_available_now(joined)

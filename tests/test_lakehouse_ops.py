@@ -1,0 +1,140 @@
+"""Targeted tests for the round-4 lakehouse/retrieval additions:
+MERGE upsert semantics, deterministic per-group sampling, and BM25
+scoring against an independent pure-Python reference. (The DuckDB
+oracle already hash-checks each registered query end-to-end; these pin
+the operator contracts on controlled inputs.)
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_s3_etl_spark.operators.merge import merge_upsert
+from kafka_s3_etl_spark.operators.prep import sample_per_group
+from kafka_s3_etl_spark.operators.text import BM25_B, BM25_K1, bm25_scores
+from kafka_s3_etl_spark.sources.tables import load_table
+
+
+# ------------------------------------------------------------------ merge
+
+
+def test_merge_upsert_update_insert_keep(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k bigint, status string, price double",
+    )
+    source = spark.createDataFrame(
+        [(2, "b2", 22.0), (9, "new", 99.0)],
+        "k bigint, status string, price double",
+    )
+    got = {r.k: r for r in merge_upsert(target, source, "k").collect()}
+    assert set(got) == {1, 2, 3, 9}
+    assert (got[1].status, got[1].price, got[1].action) == ("a", 10.0, "K")
+    assert (got[2].status, got[2].price, got[2].action) == ("b2", 22.0, "U")
+    assert (got[3].action) == "K"
+    assert (got[9].status, got[9].price, got[9].action) == ("new", 99.0, "I")
+
+
+def test_merge_upsert_preserves_source_nulls(spark):
+    """A matched source row's genuine NULL must survive — coalesce is
+    per-column, so the non-key columns must come from the source row
+    only when the source MATCHED, which holds because a matched source
+    key is non-null exactly when every source column is in scope."""
+    target = spark.createDataFrame([(1, "a")], "k bigint, status string")
+    source = spark.createDataFrame([(1, None)], "k bigint, status string")
+    got = merge_upsert(target, source, "k").collect()[0]
+    # SCD1 wholesale replace would null this; column-wise coalesce keeps
+    # the target value — pin the (documented) coalesce semantics.
+    assert got.status == "a" and got.action == "U"
+
+
+def test_merge_upsert_rejects_schema_mismatch(spark):
+    t = spark.createDataFrame([(1, "a")], "k bigint, status string")
+    s = spark.createDataFrame([(1,)], "k bigint")
+    with pytest.raises(ValueError, match="schemas differ"):
+        merge_upsert(t, s, "k")
+
+
+# ----------------------------------------------------------------- sample
+
+
+def test_sample_per_group_partitioning_invariant(spark, sf_dir):
+    """The sample is a pure row function: identical membership and ranks
+    under any repartitioning (seeded-RNG sampling breaks exactly here)."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(
+        (r.lang, r.doc_id, r.rk)
+        for r in sample_per_group(docs, "lang", "doc_id", 20).collect()
+    )
+    b = sorted(
+        (r.lang, r.doc_id, r.rk)
+        for r in sample_per_group(docs.repartition(13), "lang", "doc_id", 20).collect()
+    )
+    assert a == b
+    per_group = {}
+    for lang, _, rk in a:
+        per_group.setdefault(lang, []).append(rk)
+    for lang, rks in per_group.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), lang
+        assert len(rks) <= 20
+
+
+# ------------------------------------------------------------------- bm25
+
+
+def _bm25_ref(docs: dict[int, str], terms: list[str]) -> dict[int, tuple[int, float]]:
+    toks = {d: t.split(" ") for d, t in docs.items()}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    out = {}
+    for d, v in toks.items():
+        matched, score = 0, 0.0
+        for t in terms:
+            tf = v.count(t)
+            if tf == 0:
+                continue
+            matched += 1
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            score += idf * (tf * (BM25_K1 + 1)) / (
+                tf + BM25_K1 * (1 - BM25_B + BM25_B * len(v) / avgdl)
+            )
+        if matched:
+            out[d] = (matched, score)
+    return out
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    docs = {
+        0: "join scan join merge filter",
+        1: "scan scan scan scan",
+        2: "vector",
+        3: "completely unrelated words here",
+        4: "join vector merge scan join vector",
+    }
+    sdf = spark.createDataFrame(list(docs.items()), "doc_id bigint, text string")
+    terms = ["join", "scan", "vector", "merge"]
+    got = {r.doc_id: r for r in bm25_scores(sdf, terms).collect()}
+    ref = _bm25_ref(docs, terms)
+    assert set(got) == set(ref)  # doc 3 matches nothing -> absent
+    for d, (matched, score) in ref.items():
+        assert got[d].matched_terms == matched
+        assert got[d].bm25 == pytest.approx(round(score, 4), abs=1e-4)
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    """A doc matching only a rarer term must outscore one matching only
+    a (same-tf) more common term — the IDF ordering property."""
+    docs = {
+        0: "rare filler filler filler",
+        1: "common filler filler filler",
+        2: "common filler filler filler",
+        3: "common filler filler filler",
+        4: "common filler filler filler",
+    }
+    sdf = spark.createDataFrame(list(docs.items()), "doc_id bigint, text string")
+    got = {r.doc_id: r.bm25 for r in bm25_scores(sdf, ["rare", "common"]).collect()}
+    assert got[0] > got[1]

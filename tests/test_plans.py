@@ -274,3 +274,32 @@ def test_sweep_order_oracle_first_cheap_first():
     )
     assert all(q.oracle is not None for q in entries[:first_rows_only])
     assert all(q.oracle is None for q in entries[first_rows_only:])
+
+
+def test_merge_upsert_single_join_no_window(spark, sf_dir):
+    """MERGE apply = one full-outer join + coalesce projection; a
+    row_number-based formulation would add a Window + extra sort."""
+    plan = plan_of(spark, sf_dir, "q_merge_upsert")
+    assert "FullOuter" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sample_per_group_cut_is_map_side(spark, sf_dir):
+    """The rank<=n cut must run BEFORE the group-key shuffle (partial
+    WindowGroupLimit) so each map task forwards at most n rows per
+    group — the property that keeps the sample one cheap shuffle at
+    100 TB."""
+    plan = plan_of(spark, sf_dir, "q_sample_per_group")
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+    assert "Exchange" in plan
+
+
+def test_bm25_stats_broadcast_and_jvm_only(spark, sf_dir):
+    """df/doc-len/corpus-constant joins broadcast (never shuffle the
+    term-frequency side on a stats key) and the whole path is JVM
+    expressions."""
+    plan = plan_of(spark, sf_dir, "q_bm25")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_count" in plan  # tf aggregation keeps map-side combine
