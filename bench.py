@@ -70,11 +70,14 @@ HEADLINE = [
     "q_merge_upsert",
     "q_sample_per_group",
     "q_bm25",
+    "q_collect_sorted",
+    "q_minmax_by",
     "s_kafka_to_s3",
     "s_window_tumbling",
     "s_stream_join",
     "s_foreach_rollup",
     "s_enrich_static",
+    "s_cdc_upsert",
 ]
 
 

@@ -1,0 +1,187 @@
+"""Round-4 lakehouse/aggregation additions.
+
+Registered as the LAST plan module so the driver sweep's existing
+first-50 window (pinned in tests/test_plans.py) is unchanged:
+
+* q_collect_sorted — ordered list aggregation (collect_list +
+  array_sort vs DuckDB's ordered string_agg);
+* q_minmax_by — argmin/argmax aggregation, tie-broken determinstically
+  via lexicographic struct min/max (plain max_by/arg_max is
+  tie-ambiguous on BOTH engines — the testdata has a duplicate
+  o_totalprice within a status);
+* s_cdc_upsert — the streaming CDC-apply marquee: a change stream
+  folded into a versioned parquet table with foreachBatch +
+  ``merge_upsert``, one micro-batch at a time. The change-set carries
+  at most one change per key, so the final state is independent of how
+  the stream is micro-batched (asserted by forcing 4 single-file
+  batches) and equals the batch MERGE — which is the oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_s3_etl_spark.plans.registry import register
+from kafka_s3_etl_spark.sources.tables import load_table
+
+
+@register(
+    "q_collect_sorted",
+    category="aggregation",
+    doc=(
+        "Ordered list aggregation: per customer the sorted, comma-joined "
+        "list of order priorities (collect_list is unordered by contract; "
+        "array_sort makes the result deterministic and engine-portable)."
+    ),
+    oracle="""
+        SELECT o_custkey,
+               string_agg(o_orderpriority, ',' ORDER BY o_orderpriority)
+                   AS priorities,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey
+    """,
+)
+def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("o_orderpriority"))).alias(
+            "priorities"
+        ),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+
+
+@register(
+    "q_minmax_by",
+    category="aggregation",
+    doc=(
+        "argmin/argmax: per status, the order key holding the extreme "
+        "total price. Tie-broken via lexicographic struct min/max — both "
+        "engines' native max_by/arg_max pick an ARBITRARY row on value "
+        "ties, which the testdata actually contains."
+    ),
+    oracle="""
+        SELECT o_orderstatus,
+               (max(struct_pack(p := o_totalprice, k := o_orderkey))).k
+                   AS best_key,
+               (min(struct_pack(p := o_totalprice, k := o_orderkey))).k
+                   AS worst_key,
+               max(o_totalprice) AS best_price
+        FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pk = F.struct(
+        F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")
+    )
+    return orders.groupBy("o_orderstatus").agg(
+        F.max(pk)["k"].alias("best_key"),
+        F.min(pk)["k"].alias("worst_key"),
+        F.max("o_totalprice").alias("best_price"),
+    )
+
+
+def _cdc_changes(target: DataFrame) -> DataFrame:
+    """The q_merge_upsert change-set: <= 1 change per key (5%-bumped
+    updates for keys % 7, shifted-key inserts for keys % 97), so
+    applying any micro-batch partition of it in any order converges to
+    the same table."""
+    updates = target.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.concat(F.lit("U_"), F.col("o_orderstatus")).alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.05).alias("o_totalprice"),
+    )
+    inserts = target.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    return updates.unionByName(inserts)
+
+
+@register(
+    "s_cdc_upsert",
+    category="streaming",
+    cost=3,
+    doc=(
+        "Streaming CDC apply: the change stream folded into a versioned "
+        "parquet table via foreachBatch + merge_upsert (read current "
+        "version, MERGE the batch, write next version) — the lakehouse "
+        "upsert loop without a table format. 4 forced single-file "
+        "micro-batches; result equals the one-shot batch MERGE."
+    ),
+    oracle="""
+        WITH t AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        ), s AS (
+          SELECT o_orderkey, o_custkey,
+                 'U_' || o_orderstatus AS o_orderstatus,
+                 o_totalprice * CAST(1.05 AS DOUBLE) AS o_totalprice
+          FROM orders WHERE o_orderkey % 7 = 0
+          UNION ALL
+          SELECT CAST(o_orderkey + 1000000 AS BIGINT), o_custkey, 'N', o_totalprice
+          FROM orders WHERE o_orderkey % 97 = 0
+        )
+        SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+               COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
+               COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+               COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice
+        FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+    """,
+)
+def s_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.merge import merge_upsert
+    from kafka_s3_etl_spark.streaming.runner import (
+        _SRC_CACHE,
+        _await_or_fail,
+        _pinned_stream_partitions,
+        scratch_dir,
+    )
+
+    target = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    schema = target.schema
+
+    cache_key = (sf_dir, "cdc_changes")
+    if cache_key not in _SRC_CACHE:
+        d = scratch_dir("cdc_changes")
+        _cdc_changes(target).repartition(4).write.mode("overwrite").parquet(d)
+        _SRC_CACHE[cache_key] = d
+    changes = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force one batch per file
+        .parquet(_SRC_CACHE[cache_key])
+    )
+
+    base = scratch_dir("cdc_target")
+    v0 = os.path.join(base, "v0")
+    target.write.parquet(v0)
+    state = {"path": v0, "v": 0}
+    cols = [f.name for f in schema.fields]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        current = spark.read.schema(schema).parquet(state["path"])
+        merged = merge_upsert(
+            current, batch_df.select(cols), "o_orderkey", action_col=None
+        )
+        state["v"] += 1
+        nxt = os.path.join(base, f"v{state['v']}")
+        merged.write.parquet(nxt)
+        state["path"] = nxt
+
+    with _pinned_stream_partitions(changes):
+        q = (
+            changes.writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", scratch_dir("ckpt"))
+            .start()
+        )
+    _await_or_fail(q, 120)
+    return spark.read.schema(schema).parquet(state["path"])

@@ -31,6 +31,9 @@ _PLAN_MODULES = [
     "kafka_s3_etl_spark.plans.prep",
     "kafka_s3_etl_spark.plans.etl",
     "kafka_s3_etl_spark.plans.streaming_queries",
+    # Keep lakehouse LAST: its entries must append after the pinned
+    # first-50 sweep window (tests/test_plans.py ordering contract).
+    "kafka_s3_etl_spark.plans.lakehouse",
 ]
 
 

@@ -138,3 +138,25 @@ def test_bm25_rare_term_outranks_common(spark):
     sdf = spark.createDataFrame(list(docs.items()), "doc_id bigint, text string")
     got = {r.doc_id: r.bm25 for r in bm25_scores(sdf, ["rare", "common"]).collect()}
     assert got[0] > got[1]
+
+
+def test_merge_upsert_batch_split_invariant(spark):
+    """Folding a change-set in (<=1 change per key) through ANY sequence
+    of partial merges converges to the one-shot MERGE — the property
+    that makes s_cdc_upsert's result independent of micro-batching."""
+    target = spark.createDataFrame(
+        [(i, f"s{i}", float(i)) for i in range(30)],
+        "k bigint, status string, price double",
+    )
+    changes = spark.createDataFrame(
+        [(i, "upd", i * 2.0) for i in range(0, 30, 3)]
+        + [(100 + i, "new", 0.5) for i in range(4)],
+        "k bigint, status string, price double",
+    )
+    one_shot = merge_upsert(target, changes, "k", action_col=None)
+    folded = target
+    for i in range(3):  # arbitrary 3-way split, applied sequentially
+        part = changes.filter(F.col("k") % 3 == i)
+        folded = merge_upsert(folded, part, "k", action_col=None)
+    key = lambda r: r.k  # noqa: E731
+    assert sorted(one_shot.collect(), key=key) == sorted(folded.collect(), key=key)
