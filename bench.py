@@ -72,6 +72,7 @@ HEADLINE = [
     "q_bm25",
     "q_collect_sorted",
     "q_minmax_by",
+    "q_resample_ffill",
     "s_kafka_to_s3",
     "s_window_tumbling",
     "s_stream_join",

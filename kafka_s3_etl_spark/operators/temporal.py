@@ -198,3 +198,65 @@ def sessionize(
             F.max(ts).alias("session_end"),
         )
     )
+
+
+def resample_ffill(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Resample an event stream onto a daily grid with forward fill —
+    the gap-filling rollup (TimescaleDB's time_bucket_gapfill + locf
+    shape) that turns irregular events into a dense per-key feature
+    series.
+
+    ONE corpus pass, then everything runs on the tiny daily rollup:
+
+    1. daily downsample — map-side-combined max(struct(ts, tiebreak,
+       value)) per (key, day); the struct max makes "last value of the
+       day" total even when timestamps tie. The rollup (keys x observed
+       days — the operator's own output size class) is localCheckpointed
+       so the three downstream uses don't re-scan the corpus (a naive
+       grid-join formulation measured 3 corpus scans: bounds, global
+       max, and the join each re-derived the aggregation).
+    2. fill — each observed day carries its value forward by exploding
+       sequence(day .. next observed day - 1) (lead window per key);
+       the last observation fills to the global max day, which arrives
+       as a 1-row broadcast. No grid join, no ffill window: the fill IS
+       the explode, and output rows = keys x days exactly.
+
+    Returns (key, day, value_ffill, observed). value_ffill is never
+    NULL: each key's grid starts at its own first observation.
+    """
+    day = F.to_date(F.col(ts)).alias("day")
+    last_of_day = F.max(
+        F.struct(
+            F.col(ts).alias("t"), F.col(tiebreak).alias("e"), F.col(value).alias("v")
+        )
+    )["v"]
+    daily = events.groupBy(key, day).agg(last_of_day.alias("v")).localCheckpoint()
+    hi = daily.agg(F.max("day").alias("hi"))
+    w = Window.partitionBy(key).orderBy("day")
+    filled = (
+        daily.withColumn("next_day", F.lead("day").over(w))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            key,
+            F.col("day").alias("obs_day"),
+            "v",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.coalesce(F.date_sub("next_day", 1), F.col("hi")),
+                )
+            ).alias("day"),
+        )
+    )
+    return filled.select(
+        key,
+        "day",
+        F.col("v").alias("value_ffill"),
+        (F.col("day") == F.col("obs_day")).alias("observed"),
+    )

@@ -185,3 +185,44 @@ def s_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     _await_or_fail(q, 120)
     return spark.read.schema(schema).parquet(state["path"])
+
+
+@register(
+    "q_resample_ffill",
+    category="temporal",
+    doc=(
+        "Time-series gap fill: the event stream resampled onto a dense "
+        "per-user daily grid with forward fill (time_bucket_gapfill + "
+        "locf shape). Daily downsample is one map-side-combined struct "
+        "max; the grid explode is keys x days (event-count-independent); "
+        "one ffill window per key."
+    ),
+    oracle="""
+        WITH daily AS (
+          SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                 (max(struct_pack(t := ts, e := event_id, v := value))).v AS v
+          FROM events GROUP BY 1, 2
+        ),
+        bounds AS (SELECT user_id, MIN(day) AS lo FROM daily GROUP BY 1),
+        mx AS (SELECT MAX(day) AS hi FROM daily),
+        grid AS (
+          SELECT b.user_id,
+                 CAST(UNNEST(generate_series(
+                     CAST(b.lo AS TIMESTAMP), CAST(mx.hi AS TIMESTAMP),
+                     INTERVAL 1 DAY)) AS DATE) AS day
+          FROM bounds b CROSS JOIN mx
+        )
+        SELECT g.user_id, g.day,
+               last_value(d.v IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value_ffill,
+               d.v IS NOT NULL AS observed
+        FROM grid g
+        LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    """,
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.temporal import resample_ffill
+
+    return resample_ffill(load_table(spark, sf_dir, "events"))

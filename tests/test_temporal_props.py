@@ -299,3 +299,43 @@ def test_ewma_matches_recursive_reference(spark):
 
     assert got[1] == (recursive([10.0, 20.0, 30.0]), 3)
     assert got[2] == (recursive([100.0]), 1)
+
+
+def test_resample_ffill_gaps_ties_and_global_end(spark):
+    """Gap days carry the last observation forward; the fill extends to
+    the GLOBAL max day for every key; same-timestamp ties resolve to the
+    larger tiebreak (struct max) — all on a hand-checkable series."""
+    import datetime as dt
+
+    from kafka_s3_etl_spark.operators.temporal import resample_ffill
+
+    d = lambda day, h=12: dt.datetime(2024, 3, day, h, 0, 0)  # noqa: E731
+    rows = [
+        # (event_id, ts, user_id, value)
+        (1, d(1), 1, 1.0),
+        (2, d(4), 1, 4.0),
+        (3, d(2), 2, 2.0),
+        # user 3: two events at the SAME ts on day 2 -> event_id 5 wins
+        (4, d(2), 3, 30.0),
+        (5, d(2), 3, 31.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double"
+    )
+    got = {
+        (r.user_id, r.day.isoformat()): (r.value_ffill, r.observed)
+        for r in resample_ffill(events).collect()
+    }
+    exp = {
+        (1, "2024-03-01"): (1.0, True),
+        (1, "2024-03-02"): (1.0, False),
+        (1, "2024-03-03"): (1.0, False),
+        (1, "2024-03-04"): (4.0, True),
+        (2, "2024-03-02"): (2.0, True),
+        (2, "2024-03-03"): (2.0, False),
+        (2, "2024-03-04"): (2.0, False),
+        (3, "2024-03-02"): (31.0, True),  # tiebreak: event_id 5 > 4
+        (3, "2024-03-03"): (31.0, False),
+        (3, "2024-03-04"): (31.0, False),
+    }
+    assert got == exp
