@@ -193,9 +193,9 @@ def s_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Time-series gap fill: the event stream resampled onto a dense "
         "per-user daily grid with forward fill (time_bucket_gapfill + "
-        "locf shape). Daily downsample is one map-side-combined struct "
-        "max; the grid explode is keys x days (event-count-independent); "
-        "one ffill window per key."
+        "locf shape). One corpus pass into a checkpointed daily rollup; "
+        "a lead-window explode carries each observation to the next — "
+        "no grid join, output rows = keys x days exactly."
     ),
     oracle="""
         WITH daily AS (

@@ -160,3 +160,41 @@ def test_merge_upsert_batch_split_invariant(spark):
         folded = merge_upsert(folded, part, "k", action_col=None)
     key = lambda r: r.k  # noqa: E731
     assert sorted(one_shot.collect(), key=key) == sorted(folded.collect(), key=key)
+
+
+# -------------------------------------------- merge property (hypothesis)
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_MERGE_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_target_rows = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 99)),
+    min_size=1, max_size=15, unique_by=lambda r: r[0],
+)
+_source_rows = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(100, 199)),
+    min_size=0, max_size=15, unique_by=lambda r: r[0],
+)
+
+
+@_MERGE_SETTINGS
+@given(target=_target_rows, source=_source_rows)
+def test_merge_upsert_matches_dict_semantics(spark, target, source):
+    """MERGE == dict.update: target mapping updated by the source
+    mapping, action = I/U/K by membership."""
+    t = spark.createDataFrame(target, "k bigint, v bigint")
+    s = spark.createDataFrame(source, "k bigint, v bigint") if source else \
+        spark.createDataFrame([], "k bigint, v bigint")
+    got = {r.k: (r.v, r.action) for r in merge_upsert(t, s, "k").collect()}
+    td, sd = dict(target), dict(source)
+    exp = {
+        k: (sd.get(k, v), "U" if k in sd else "K") for k, v in td.items()
+    } | {k: (v, "I") for k, v in sd.items() if k not in td}
+    assert got == exp
