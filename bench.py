@@ -73,6 +73,7 @@ HEADLINE = [
     "q_collect_sorted",
     "q_minmax_by",
     "q_resample_ffill",
+    "q_graph_pagerank",
     "s_kafka_to_s3",
     "s_window_tumbling",
     "s_stream_join",

@@ -226,3 +226,26 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_s3_etl_spark.operators.temporal import resample_ffill
 
     return resample_ffill(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "q_graph_pagerank",
+    category="dedup",
+    cost=4,
+    doc=(
+        "PageRank centrality over the MinHash near-dup graph — the "
+        "canonical-representative signal for dedup clusters (keep the "
+        "hub). Pregel-lite iteration: one groupBy + one join per round, "
+        "localCheckpoint lineage cuts, dangling mass redistributed via "
+        "a 1-row broadcast. Rows-only (float fixpoint); matches a numpy "
+        "power-iteration reference in tests."
+    ),
+    oracle=None,
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.dedup import minhash_near_dups
+    from kafka_s3_etl_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(docs)
+    return pagerank(pairs, docs.select("doc_id"), iters=5)

@@ -497,3 +497,44 @@ def test_auto_planes_scales_with_corpus():
     # monotone non-decreasing over decades
     vals = [_auto_planes(10**e) for e in range(2, 13)]
     assert vals == sorted(vals)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Spark PageRank == dense numpy power iteration (same alpha, same
+    iteration count, dangling redistribution) on a hand-built graph with
+    a hub, a chain, a dangling-free cycle, and an isolated node."""
+    import numpy as np
+
+    from kafka_s3_etl_spark.operators.graph import pagerank
+
+    pairs = [(0, 1), (0, 2), (0, 3), (3, 4), (5, 6)]  # 7 = isolated
+    n, alpha, iters = 8, 0.85, 10
+    sdf_pairs = spark.createDataFrame(pairs, "doc_a bigint, doc_b bigint")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    got = {r.doc_id: r.rank for r in pagerank(sdf_pairs, nodes, alpha, iters).collect()}
+
+    A = np.zeros((n, n))
+    for a, b in pairs:
+        A[a, b] = A[b, a] = 1.0
+    deg = A.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        emitted = np.zeros(n)
+        for v in range(n):
+            if deg[v]:
+                emitted += r[v] * A[v] / deg[v]
+        dangling = r[deg == 0].sum()
+        r = (1 - alpha) / n + alpha * (emitted + dangling / n)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    for v in range(n):
+        assert got[v] == pytest.approx(r[v], abs=1e-12), v
+    assert got[0] > got[4] > got[7]  # hub > chain end > isolated
+
+
+def test_pagerank_rejects_zero_iterations(spark):
+    from kafka_s3_etl_spark.operators.graph import pagerank
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a bigint, doc_b bigint")
+    nodes = spark.createDataFrame([(1,), (2,)], "doc_id bigint")
+    with pytest.raises(ValueError, match="iters"):
+        pagerank(pairs, nodes, iters=0)

@@ -86,7 +86,12 @@ def test_theta_range_join_keeps_equi_key(spark, sf_dir):
 # Queries whose builder already executes work (streaming runs, ML fit,
 # driver-side reference-file reads) — excluded from the cheap whole-
 # catalog plan sweep.
-_EAGER = {n for n in _CAT if n.startswith("s_")} | {"q_sim_ivf", "x_json_to_xml"}
+_EAGER = {n for n in _CAT if n.startswith("s_")} | {
+    "q_sim_ivf",
+    "x_json_to_xml",
+    "q_resample_ffill",  # localCheckpoints the daily rollup at build
+    "q_graph_pagerank",  # localCheckpoints every iteration at build
+}
 
 
 @pytest.mark.parametrize("name", _JOIN_QUERIES)
