@@ -88,3 +88,42 @@ def test_events_timeline_canary(spark, sf_dir):
         f"events timeline {lo} .. {hi} is outside 2024: "
         "ts precision handling in sources/tables.py is wrong for this file"
     )
+
+
+def test_loader_handles_both_ts_precisions(spark, tmp_path):
+    """The NANOS branch of load_table is dead code against micros
+    testdata — exercise it with a synthesized TIMESTAMP(NANOS) events
+    file so the fallback can't bitrot, and prove both precisions load
+    to identical micro-precision timestamps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in micros
+    micros = [base, base + 1, base + 59_999_999]
+    ids = list(range(len(micros)))
+    cols = {
+        "event_id": pa.array(ids, pa.int64()),
+        "user_id": pa.array(ids, pa.int64()),
+        "event_type": pa.array(["a"] * len(ids)),
+        "value": pa.array([1.0] * len(ids)),
+        "props": pa.array(["{}"] * len(ids)),
+    }
+
+    def write(dirname: str, ts_array: pa.Array) -> str:
+        d = tmp_path / dirname
+        d.mkdir()
+        pq.write_table(
+            pa.table({**cols, "ts": ts_array}), str(d / "events.parquet")
+        )
+        return str(d)
+
+    nanos_dir = write(
+        "nanos", pa.array([m * 1000 for m in micros], pa.timestamp("ns"))
+    )
+    micros_dir = write("micros", pa.array(micros, pa.timestamp("us")))
+
+    got_n = load_table(spark, nanos_dir, "events").select("event_id", "ts").collect()
+    got_u = load_table(spark, micros_dir, "events").select("event_id", "ts").collect()
+    assert sorted(map(tuple, got_n)) == sorted(map(tuple, got_u))
+    by_id = {r.event_id: r.ts for r in got_n}
+    assert by_id[0].year == 2024 and by_id[2].microsecond == 999_999
