@@ -1,0 +1,115 @@
+"""Full driver-correctness simulation: run EVERY catalog entry through
+the __spark_entry__ contract with a VANILLA SparkSession (no engine
+confs — exactly what the driver builds) and hash-compare against its
+DuckDB oracle at sf0.01.
+
+The pytest oracle gate uses build_session (AQE, UTC, Arrow pinned);
+this script is the stricter check that no query silently depends on
+those confs. Run it from anywhere — it must not need the repo cwd.
+
+    python scripts/correctness_sim.py [sf_dir]
+
+Prints one line per query and a final summary; exit 1 on any mismatch.
+"""
+
+from __future__ import annotations
+
+import datetime
+import importlib.util
+import os
+import sys
+import time
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _norm(v: object) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return repr(round(v, 9))
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.master("local[8]").getOrCreate()  # VANILLA
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    n = mod.entry(spark).count()
+    print(f"entry(): {n} rows")
+    qs, osql = mod.queries(), mod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = []
+    t_start = time.time()
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            cols = sorted(sdf.columns)
+            srows = sorted(
+                "|".join(_norm(r[c]) for c in cols) for r in sdf.collect()
+            )
+            if name not in osql:
+                status = f"rows-only ({len(srows)} rows)"
+                if not srows and name not in ("q_join_anti", "q_except"):
+                    failures.append((name, "rows-only returned 0 rows"))
+                    status = "EMPTY"
+            else:
+                cur = con.execute(osql[name])
+                onames = [d[0] for d in cur.description]
+                order = sorted(range(len(onames)), key=lambda i: onames[i])
+                orows = sorted(
+                    "|".join(_norm(r[i]) for i in order) for r in cur.fetchall()
+                )
+                if sorted(onames) != cols:
+                    failures.append((name, f"columns {cols} vs {sorted(onames)}"))
+                    status = "COLUMN MISMATCH"
+                elif srows != orows:
+                    failures.append(
+                        (name, f"values: spark={len(srows)} oracle={len(orows)}")
+                    )
+                    status = "HASH MISMATCH"
+                else:
+                    status = f"hash ok ({len(srows)} rows)"
+        except Exception as exc:  # noqa: BLE001 — report and continue
+            failures.append((name, f"{type(exc).__name__}: {str(exc)[:100]}"))
+            status = "ERROR"
+        print(f"  {name}: {status} [{time.time() - t0:.1f}s]")
+
+    print(
+        f"\n{len(qs)} queries in {time.time() - t_start:.0f}s; "
+        f"{len(failures)} failures"
+    )
+    for name, why in failures:
+        print(f"  FAIL {name}: {why}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
