@@ -52,6 +52,8 @@ def pagerank(
     )
     degrees = edges.groupBy("src").agg(F.count("*").alias("deg"))
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError("pagerank: nodes is empty; nothing to rank")
     base = nodes.select(F.col("doc_id").alias("node"))
     ranks = base.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
 

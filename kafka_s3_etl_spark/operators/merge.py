@@ -16,10 +16,13 @@ WHEN NOT MATCHED THEN INSERT *):
 
 * source must be unique per key (CDC change-sets are; enforce upstream
   or pre-dedup with a latest-wins window);
-* every non-key column is taken from the source when the key matched,
-  else from the target;
+* a matched source row replaces the target row WHOLESALE — including
+  its genuine NULLs (a per-column coalesce would silently splice stale
+  target values into NULL-ing updates);
 * ``action`` tags each output row 'U' (updated), 'I' (inserted), or
-  'K' (kept) so downstream audits don't re-derive the diff.
+  'K' (kept) so downstream audits don't re-derive the diff. Presence
+  is tracked with literal flags, not key NULL-ness, so rows whose
+  merge key IS NULL (which never join) are still tagged correctly.
 """
 
 from __future__ import annotations
@@ -43,17 +46,22 @@ def merge_upsert(
         raise ValueError(
             f"merge_upsert: schemas differ: {target.columns} vs {source.columns}"
         )
-    t, s = target.alias("t"), source.alias("s")
+    t = target.withColumn("_in_t", F.lit(True)).alias("t")
+    s = source.withColumn("_in_s", F.lit(True)).alias("s")
     merged = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+    # NULL on the flag column <=> that side had no row in this pair.
+    matched_source = F.col("s._in_s").isNotNull()
     out = [
-        F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+        F.when(matched_source, F.col(f"s.{c}"))
+        .otherwise(F.col(f"t.{c}"))
+        .alias(c)
         for c in target.columns
     ]
     if action_col is not None:
         out.append(
-            F.when(F.col(f"t.{key}").isNull(), "I")
-            .when(F.col(f"s.{key}").isNull(), "K")
-            .otherwise("U")
+            F.when(matched_source & F.col("t._in_t").isNotNull(), "U")
+            .when(matched_source, "I")
+            .otherwise("K")
             .alias(action_col)
         )
     return merged.select(*out)

@@ -109,7 +109,7 @@ def brute_force_topk(
 _SIGN_CACHE: dict[tuple[int, int, int], list[list[list[float]]]] = {}
 
 
-def _plane_signs(spark, tables: int, planes: int, dim: int) -> list[list[list[float]]]:
+def _plane_signs(tables: int, planes: int, dim: int) -> list[list[list[float]]]:
     """Hyperplane entry h[t][p][d] = +1/-1 from a seeded driver-side RNG
     — deterministic per (tables, planes, dim), cached for the session.
 
@@ -144,7 +144,7 @@ def _sign_table(spark, tables: int, planes: int, dim: int) -> DataFrame:
     sf0.001 and sf0.1 alike). An 8-row broadcast costs none of that at
     any corpus size.
     """
-    signs = _plane_signs(spark, tables, planes, dim)
+    signs = _plane_signs(tables, planes, dim)
     rows = [
         tuple([t] + [signs[t][p] for p in range(planes)]) for t in range(tables)
     ]

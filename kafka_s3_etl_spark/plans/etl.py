@@ -126,10 +126,13 @@ def x_json_to_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT CAST(o_orderkey + 1000000 AS BIGINT), o_custkey, 'N', o_totalprice
           FROM orders WHERE o_orderkey % 97 = 0
         )
-        SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
-               COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
-               COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
-               COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+        -- matched source rows replace target rows WHOLESALE (MERGE
+        -- UPDATE SET *); key non-nullness marks presence (keys in this
+        -- change-set are never NULL)
+        SELECT CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderkey ELSE t.o_orderkey END AS o_orderkey,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
                CASE WHEN t.o_orderkey IS NULL THEN 'I'
                     WHEN s.o_orderkey IS NULL THEN 'K'
                     ELSE 'U' END AS action

@@ -128,10 +128,10 @@ def _cdc_changes(target: DataFrame) -> DataFrame:
           SELECT CAST(o_orderkey + 1000000 AS BIGINT), o_custkey, 'N', o_totalprice
           FROM orders WHERE o_orderkey % 97 = 0
         )
-        SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
-               COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
-               COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
-               COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice
+        SELECT CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderkey ELSE t.o_orderkey END AS o_orderkey,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice
         FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
     """,
 )

@@ -54,6 +54,13 @@ def _events_ts_is_nanos(spark: SparkSession, path: str) -> bool:
             if "NANOS" not in str(exc).upper():
                 raise
             nanos = True
+        finally:
+            # The conf is session-global and read at ACTION time: a lazy
+            # NANOS DataFrame built earlier would fail its eventual scan
+            # if a later MICROS sniff left this false. MICROS reads pin
+            # their precision via an explicit schema and ignore it, so
+            # true is the always-safe resting state.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         _TS_PRECISION_CACHE[path] = nanos
     return _TS_PRECISION_CACHE[path]
 

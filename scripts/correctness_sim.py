@@ -9,6 +9,12 @@ those confs. Run it from anywhere — it must not need the repo cwd.
 
     python scripts/correctness_sim.py [sf_dir]
 
+Beyond values, every oracle's column TYPES are DESCRIBE-checked against
+the Spark schema (tests/oracle.py::_TYPE_MAP): DuckDB silently widens
+(SUM(int) -> HUGEINT, to_json -> JSON) and Python fetchall() renders
+the widened values identically, so a value-only comparison would pass
+queries the driver's type-aware hash fails.
+
 Prints one line per query and a final summary; exit 1 on any mismatch.
 """
 
@@ -23,6 +29,10 @@ import time
 import duckdb
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tests.oracle import _TYPE_MAP  # noqa: E402
+
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
@@ -81,13 +91,28 @@ def main() -> int:
                     failures.append((name, "rows-only returned 0 rows"))
                     status = "EMPTY"
             else:
+                spark_types = {
+                    f.name: f.dataType.simpleString() for f in sdf.schema.fields
+                }
+                oracle_types = dict(
+                    (r[0], r[1])
+                    for r in con.execute(f"DESCRIBE {osql[name]}").fetchall()
+                )
+                type_errs = [
+                    f"{c}: spark {st} wants {_TYPE_MAP[st]}, oracle {oracle_types.get(c)}"
+                    for c, st in spark_types.items()
+                    if st in _TYPE_MAP and oracle_types.get(c) != _TYPE_MAP[st]
+                ]
                 cur = con.execute(osql[name])
                 onames = [d[0] for d in cur.description]
                 order = sorted(range(len(onames)), key=lambda i: onames[i])
                 orows = sorted(
                     "|".join(_norm(r[i]) for i in order) for r in cur.fetchall()
                 )
-                if sorted(onames) != cols:
+                if type_errs:
+                    failures.append((name, "; ".join(type_errs)))
+                    status = "TYPE MISMATCH"
+                elif sorted(onames) != cols:
                     failures.append((name, f"columns {cols} vs {sorted(onames)}"))
                     status = "COLUMN MISMATCH"
                 elif srows != orows:

@@ -38,17 +38,28 @@ def test_merge_upsert_update_insert_keep(spark):
     assert (got[9].status, got[9].price, got[9].action) == ("new", 99.0, "I")
 
 
-def test_merge_upsert_preserves_source_nulls(spark):
-    """A matched source row's genuine NULL must survive — coalesce is
-    per-column, so the non-key columns must come from the source row
-    only when the source MATCHED, which holds because a matched source
-    key is non-null exactly when every source column is in scope."""
+def test_merge_upsert_replaces_matched_rows_wholesale(spark):
+    """SQL MERGE 'WHEN MATCHED THEN UPDATE SET *' semantics: a matched
+    source row's genuine NULL OVERWRITES the target value (a per-column
+    coalesce would silently splice the stale target value back in)."""
     target = spark.createDataFrame([(1, "a")], "k bigint, status string")
     source = spark.createDataFrame([(1, None)], "k bigint, status string")
     got = merge_upsert(target, source, "k").collect()[0]
-    # SCD1 wholesale replace would null this; column-wise coalesce keeps
-    # the target value — pin the (documented) coalesce semantics.
-    assert got.status == "a" and got.action == "U"
+    assert got.status is None and got.action == "U"
+
+
+def test_merge_upsert_null_key_rows_keep_correct_actions(spark):
+    """Rows whose merge key IS NULL never join; a NULL-key target row is
+    'K' (kept) and a NULL-key source row is 'I' — presence flags, not
+    key NULL-ness, drive the tag."""
+    target = spark.createDataFrame([(None, "t0"), (1, "t1")], "k bigint, v string")
+    source = spark.createDataFrame([(None, "s0"), (1, "s1")], "k bigint, v string")
+    got = {(r.k, r.v): r.action for r in merge_upsert(target, source, "k").collect()}
+    assert got == {
+        (None, "t0"): "K",  # pre-existing NULL-key row passes through
+        (None, "s0"): "I",  # NULL-key change row inserts (never matches)
+        (1, "s1"): "U",
+    }
 
 
 def test_merge_upsert_rejects_schema_mismatch(spark):
