@@ -50,8 +50,17 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
 
     def _stream_single_file(schema):
-        # The streaming file source wants a directory; select the one
-        # table file out of sf_dir with a glob filter.
+        # Directory-shaped table (the normal production layout): the
+        # streaming file source takes it directly. Single-FILE table
+        # (the driver's testdata layout): the source wants a directory,
+        # so point it at sf_dir with a glob filter selecting that file.
+        # The branch matters: the glob filter matches file NAMES, so
+        # against a directory named events.parquet it would match zero
+        # of the part-files inside and deliver a silently EMPTY stream.
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.getFileStatus(jpath).isDirectory():
+            return spark.readStream.schema(schema).parquet(path)
         return (
             spark.readStream.schema(schema)
             .option("pathGlobFilter", f"{name}.parquet")

@@ -1,0 +1,129 @@
+"""Empirical scaling probe: run the event/document/embedding-heavy
+operators on sf0.1 and on a 10x scaled copy, and report the time
+ratio per query.
+
+The 100 TB arguments in SCALE.md are structural (shuffle shapes,
+partial aggregation, bucketed candidates); this probe is the empirical
+complement at the scale the sandbox can hold: a near-linear ratio
+(<= ~10x for 10x data, usually far less while fixed job overhead
+dominates) backs the argument, a superlinear one falsifies it.
+
+Scaling model (keeps per-entity density constant, so operator work
+scales with data, not with degenerate blowup):
+  * events: 10 copies, user_id += 1500*i, event_id += N*i — 10x users,
+    same events-per-user timeline each;
+  * documents: 10 copies, doc_id += 5000*i, text unchanged — every doc
+    gains 9 exact twins, so the dedup family faces a 10x corpus with
+    real cross-copy duplicate structure;
+  * embeddings: 10 copies, vec_id += 2000*i;
+  * relational tables copied as-is (this probe targets the scaled
+    families; the relational core is oracle- and plan-tested).
+
+Usage: python scripts/scaling_probe.py [factor]   (default 10)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE = "/root/testdata/sf0.1"
+PROBE_QUERIES = [
+    "q_sessionize",
+    "q_join_theta_range",
+    "q_asof_join",
+    "q_ewma_user",
+    "q_resample_ffill",
+    "q_dedup_exact",
+    "q_dedup_fuzzy",
+    "q_dedup_simhash",
+    "q_decontaminate",
+    "q_text_stats",
+    "q_vocab_topk",
+    "q_bm25",
+    "q_sim_topk",
+    "q_sim_ann_lsh",
+    "q_graph_pagerank",
+    "s_window_tumbling",
+    "s_stream_join",
+]
+
+
+def build_scaled_dir(spark, factor: int) -> str:
+    from pyspark.sql import functions as F
+
+    from kafka_s3_etl_spark.sources.tables import TESTDATA_TABLES, load_table
+
+    out = f"/tmp/spark_graft_scaled_{factor}x"
+    if os.path.isdir(out) and os.path.exists(os.path.join(out, "_READY")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    shifts = {
+        "events": [("event_id", 100_000), ("user_id", 1_500)],
+        "documents": [("doc_id", 5_000)],
+        "embeddings": [("vec_id", 2_000)],
+    }
+    for name in TESTDATA_TABLES:
+        df = load_table(spark, BASE, name)
+        if name in shifts:
+            copies = []
+            for i in range(factor):
+                c = df
+                for col, step in shifts[name]:
+                    c = c.withColumn(col, (F.col(col) + i * step).cast("long"))
+                copies.append(c)
+            scaled = copies[0]
+            for c in copies[1:]:
+                scaled = scaled.unionByName(c)
+            scaled.write.mode("overwrite").parquet(
+                os.path.join(out, f"{name}.parquet")
+            )
+        else:
+            df.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
+    open(os.path.join(out, "_READY"), "w").close()
+    return out
+
+
+def main() -> int:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    from pyspark.sql import SparkSession
+
+    from kafka_s3_etl_spark.plans.registry import all_queries
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
+    cat = all_queries()
+    scaled = build_scaled_dir(spark, factor)
+    cat["q_scan_project"].fn(spark, BASE).count()  # warm
+
+    print(f"query, sf0.1_s, {factor}x_s, ratio")
+    worst = 0.0
+    for name in PROBE_QUERIES:
+        times = {}
+        for label, sf_dir in (("base", BASE), ("scaled", scaled)):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                cat[name].fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            times[label] = best
+        ratio = times["scaled"] / times["base"]
+        worst = max(worst, ratio)
+        print(
+            f"{name}, {times['base']:.2f}, {times['scaled']:.2f}, {ratio:.1f}x"
+        )
+    print(f"worst ratio: {worst:.1f}x for {factor}x data")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

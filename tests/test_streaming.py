@@ -130,3 +130,25 @@ def test_kafka_to_s3_roundtrip_schema(spark, sf_dir):
         "o_orderpriority",
     ]
     assert df.filter(F.col("o_orderstatus") != "O").count() == 0
+
+
+def test_stream_table_reads_directory_shaped_tables(spark, sf_dir, tmp_path):
+    """A table stored as a parquet DIRECTORY (the normal production
+    layout, vs the testdata's single files) must stream its full
+    contents — the pathGlobFilter formulation matched zero part-files
+    inside a directory named <t>.parquet and delivered a silently
+    EMPTY stream."""
+    from kafka_s3_etl_spark.sources.tables import load_table
+    from kafka_s3_etl_spark.streaming.runner import run_available_now, stream_table
+
+    d = tmp_path / "dirshaped"
+    d.mkdir()
+    batch = load_table(spark, sf_dir, "events")
+    n = batch.count()
+    batch.repartition(3).write.parquet(str(d / "events.parquet"))
+
+    streamed = run_available_now(
+        stream_table(spark, str(d), "events").groupBy().count(),
+        output_mode="complete",
+    )
+    assert streamed.collect()[0][0] == n
