@@ -33,7 +33,10 @@ def pagerank(
 ) -> DataFrame:
     """PageRank on an undirected pair list (each pair contributes both
     directions). ``pairs`` is (doc_a, doc_b); ``nodes`` is one doc_id
-    per document (isolated nodes keep teleport-only rank).
+    per document (isolated nodes keep teleport-only rank). The ranked
+    node set is ``nodes`` UNION all pair endpoints, so a pair endpoint
+    missing from ``nodes`` still holds (and emits) its rank mass rather
+    than silently draining the distribution.
 
     Returns (doc_id, rank) with sum(rank) == 1 up to float error.
     Deterministic for a fixed graph and iteration count.
@@ -51,10 +54,17 @@ def pagerank(
         .localCheckpoint()
     )
     degrees = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    n_nodes = nodes.count()
+    # Symmetrized edges carry every endpoint in src, so one union covers
+    # both columns of `pairs`.
+    base = (
+        nodes.select(F.col("doc_id").alias("node"))
+        .unionByName(edges.select(F.col("src").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = base.count()
     if n_nodes == 0:
         raise ValueError("pagerank: nodes is empty; nothing to rank")
-    base = nodes.select(F.col("doc_id").alias("node"))
     ranks = base.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
 
     for _ in range(iters):

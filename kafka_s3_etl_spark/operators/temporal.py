@@ -227,9 +227,15 @@ def resample_ffill(
        as a 1-row broadcast. No grid join, no ffill window: the fill IS
        the explode, and output rows = keys x days exactly.
 
+    NULL values are not observations: locf carries the last NON-NULL
+    value (TimescaleDB locf / last_value IGNORE NULLS semantics), so a
+    NULL-valued event neither marks its day observed nor interrupts the
+    fill. Keys whose events are all NULL-valued produce no grid rows.
+
     Returns (key, day, value_ffill, observed). value_ffill is never
-    NULL: each key's grid starts at its own first observation.
+    NULL: each key's grid starts at its own first (non-NULL) observation.
     """
+    events = events.filter(F.col(value).isNotNull())
     day = F.to_date(F.col(ts)).alias("day")
     last_of_day = F.max(
         F.struct(

@@ -110,11 +110,13 @@ def _cdc_changes(target: DataFrame) -> DataFrame:
     category="streaming",
     cost=3,
     doc=(
-        "Streaming CDC apply: the change stream folded into a versioned "
-        "parquet table via foreachBatch + merge_upsert (read current "
-        "version, MERGE the batch, write next version) — the lakehouse "
-        "upsert loop without a table format. 4 forced single-file "
-        "micro-batches; result equals the one-shot batch MERGE."
+        "Streaming CDC apply: the change stream folded into a "
+        "bucket-partitioned parquet table via foreachBatch + "
+        "apply_cdc_batch — each micro-batch MERGEs into and rewrites "
+        "ONLY the key-range partitions its keys hash into (dynamic "
+        "partition overwrite), the lakehouse upsert loop without a "
+        "table format. 4 forced single-file micro-batches; result "
+        "equals the one-shot batch MERGE."
     ),
     oracle="""
         WITH t AS (
@@ -136,7 +138,11 @@ def _cdc_changes(target: DataFrame) -> DataFrame:
     """,
 )
 def s_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kafka_s3_etl_spark.operators.merge import merge_upsert
+    from kafka_s3_etl_spark.operators.merge import (
+        apply_cdc_batch,
+        read_partitioned_target,
+        write_partitioned_target,
+    )
     from kafka_s3_etl_spark.streaming.runner import (
         _SRC_CACHE,
         _await_or_fail,
@@ -148,6 +154,7 @@ def s_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
     schema = target.schema
+    cols = [f.name for f in schema.fields]
 
     cache_key = (sf_dir, "cdc_changes")
     if cache_key not in _SRC_CACHE:
@@ -160,21 +167,11 @@ def s_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(_SRC_CACHE[cache_key])
     )
 
-    base = scratch_dir("cdc_target")
-    v0 = os.path.join(base, "v0")
-    target.write.parquet(v0)
-    state = {"path": v0, "v": 0}
-    cols = [f.name for f in schema.fields]
+    table = os.path.join(scratch_dir("cdc_target"), "t")
+    write_partitioned_target(target, table, "o_orderkey")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        current = spark.read.schema(schema).parquet(state["path"])
-        merged = merge_upsert(
-            current, batch_df.select(cols), "o_orderkey", action_col=None
-        )
-        state["v"] += 1
-        nxt = os.path.join(base, f"v{state['v']}")
-        merged.write.parquet(nxt)
-        state["path"] = nxt
+        apply_cdc_batch(batch_df.select(cols), table, "o_orderkey")
 
     with _pinned_stream_partitions(changes):
         q = (
@@ -184,7 +181,7 @@ def s_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
     _await_or_fail(q, 120)
-    return spark.read.schema(schema).parquet(state["path"])
+    return read_partitioned_target(spark, table, cols)
 
 
 @register(
@@ -195,13 +192,14 @@ def s_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "per-user daily grid with forward fill (time_bucket_gapfill + "
         "locf shape). One corpus pass into a checkpointed daily rollup; "
         "a lead-window explode carries each observation to the next — "
-        "no grid join, output rows = keys x days exactly."
+        "no grid join, output rows = keys x days exactly. NULL values "
+        "are skipped (locf/IGNORE-NULLS semantics) in both engines."
     ),
     oracle="""
         WITH daily AS (
           SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
                  (max(struct_pack(t := ts, e := event_id, v := value))).v AS v
-          FROM events GROUP BY 1, 2
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2
         ),
         bounds AS (SELECT user_id, MIN(day) AS lo FROM daily GROUP BY 1),
         mx AS (SELECT MAX(day) AS hi FROM daily),

@@ -35,33 +35,35 @@ EVENTS_LOADED_SCHEMA = T.StructType(
 _TS_PRECISION_CACHE: dict[str, bool] = {}
 
 
+def _first_parquet_file(path: str) -> str:
+    """`path` itself if it is a file, else the first ``*.parquet`` found
+    under it (Spark directory-shaped tables, incl. partitioned layouts)."""
+    if os.path.isfile(path):
+        return path
+    for root, dirs, files in sorted(os.walk(path)):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                return os.path.join(root, f)
+    raise FileNotFoundError(f"no parquet files under {path!r}")
+
+
 def _events_ts_is_nanos(spark: SparkSession, path: str) -> bool:
     """True when events.ts is stored as parquet TIMESTAMP(NANOS).
 
     The testdata generator has shipped both TIMESTAMP(NANOS) and
     TIMESTAMP(MICROS) files across rounds, so the loader must branch on
-    the footer instead of assuming. Detection is Spark-native (works for
-    any filesystem Spark can read): with ``nanosAsLong`` off, Spark's
-    schema inference rejects TIMESTAMP(NANOS) outright, while a MICROS
-    file infers cleanly as ts: timestamp.
+    the footer instead of assuming. The sniff reads ONE footer with
+    pyarrow and touches no Spark session state (an earlier Spark-native
+    variant temporarily flipped the session-global ``nanosAsLong`` conf,
+    which could fail a concurrently executing NANOS scan on a
+    multi-threaded driver). Remote filesystems would need an fsspec
+    handle here; the engine's testdata contract is local paths.
     """
     if path not in _TS_PRECISION_CACHE:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
-        try:
-            inferred = spark.read.parquet(path).schema
-            nanos = isinstance(inferred["ts"].dataType, T.LongType)
-        except Exception as exc:  # inference raises on TIMESTAMP(NANOS)
-            if "NANOS" not in str(exc).upper():
-                raise
-            nanos = True
-        finally:
-            # The conf is session-global and read at ACTION time: a lazy
-            # NANOS DataFrame built earlier would fail its eventual scan
-            # if a later MICROS sniff left this false. MICROS reads pin
-            # their precision via an explicit schema and ignore it, so
-            # true is the always-safe resting state.
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        _TS_PRECISION_CACHE[path] = nanos
+        import pyarrow.parquet as pq
+
+        field = pq.ParquetFile(_first_parquet_file(path)).schema_arrow.field("ts")
+        _TS_PRECISION_CACHE[path] = getattr(field.type, "unit", None) == "ns"
     return _TS_PRECISION_CACHE[path]
 
 

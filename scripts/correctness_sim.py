@@ -16,12 +16,21 @@ the widened values identically, so a value-only comparison would pass
 queries the driver's type-aware hash fails.
 
 Prints one line per query and a final summary; exit 1 on any mismatch.
+
+    python scripts/correctness_sim.py [sf_dir] [--json OUT.json]
+
+--json writes a per-query artifact in the driver's CORRECTNESS_r{N}
+format ({rows_match, schema_match, hash_match, spark_rows, oracle_rows,
+err}) so the catalog entries past the driver's sweep cap carry durable
+driver-contract evidence each round. Rows-only entries (no oracle)
+additionally carry "rows_only": true with oracle_rows/schema/hash null.
 """
 
 from __future__ import annotations
 
 import datetime
 import importlib.util
+import json
 import os
 import sys
 import time
@@ -43,7 +52,11 @@ def _norm(v: object) -> str:
     if v is None:
         return "NULL"
     if isinstance(v, float):
-        return repr(round(v, 9))
+        # Exact: the driver's hash is type-aware and bit-exact, so any
+        # rounding here would pass values the driver fails. Queries are
+        # REQUIRED to make float aggregates engine-exact (integer-exact
+        # accumulation, round once — see CLAUDE.md).
+        return repr(v)
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, datetime.date):
@@ -54,7 +67,13 @@ def _norm(v: object) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.master("local[8]").getOrCreate()  # VANILLA
@@ -76,19 +95,34 @@ def main() -> int:
         )
 
     failures = []
+    records: dict[str, dict] = {}
     t_start = time.time()
     for name, fn in qs.items():
         t0 = time.time()
+        rec = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        records[name] = rec
         try:
             sdf = fn(spark, sf_dir)
             cols = sorted(sdf.columns)
             srows = sorted(
                 "|".join(_norm(r[c]) for c in cols) for r in sdf.collect()
             )
+            rec["spark_rows"] = len(srows)
             if name not in osql:
+                rec["rows_only"] = True
                 status = f"rows-only ({len(srows)} rows)"
+                rec["rows_match"] = True
                 if not srows and name not in ("q_join_anti", "q_except"):
                     failures.append((name, "rows-only returned 0 rows"))
+                    rec["rows_match"] = False
+                    rec["err"] = "rows-only returned 0 rows"
                     status = "EMPTY"
             else:
                 spark_types = {
@@ -109,21 +143,29 @@ def main() -> int:
                 orows = sorted(
                     "|".join(_norm(r[i]) for i in order) for r in cur.fetchall()
                 )
+                rec["oracle_rows"] = len(orows)
+                rec["rows_match"] = len(srows) == len(orows)
+                rec["schema_match"] = not type_errs and sorted(onames) == cols
+                rec["hash_match"] = rec["schema_match"] and srows == orows
                 if type_errs:
                     failures.append((name, "; ".join(type_errs)))
+                    rec["err"] = "; ".join(type_errs)
                     status = "TYPE MISMATCH"
                 elif sorted(onames) != cols:
                     failures.append((name, f"columns {cols} vs {sorted(onames)}"))
+                    rec["err"] = f"columns {cols} vs {sorted(onames)}"
                     status = "COLUMN MISMATCH"
                 elif srows != orows:
                     failures.append(
                         (name, f"values: spark={len(srows)} oracle={len(orows)}")
                     )
+                    rec["err"] = "value hash mismatch"
                     status = "HASH MISMATCH"
                 else:
                     status = f"hash ok ({len(srows)} rows)"
         except Exception as exc:  # noqa: BLE001 — report and continue
             failures.append((name, f"{type(exc).__name__}: {str(exc)[:100]}"))
+            rec["err"] = f"{type(exc).__name__}: {str(exc)[:200]}"
             status = "ERROR"
         print(f"  {name}: {status} [{time.time() - t0:.1f}s]")
 
@@ -133,6 +175,10 @@ def main() -> int:
     )
     for name, why in failures:
         print(f"  FAIL {name}: {why}")
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(records, fh, indent=2)
+        print(f"wrote {json_out} ({len(records)} entries)")
     return 1 if failures else 0
 
 

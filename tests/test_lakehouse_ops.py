@@ -173,6 +173,71 @@ def test_merge_upsert_batch_split_invariant(spark):
     assert sorted(one_shot.collect(), key=key) == sorted(folded.collect(), key=key)
 
 
+# ------------------------------------------------- partitioned CDC apply
+
+
+def test_apply_cdc_batch_rewrites_only_affected_partitions(spark, tmp_path):
+    """The 100-TB CDC contract: a batch MERGEs into and rewrites ONLY
+    the key-range partitions its keys hash into — untouched partitions'
+    data files survive byte-for-byte (same names, sizes, mtimes)."""
+    import glob
+    import os
+
+    from kafka_s3_etl_spark.operators.merge import (
+        apply_cdc_batch,
+        read_partitioned_target,
+        write_partitioned_target,
+    )
+
+    path = str(tmp_path / "t")
+    target = spark.createDataFrame(
+        [(k, float(k)) for k in range(1, 201)], "k bigint, v double"
+    )
+    write_partitioned_target(target, path, "k", n_buckets=8)
+
+    def snap() -> dict[str, dict[str, tuple[int, int]]]:
+        out = {}
+        for pdir in glob.glob(os.path.join(path, "_kb=*")):
+            st = {
+                os.path.basename(f): (os.stat(f).st_size, os.stat(f).st_mtime_ns)
+                for f in glob.glob(os.path.join(pdir, "*.parquet"))
+            }
+            out[os.path.basename(pdir)] = st
+        return out
+
+    before = snap()
+    assert len(before) == 8  # 200 keys cover all 8 buckets
+    batch = spark.createDataFrame([(1, -1.0), (999, 9.0)], "k bigint, v double")
+    affected = apply_cdc_batch(batch, path, "k", n_buckets=8)
+    after = snap()
+
+    aff_names = {f"_kb={b}" for b in affected}
+    assert 0 < len(aff_names) <= 2  # 2 keys -> at most 2 buckets
+    untouched = set(before) - aff_names
+    assert untouched, "test needs at least one untouched partition"
+    for pname in untouched:
+        assert after[pname] == before[pname], f"{pname} was rewritten"
+    for pname in aff_names:
+        assert after[pname] != before[pname], f"{pname} was not rewritten"
+
+    got = {r.k: r.v for r in read_partitioned_target(spark, path, ["k", "v"]).collect()}
+    exp = {k: float(k) for k in range(1, 201)} | {1: -1.0, 999: 9.0}
+    assert got == exp
+
+
+def test_apply_cdc_batch_empty_batch_is_a_noop(spark, tmp_path):
+    from kafka_s3_etl_spark.operators.merge import (
+        apply_cdc_batch,
+        write_partitioned_target,
+    )
+
+    path = str(tmp_path / "t")
+    target = spark.createDataFrame([(1, 1.0)], "k bigint, v double")
+    write_partitioned_target(target, path, "k", n_buckets=4)
+    empty = spark.createDataFrame([], "k bigint, v double")
+    assert apply_cdc_batch(empty, path, "k", n_buckets=4) == []
+
+
 # -------------------------------------------- merge property (hypothesis)
 
 from hypothesis import HealthCheck, given, settings  # noqa: E402

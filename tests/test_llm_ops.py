@@ -538,3 +538,16 @@ def test_pagerank_rejects_zero_iterations(spark):
     nodes = spark.createDataFrame([(1,), (2,)], "doc_id bigint")
     with pytest.raises(ValueError, match="iters"):
         pagerank(pairs, nodes, iters=0)
+
+
+def test_pagerank_keeps_mass_for_endpoints_missing_from_nodes(spark):
+    """A pair endpoint absent from `nodes` is ranked anyway: the node
+    set is nodes UNION endpoints, so sum(rank) stays 1 instead of the
+    missing endpoint's mass silently draining each iteration."""
+    from kafka_s3_etl_spark.operators.graph import pagerank
+
+    pairs = spark.createDataFrame([(1, 2), (2, 99)], "doc_a bigint, doc_b bigint")
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "doc_id bigint")
+    got = {r.doc_id: r.rank for r in pagerank(pairs, nodes, iters=5).collect()}
+    assert set(got) == {1, 2, 3, 99}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)

@@ -339,3 +339,32 @@ def test_resample_ffill_gaps_ties_and_global_end(spark):
         (3, "2024-03-04"): (31.0, False),
     }
     assert got == exp
+
+
+def test_resample_ffill_skips_null_values(spark):
+    """NULL values are not observations (locf / IGNORE-NULLS semantics):
+    a NULL-valued event neither marks its day observed nor interrupts
+    the fill, and an all-NULL key yields no grid rows."""
+    import datetime as dt
+
+    from kafka_s3_etl_spark.operators.temporal import resample_ffill
+
+    d = lambda day: dt.datetime(2024, 3, day, 12, 0, 0)  # noqa: E731
+    rows = [
+        (1, d(1), 1, 1.0),
+        (2, d(2), 1, None),  # later event on an already-filled day: ignored
+        (3, d(3), 1, 3.0),
+        (4, d(1), 2, None),  # all-NULL key: no grid rows at all
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double"
+    )
+    got = {
+        (r.user_id, r.day.isoformat()): (r.value_ffill, r.observed)
+        for r in resample_ffill(events).collect()
+    }
+    assert got == {
+        (1, "2024-03-01"): (1.0, True),
+        (1, "2024-03-02"): (1.0, False),
+        (1, "2024-03-03"): (3.0, True),
+    }
