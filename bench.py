@@ -1,12 +1,19 @@
 """Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "regressions": {...}}.
 
 Each query is forced with a count() action (no driver-side collect of
 the full result) after a warm-up of the session. The headline set
 covers every operator family: scan, filter, join, agg, window, set op,
 semi-structured, dedup, similarity, text, streaming.
+
+The regression tripwire compares each query to the newest BENCH_r{N}
+JSON committed in the repo: anything >1.5x slower AND >0.3s absolute
+(filters codegen/GC noise on sub-second queries) lands in
+"regressions" as {name: {"prev": s, "now": s}} with the source round,
+so a slowdown self-diagnoses in the round artifact instead of waiting
+for the judge.
 """
 
 from __future__ import annotations
@@ -99,6 +106,43 @@ def _warm_python_workers(spark) -> None:
     ).count()
 
 
+def _previous_bench() -> tuple[str, dict[str, float]] | None:
+    """Newest committed BENCH_r{N}.json next to this script, if any."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), p)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as fh:
+            data = json.load(fh)
+        # The driver's BENCH_r{N}.json wraps this script's JSON line
+        # under "parsed"; accept both layouts.
+        payload = data.get("parsed", data)
+        return f"r{best[0]}", dict(payload.get("queries", {}))
+    except (OSError, ValueError, AttributeError):
+        return None
+
+
+def _regressions(timings: dict[str, float]) -> dict:
+    prev = _previous_bench()
+    if prev is None:
+        return {}
+    label, old = prev
+    out = {
+        name: {"prev": old[name], "now": now, "vs": label}
+        for name, now in timings.items()
+        if name in old and now > 1.5 * old[name] and now - old[name] > 0.3
+    }
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -135,6 +179,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "regressions": _regressions(timings),
             }
         )
     )

@@ -1,24 +1,30 @@
 """Multimodal column plumbing (SURVEY.md 2b / north-star LLM ops).
 
 Images/audio/video are opaque ``binary`` columns plus typed metadata —
-the layout a 100 TB multimodal training corpus uses in parquet. The Spark
-side here is real and tested: schemas, binary payload handling,
-mapInPandas batch iteration, Arrow transfer, partition-preserving
-metadata extraction. The actual codec work is STUBBED: this container
-has no image/audio libraries, so
+the layout a 100 TB multimodal training corpus uses in parquet. The
+Spark side is real and tested end-to-end: schemas, binary payload
+handling, mapInPandas batch iteration, Arrow transfer,
+partition-preserving metadata extraction. Codec status:
 
-* ``decode_metadata``  — uses a deterministic fake decoder
-  (``_fake_decode``) that derives width/height/frames from payload
-  bytes, making the plumbing oracle-checkable end-to-end;
-* ``decode_pixels``    — raises NotImplementedError with the library
-  it would use (PIL/libvips), clearly marking the seam where a real
-  decoder plugs into the same mapInPandas signature.
+* **image (PPM/P6) — REAL.** ``documents_as_media`` synthesizes actual
+  P6 image files (header + raw RGB plane) and ``parse_ppm`` /
+  ``decode_pixels`` decode them with a pure-numpy codec: header
+  tokenizer (whitespace/comment tolerant per the netpbm spec) +
+  ``np.frombuffer`` reshape to (h, w, 3). Uncompressed formats need no
+  external library, so this path exercises genuine bytes-in /
+  pixels-out decoding through the exact mapInPandas plumbing a
+  PIL/libvips decoder would use.
+* compressed image / audio / video — STUB: those codecs (PIL,
+  soundfile, pyav) aren't in this container. ``decode_metadata`` falls
+  back to a deterministic fake (``_fake_decode``) for them, and
+  ``decode_pixels`` raises NotImplementedError naming the seam.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -44,17 +50,76 @@ META_SCHEMA = T.StructType(
 )
 
 
+def _ppm_bytes(doc_id: int) -> bytes:
+    """Deterministic REAL P6 PPM file for a document: width/height from
+    the doc id, pixel byte i = (doc_id + i) % 256 — a closed form both
+    the decoder test and the DuckDB oracle can recompute independently."""
+    w = 8 + doc_id % 9
+    h = 8 + doc_id % 7
+    n = w * h * 3
+    px = ((np.arange(n, dtype=np.int64) + doc_id) % 256).astype(np.uint8)
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
 def documents_as_media(documents: DataFrame) -> DataFrame:
-    """Stand-in corpus: text bytes as the opaque payload column (the
-    synthetic testdata has no real image bytes; the schema and byte
-    handling are exactly what a real corpus would use)."""
-    return documents.select(
+    """Stand-in multimodal corpus over the documents table: image rows
+    carry REAL PPM(P6) files (synthesized per doc — see ``_ppm_bytes``),
+    audio/video rows carry the text bytes as an opaque payload (no
+    audio/video codec exists in this container to make those real)."""
+    base = documents.select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
         .otherwise("video")
         .alias("media_type"),
-        F.encode("text", "UTF-8").alias("payload"),
+        "text",
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": [
+                        _ppm_bytes(int(d)) if mt == "image" else t.encode("utf-8")
+                        for d, mt, t in zip(
+                            pdf["doc_id"], pdf["media_type"], pdf["text"]
+                        )
+                    ],
+                }
+            )
+
+    return base.mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def parse_ppm(b: bytes) -> tuple[int, int, np.ndarray]:
+    """Real netpbm P6 decoder (pure numpy): tolerant header tokenizer
+    (any whitespace between tokens, ``#`` comments skipped), then the
+    raw RGB plane as a (height, width, 3) uint8 array."""
+    if b[:2] != b"P6":
+        raise NotImplementedError(
+            "only P6 PPM decodes without codec libraries; compressed "
+            "formats need PIL/libvips plugged into this same seam"
+        )
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(b[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM rasters not supported")
+    return w, h, np.frombuffer(b, np.uint8, count=w * h * 3, offset=pos).reshape(
+        h, w, 3
     )
 
 
@@ -76,12 +141,20 @@ def decode_metadata(media: DataFrame) -> DataFrame:
 
     Partition-preserving (no shuffle): each Arrow batch is decoded
     in-place, the pattern for feature extraction over a 100 TB corpus.
+    PPM(P6) payloads are decoded for REAL (header parse); other formats
+    fall back to the deterministic fake codec.
     """
+
+    def _meta(mt: str, b: bytes) -> tuple[int, int, int]:
+        if b[:2] == b"P6":
+            w, h, _ = parse_ppm(b)
+            return w, h, 1
+        return _fake_decode(mt, b)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             meta = [
-                _fake_decode(mt, bytes(pl))
+                _meta(mt, bytes(pl))
                 for mt, pl in zip(pdf["media_type"], pdf["payload"])
             ]
             yield pd.DataFrame(
@@ -98,14 +171,44 @@ def decode_metadata(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode, schema=META_SCHEMA)
 
 
+PIXELS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_px", T.IntegerType(), False),
+        T.StructField("pixel_sum", T.LongType(), False),
+    ]
+)
+
+
 def decode_pixels(media: DataFrame) -> DataFrame:
-    """Full decode (pixel/sample arrays). STUB: no codec libraries in
-    this environment."""
-    raise NotImplementedError(
-        "pixel/sample decode requires an image/audio codec library "
-        "(e.g. PIL, soundfile, pyav) not present in this environment; "
-        "plug it into decode_metadata's mapInPandas pattern"
-    )
+    """Full pixel decode — REAL for PPM(P6) payloads: ``parse_ppm``
+    yields the (h, w, 3) uint8 array per image and this operator reduces
+    it to decode-proving statistics (dimensions, raster size, exact
+    pixel sum). Compressed formats raise NotImplementedError inside the
+    task (the seam where PIL/pyav plug into this same signature)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, ns, sums = [], [], [], []
+            for pl in pdf["payload"]:
+                w, h, arr = parse_ppm(bytes(pl))
+                ws.append(w)
+                hs.append(h)
+                ns.append(arr.size)
+                sums.append(int(arr.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": ws,
+                    "height": hs,
+                    "n_px": ns,
+                    "pixel_sum": sums,
+                }
+            )
+
+    return media.mapInPandas(decode, schema=PIXELS_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(

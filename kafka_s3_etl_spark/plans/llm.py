@@ -515,20 +515,30 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_multimodal_meta",
     category="multimodal",
     doc=(
-        "Binary media columns -> typed metadata via mapInPandas with a "
-        "deterministic fake decoder; oracle recomputes the same metadata "
-        "from the UTF-8 BYTE length (octet_length(encode(..))) — the Spark "
-        "side measures payload bytes, and character count only coincides "
-        "with it on pure-ASCII text."
+        "Binary media columns -> typed metadata via mapInPandas. Image "
+        "rows carry REAL synthesized PPM(P6) files and are decoded by "
+        "the pure-numpy codec (header parse); audio/video rows use the "
+        "deterministic fake decoder over text bytes. The oracle "
+        "recomputes both: PPM dimensions/file size from the generator's "
+        "closed form, fake metadata from the UTF-8 BYTE length "
+        "(octet_length(encode(..)))."
     ),
     oracle="""
         SELECT doc_id,
                CASE WHEN doc_id % 3 = 0 THEN 'image'
                     WHEN doc_id % 3 = 1 THEN 'audio'
                     ELSE 'video' END AS media_type,
-               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-               CAST(64 + octet_length(encode(text)) % 129 AS INTEGER) AS width,
-               CAST(64 + octet_length(encode(text)) % 97 AS INTEGER) AS height,
+               CAST(CASE WHEN doc_id % 3 = 0
+                         THEN 9 + length(CAST(8 + doc_id % 9 AS VARCHAR))
+                              + length(CAST(8 + doc_id % 7 AS VARCHAR))
+                              + (8 + doc_id % 9) * (8 + doc_id % 7) * 3
+                         ELSE octet_length(encode(text)) END AS INTEGER) AS n_bytes,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 9
+                         ELSE 64 + octet_length(encode(text)) % 129
+                    END AS INTEGER) AS width,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 7
+                         ELSE 64 + octet_length(encode(text)) % 97
+                    END AS INTEGER) AS height,
                CAST(CASE WHEN doc_id % 3 = 0 THEN 1
                          ELSE 1 + octet_length(encode(text)) % 30 END AS INTEGER) AS n_frames
         FROM documents
@@ -758,3 +768,38 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_s3_etl_spark.operators.text import bm25_scores
 
     return bm25_scores(load_table(spark, sf_dir, "documents"), BM25_QUERY_TERMS)
+
+
+@register(
+    "q_multimodal_decode",
+    category="multimodal",
+    doc=(
+        "REAL image decode end-to-end: synthesized PPM(P6) files parsed "
+        "to (h, w, 3) uint8 pixel arrays by the pure-numpy codec "
+        "(operators/multimodal.py::parse_ppm) inside mapInPandas, "
+        "reduced to decode-proving statistics. The oracle recomputes "
+        "dimensions and the exact pixel sum from the generator's closed "
+        "form (pixel i of doc d = (d + i) % 256) without touching the "
+        "binary — only a correct byte-level decode can match it."
+    ),
+    oracle="""
+        WITH m AS (
+          SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+          FROM documents WHERE doc_id % 3 = 0
+        ),
+        px AS (
+          SELECT doc_id, w, h, UNNEST(range(0, w * h * 3)) AS i FROM m
+        )
+        SELECT doc_id,
+               CAST(MIN(w) AS INTEGER) AS width,
+               CAST(MIN(h) AS INTEGER) AS height,
+               CAST(COUNT(*) AS INTEGER) AS n_px,
+               CAST(SUM((doc_id + i) % 256) AS BIGINT) AS pixel_sum
+        FROM px GROUP BY doc_id
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.multimodal import decode_pixels
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return decode_pixels(media.filter(F.col("media_type") == "image"))

@@ -31,11 +31,12 @@ _PLAN_MODULES = [
     "kafka_s3_etl_spark.plans.prep",
     "kafka_s3_etl_spark.plans.etl",
     "kafka_s3_etl_spark.plans.streaming_queries",
-    # Keep lakehouse last: within the cost-0 oracle tier the sweep
-    # tie-breaks on registration order, so late registration keeps the
-    # sweep prefix earlier rounds observed stable. (tests/test_plans.py
-    # pins only tier/cost monotonicity, not specific positions.)
+    # Keep later-round modules last: within the cost-0 oracle tier the
+    # sweep tie-breaks on registration order, so late registration keeps
+    # the sweep prefix earlier rounds observed stable. (tests/
+    # test_plans.py pins only tier/cost monotonicity, not positions.)
     "kafka_s3_etl_spark.plans.lakehouse",
+    "kafka_s3_etl_spark.plans.features",
 ]
 
 

@@ -62,8 +62,21 @@ def _events_ts_is_nanos(spark: SparkSession, path: str) -> bool:
     if path not in _TS_PRECISION_CACHE:
         import pyarrow.parquet as pq
 
-        field = pq.ParquetFile(_first_parquet_file(path)).schema_arrow.field("ts")
-        _TS_PRECISION_CACHE[path] = getattr(field.type, "unit", None) == "ns"
+        # Check the PHYSICAL parquet type, not the arrow mapping: both
+        # TIMESTAMP(NANOS) (INT64 + nanos logical type) and legacy INT96
+        # (Spark's default timestamp output) surface as arrow
+        # timestamp[ns], but Spark's reader handles INT96 natively and
+        # only rejects the INT64-nanos form.
+        schema = pq.ParquetFile(_first_parquet_file(path)).schema
+        col = next(
+            schema.column(i)
+            for i in range(len(schema))
+            if schema.column(i).name == "ts"
+        )
+        _TS_PRECISION_CACHE[path] = (
+            col.physical_type == "INT64"
+            and "nano" in str(col.logical_type).lower()
+        )
     return _TS_PRECISION_CACHE[path]
 
 

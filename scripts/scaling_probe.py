@@ -16,8 +16,12 @@ scales with data, not with degenerate blowup):
     gains 9 exact twins, so the dedup family faces a 10x corpus with
     real cross-copy duplicate structure;
   * embeddings: 10 copies, vec_id += 2000*i;
-  * relational tables copied as-is (this probe targets the scaled
-    families; the relational core is oracle- and plan-tested).
+  * orders (since r5, for the MERGE/CDC probes): 10 copies,
+    o_orderkey += 10M*i (clear of the +1M synthetic-insert range),
+    o_custkey += 15000*i (key blocks stay disjoint, so per-key order
+    density is constant);
+  * remaining relational tables copied as-is (this probe targets the
+    scaled families; the relational core is oracle- and plan-tested).
 
 Usage: python scripts/scaling_probe.py [factor]   (default 10)
 """
@@ -49,8 +53,10 @@ PROBE_QUERIES = [
     "q_sim_topk",
     "q_sim_ann_lsh",
     "q_graph_pagerank",
+    "q_merge_upsert",
     "s_window_tumbling",
     "s_stream_join",
+    "s_cdc_upsert",
 ]
 
 
@@ -68,6 +74,7 @@ def build_scaled_dir(spark, factor: int) -> str:
         "events": [("event_id", 100_000), ("user_id", 1_500)],
         "documents": [("doc_id", 5_000)],
         "embeddings": [("vec_id", 2_000)],
+        "orders": [("o_orderkey", 10_000_000), ("o_custkey", 15_000)],
     }
     for name in TESTDATA_TABLES:
         df = load_table(spark, BASE, name)

@@ -176,14 +176,25 @@ def test_embedding_near_dups_threshold(vecs):
 # ------------------------------------------------------------- multimodal
 
 
-def test_decode_metadata_matches_fake_codec(docs):
+def test_decode_metadata_real_ppm_and_fake_fallback(docs):
+    """Image rows carry real PPM files decoded by the pure-numpy codec
+    (dimensions from the actual header, not the generator's arithmetic);
+    audio/video rows still go through the deterministic fake."""
+    from kafka_s3_etl_spark.operators.multimodal import parse_ppm
+
     media = documents_as_media(docs)
     meta = {r.doc_id: r for r in decode_metadata(media).collect()}
     for r in media.collect():
-        w, h, f = _fake_decode(r.media_type, bytes(r.payload))
         m = meta[r.doc_id]
-        assert (m.width, m.height, m.n_frames) == (w, h, f)
-        assert m.n_bytes == len(bytes(r.payload))
+        pl = bytes(r.payload)
+        if r.media_type == "image":
+            w, h, arr = parse_ppm(pl)
+            assert (m.width, m.height, m.n_frames) == (w, h, 1)
+            assert arr.shape == (h, w, 3)
+        else:
+            w, h, f = _fake_decode(r.media_type, pl)
+            assert (m.width, m.height, m.n_frames) == (w, h, f)
+        assert m.n_bytes == len(pl)
         assert m.media_type == ("image", "audio", "video")[r.doc_id % 3]
 
 
@@ -195,9 +206,50 @@ def test_frame_sample_only_video(docs):
     assert {r.doc_id for r in frames} <= video_ids
 
 
-def test_decode_pixels_is_explicit_stub(docs):
-    with pytest.raises(NotImplementedError):
-        decode_pixels(documents_as_media(docs))
+def test_parse_ppm_decodes_bytes_exactly():
+    """Pure-numpy P6 codec vs a hand-built file: tolerant header
+    (comments, arbitrary whitespace), exact pixel round-trip."""
+    import numpy as np
+
+    from kafka_s3_etl_spark.operators.multimodal import _ppm_bytes, parse_ppm
+
+    px = bytes(range(2 * 3 * 3))  # w=2 h=3
+    w, h, arr = parse_ppm(b"P6\n# a comment\n 2\t3\n255\n" + px)
+    assert (w, h) == (2, 3)
+    assert arr.tobytes() == px
+
+    # generator round-trip: pixel i of doc d == (d + i) % 256
+    d = 12
+    w, h, arr = parse_ppm(_ppm_bytes(d))
+    n = w * h * 3
+    assert (w, h) == (8 + d % 9, 8 + d % 7)
+    assert np.array_equal(
+        arr.reshape(-1), (np.arange(n, dtype=np.int64) + d) % 256
+    )
+
+
+def test_decode_pixels_real_for_ppm_stub_for_the_rest(docs):
+    """decode_pixels REALLY decodes PPM image rows (exact pixel sums);
+    non-PPM payloads still raise the documented NotImplementedError
+    seam (surfaced by Spark as a task failure)."""
+    import numpy as np
+
+    media = documents_as_media(docs)
+    got = {
+        r.doc_id: r
+        for r in decode_pixels(
+            media.filter(F.col("media_type") == "image")
+        ).collect()
+    }
+    assert got, "corpus has image rows"
+    for doc_id, r in got.items():
+        n = r.width * r.height * 3
+        assert r.n_px == n
+        assert r.pixel_sum == int(
+            ((np.arange(n, dtype=np.int64) + doc_id) % 256).sum()
+        )
+    with pytest.raises(Exception, match="NotImplementedError|PPM"):
+        decode_pixels(media.filter(F.col("media_type") == "audio")).collect()
 
 
 # ------------------------------------------------------- approx accuracy

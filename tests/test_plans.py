@@ -165,6 +165,40 @@ def test_expression_path_is_codegened(spark, sf_dir):
     assert "codegen id" in plan
 
 
+def test_knn_join_is_shuffle_free_on_the_corpus(spark, sf_dir):
+    # candidates travel as a 1-row broadcast array and each vector's
+    # top-3 is one projection + explode: NO hash shuffle, NO window —
+    # the corpus side stays scan-parallel at any size
+    plan = plan_of(spark, sf_dir, "q_knn_join")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_scd2_single_partitioning(spark, sf_dir):
+    # both window functions (row_number, lead) share the user_id hash
+    # partitioning: exactly one shuffle of the event stream (formatted
+    # mode prints each node twice: tree + detail)
+    plan = plan_of(spark, sf_dir, "q_scd2")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_time_weighted_avg_partial_agg(spark, sf_dir):
+    # lead-window on (user_id) then groupBy(user_id): the agg reuses the
+    # window's partitioning (no second exchange) and keeps a partial phase
+    plan = plan_of(spark, sf_dir, "q_time_weighted_avg")
+    assert plan.count("Exchange") <= 2  # one physical node, printed twice
+    assert "partial_" in plan
+
+
+def test_lang_entropy_aggregates_map_side(spark, sf_dir):
+    # the corpus explode must combine to (lang, len) counts before any
+    # shuffle; the float log work runs on the tiny rollup
+    plan = plan_of(spark, sf_dir, "q_lang_entropy")
+    assert "partial_count" in plan
+
+
 def test_view_backed_query_stays_bound_to_its_sf(spark):
     """q_grouping_sets registers a temp view; building the query for a
     second sf_dir must NOT rebind the first DataFrame (spark.sql

@@ -121,9 +121,32 @@ def test_loader_handles_both_ts_precisions(spark, tmp_path):
         "nanos", pa.array([m * 1000 for m in micros], pa.timestamp("ns"))
     )
     micros_dir = write("micros", pa.array(micros, pa.timestamp("us")))
+    # Legacy INT96 — what a default-conf Spark session WRITES (e.g. the
+    # scaling probe's scaled copies). pyarrow maps INT96 to arrow
+    # timestamp[ns] just like TIMESTAMP(NANOS), but Spark reads INT96
+    # natively: the sniff must branch on the physical type (caught live
+    # by the r5 scaling probe).
+    int96_dir = tmp_path / "int96"
+    int96_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                **cols,
+                "ts": pa.array(micros, pa.timestamp("us")).cast(
+                    pa.timestamp("ns")
+                ),
+            }
+        ),
+        str(int96_dir / "events.parquet"),
+        use_deprecated_int96_timestamps=True,
+    )
 
     got_n = load_table(spark, nanos_dir, "events").select("event_id", "ts").collect()
     got_u = load_table(spark, micros_dir, "events").select("event_id", "ts").collect()
     assert sorted(map(tuple, got_n)) == sorted(map(tuple, got_u))
     by_id = {r.event_id: r.ts for r in got_n}
     assert by_id[0].year == 2024 and by_id[2].microsecond == 999_999
+    got_96 = (
+        load_table(spark, str(int96_dir), "events").select("event_id", "ts").collect()
+    )
+    assert sorted(map(tuple, got_96)) == sorted(map(tuple, got_u))
