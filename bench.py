@@ -81,6 +81,16 @@ HEADLINE = [
     "q_minmax_by",
     "q_resample_ffill",
     "q_graph_pagerank",
+    "q_scd2",
+    "q_time_weighted_avg",
+    "q_knn_join",
+    "q_feature_bin",
+    "q_lang_entropy",
+    "q_event_transitions",
+    "q_cohort_retention",
+    "q_pii_scrub",
+    "q_window_percent_rank",
+    "q_multimodal_decode",
     "s_kafka_to_s3",
     "s_window_tumbling",
     "s_stream_join",

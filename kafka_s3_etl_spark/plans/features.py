@@ -156,7 +156,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kafka_s3_etl_spark.operators.similarity import _norm, with_norm
+    from kafka_s3_etl_spark.operators.similarity import with_norm
 
     base = with_norm(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
@@ -277,4 +277,157 @@ def q_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.log2(F.col("n").cast("double")) - F.col("clog") / F.col("n"), 4
         ).alias("len_entropy"),
+    )
+
+
+@register(
+    "q_event_transitions",
+    category="temporal",
+    doc=(
+        "Markov transition counts over each user's event stream: lead "
+        "window on the (ts, event_id)-total order, then an exact-count "
+        "rollup of (from_type -> to_type) — the session-flow signal. "
+        "One shuffle for the window; the pair rollup combines map-side."
+    ),
+    oracle="""
+        WITH seq AS (
+          SELECT event_type AS from_type,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS to_type
+          FROM events
+        )
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+@register(
+    "q_cohort_retention",
+    category="temporal",
+    doc=(
+        "Cohort retention matrix: users grouped by first-activity month "
+        "(cohort), counted distinct per months-since-cohort offset — "
+        "the engagement-analytics staple. Distinct (user, month) "
+        "activity first (one shuffle), cohort via a whole-partition "
+        "window min (reuses the user partitioning), exact-count rollup."
+    ),
+    oracle="""
+        WITH activity AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('month', ts) AS DATE) AS am
+          FROM events
+        ),
+        with_cohort AS (
+          SELECT user_id, am,
+                 MIN(am) OVER (PARTITION BY user_id) AS cohort
+          FROM activity
+        )
+        SELECT cohort,
+               CAST(date_diff('month', cohort, am) AS INTEGER) AS month_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM with_cohort GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    activity = events.select(
+        "user_id", F.to_date(F.date_trunc("month", "ts")).alias("am")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    with_cohort = activity.withColumn("cohort", F.min("am").over(w))
+    # months_between on month-start dates is an exact whole number
+    return (
+        with_cohort.groupBy(
+            "cohort",
+            F.months_between("am", "cohort").cast("int").alias("month_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+@register(
+    "q_pii_scrub",
+    category="text",
+    doc=(
+        "PII scrubbing pass (the compliance step of a training-data "
+        "pipeline): mask email addresses, count the redactions, and "
+        "fingerprint the scrubbed text. The corpus has no organic "
+        "emails, so a deterministic contact line is appended first — "
+        "the scrub provably fires on every document (n_emails >= 1). "
+        "Regex kept to the Java/RE2 common subset."
+    ),
+    oracle="""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com' AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+'))
+                    AS BIGINT) AS n_emails,
+               CAST(length(regexp_replace(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+',
+                                          '<EMAIL>', 'g')) AS BIGINT)
+                   AS scrubbed_len,
+               md5(regexp_replace(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+',
+                                  '<EMAIL>', 'g')) AS scrubbed_md5
+        FROM aug
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pat = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+    )
+    scrubbed = F.regexp_replace(t, pat, "<EMAIL>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(pat)).cast("bigint").alias("n_emails"),
+        F.length(scrubbed).cast("bigint").alias("scrubbed_len"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+@register(
+    "q_window_percent_rank",
+    category="window",
+    doc=(
+        "percent_rank + cume_dist per status over a (price, key)-total "
+        "order — both are exact integer ratios evaluated identically on "
+        "both engines (single int/int division, no rounding needed)."
+    ),
+    oracle="""
+        SELECT o_orderkey,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
     )

@@ -116,6 +116,61 @@ def test_checkpoint_makes_parquet_sink_idempotent(spark):
     assert n1 == 100 and n2 == 100
 
 
+def test_checkpoint_recovery_after_midstream_crash_is_exactly_once(
+    spark, sf_dir, tmp_path
+):
+    """Kill a micro-batched stream partway (injected failure at batch 2,
+    before it writes) and restart from the SAME checkpoint: committed
+    batches are not reprocessed, pending ones run, and every source row
+    lands in the sink exactly once — the recovery discipline a 100 TB
+    CDC/ingest stream lives by."""
+    import pytest as _pytest
+
+    from kafka_s3_etl_spark.sources.tables import load_table
+    from kafka_s3_etl_spark.streaming.runner import (
+        _await_or_fail,
+        _pinned_stream_partitions,
+    )
+
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    orders.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+
+    crashed = {"done": False}
+
+    def apply(batch_df, batch_id: int) -> None:
+        if batch_id == 2 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash before any batch-2 write")
+        batch_df.write.mode("append").parquet(out)
+
+    def start():
+        df = (
+            spark.readStream.schema("o_orderkey bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        with _pinned_stream_partitions(df):
+            return (
+                df.writeStream.foreachBatch(apply)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+    q = start()
+    with _pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    assert crashed["done"]
+    n_after_crash = spark.read.parquet(out).count()
+    assert 0 < n_after_crash < orders.count()  # batches 0-1 committed
+
+    _await_or_fail(start(), 120)  # resume: batch 2 retried, 3 runs
+    got = spark.read.parquet(out)
+    assert got.count() == orders.count()  # nothing lost
+    assert got.distinct().count() == orders.count()  # nothing duplicated
+
+
 def test_kafka_to_s3_roundtrip_schema(spark, sf_dir):
     from kafka_s3_etl_spark.plans.registry import all_queries
 
