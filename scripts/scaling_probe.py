@@ -106,6 +106,9 @@ def main() -> int:
     spark = (
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", "32")
+        # default local-mode heap is 1g: the 30x pagerank/dedup graphs
+        # (localCheckpoint blocks + 16 task threads) OOM it
+        .config("spark.driver.memory", "16g")
         .getOrCreate()
     )
     cat = all_queries()

@@ -1,0 +1,40 @@
+"""The bench regression tripwire must read the driver's BENCH_r{N}
+artifacts (which wrap this script's JSON line under "parsed") and flag
+only real slowdowns — >1.5x AND >0.3s, filtering sub-second codegen/GC
+noise. Pure-Python: no Spark session."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+def test_previous_bench_reads_driver_wrapped_artifact():
+    prev = bench._previous_bench()
+    assert prev is not None, "repo carries BENCH_r{N}.json artifacts"
+    label, queries = prev
+    assert label.startswith("r") and len(queries) > 10
+    assert all(isinstance(v, float) for v in queries.values())
+
+
+def test_regressions_flags_only_real_slowdowns():
+    _, prev = bench._previous_bench()
+    sample = dict(list(prev.items())[:8])
+
+    assert bench._regressions(dict(sample)) == {}  # identical -> clean
+
+    doubled = {k: v * 2 for k, v in sample.items()}
+    flagged = bench._regressions(doubled)
+    expect = {k for k, v in sample.items() if v > 0.3}  # 2x & >0.3s abs
+    assert set(flagged) == expect
+    for k, rec in flagged.items():
+        assert rec["prev"] == sample[k] and rec["now"] == doubled[k]
+
+    # 2x on a tiny query (<=0.3s absolute delta) is noise, not a regression
+    tiny = {k: v for k, v in sample.items() if v <= 0.3}
+    if tiny:
+        assert bench._regressions({k: v * 2 for k, v in tiny.items()}) == {}
