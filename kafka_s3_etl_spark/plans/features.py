@@ -123,9 +123,11 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="similarity",
     doc=(
         "kNN join: every corpus embedding scored by cosine against a "
-        "broadcast candidate set (vec_id % 50 == 0), top-3 emitted as "
-        "RANKS (floats stay out of the hash; ties broken on candidate "
-        "id). ZERO shuffle on the corpus side: the candidate set "
+        "broadcast candidate set (vec_id % 50 == 0, capped below 2000 — "
+        "a codebook is a MODEL constant, sized independently of the "
+        "corpus), top-3 emitted as RANKS (floats stay out of the hash; "
+        "ties broken on candidate id). ZERO shuffle on the corpus side: "
+        "the candidate set "
         "travels as a 1-row broadcast array, each vector's top-3 is "
         "computed inside one projection (array_sort on (negcos, id) "
         "structs + slice) and exploded — scan-parallel at any corpus "
@@ -139,7 +141,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
         ),
         cand AS (SELECT vec_id AS cand_id, e AS ce FROM base
-                 WHERE vec_id % 50 = 0),
+                 WHERE vec_id % 50 = 0 AND vec_id < 2000),
         scored AS (
           SELECT b.vec_id, cand.cand_id,
                  list_cosine_similarity(b.e, cand.ce) AS cos
@@ -164,7 +166,7 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("ne"),
     )
     cands = (
-        base.filter(F.col("vec_id") % 50 == 0)
+        base.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
         .select(
             F.struct(
                 F.col("vec_id").alias("cand_id"),

@@ -228,6 +228,38 @@ def test_parse_ppm_decodes_bytes_exactly():
     )
 
 
+def test_parse_ppm_roundtrip_property():
+    """Any (w, h, pixels) written with any legal header whitespace- and
+    comment-interleaving decodes back exactly."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_s3_etl_spark.operators.multimodal import parse_ppm
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        seed=st.integers(0, 2**31 - 1),
+        comment=st.booleans(),
+        sep=st.sampled_from([b"\n", b" ", b"\t", b"\r\n"]),
+    )
+    def check(w, h, seed, comment, sep):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8)
+        hdr = b"P6" + sep
+        if comment:
+            hdr += b"# synthetic \xf0 test\n"
+        hdr += str(w).encode() + sep + str(h).encode() + sep + b"255\n"
+        got_w, got_h, arr = parse_ppm(hdr + px.tobytes())
+        assert (got_w, got_h) == (w, h)
+        assert arr.shape == (h, w, 3)
+        assert arr.reshape(-1).tolist() == px.tolist()
+
+    check()
+
+
 def test_decode_pixels_real_for_ppm_stub_for_the_rest(docs):
     """decode_pixels REALLY decodes PPM image rows (exact pixel sums);
     non-PPM payloads still raise the documented NotImplementedError
