@@ -91,6 +91,7 @@ HEADLINE = [
     "q_pii_scrub",
     "q_window_percent_rank",
     "q_multimodal_decode",
+    "q_multimodal_audio",
     "s_kafka_to_s3",
     "s_window_tumbling",
     "s_stream_join",

@@ -14,10 +14,15 @@ partition-preserving metadata extraction. Codec status:
   external library, so this path exercises genuine bytes-in /
   pixels-out decoding through the exact mapInPandas plumbing a
   PIL/libvips decoder would use.
-* compressed image / audio / video — STUB: those codecs (PIL,
-  soundfile, pyav) aren't in this container. ``decode_metadata`` falls
-  back to a deterministic fake (``_fake_decode``) for them, and
-  ``decode_pixels`` raises NotImplementedError naming the seam.
+* **audio (WAV/PCM16) — REAL.** audio rows carry actual RIFF/WAVE
+  files (fmt + data chunks, int16-LE samples); ``parse_wav`` walks the
+  chunk list and ``decode_samples`` reduces the sample array to
+  decode-proving statistics. Audio metadata maps as width=sample_rate,
+  height=n_channels, n_frames=n_samples.
+* compressed image/audio + video — STUB: those codecs (PIL, soundfile,
+  pyav) aren't in this container. ``decode_metadata`` falls back to a
+  deterministic fake (``_fake_decode``) for them, and the full decoders
+  raise NotImplementedError naming the seam.
 """
 
 from __future__ import annotations
@@ -61,11 +66,67 @@ def _ppm_bytes(doc_id: int) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
 
 
+WAV_RATE = 8000
+
+
+def _wav_bytes(doc_id: int) -> bytes:
+    """Deterministic REAL WAV (RIFF/PCM16 mono) file for a document:
+    n_samples from the doc id, sample i = ((doc_id + i) % 65536) - 32768
+    — a closed form the decoder test and the DuckDB oracle recompute
+    independently."""
+    import struct
+
+    n = 200 + doc_id % 300
+    samples = (
+        ((np.arange(n, dtype=np.int64) + doc_id) % 65536) - 32768
+    ).astype("<i2")
+    fmt = struct.pack("<HHIIHH", 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + 2 * n)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", 2 * n)
+        + samples.tobytes()
+    )
+
+
+def parse_wav(b: bytes) -> tuple[int, int, np.ndarray]:
+    """Real RIFF/WAVE decoder (pure numpy): walks the chunk list, reads
+    the fmt chunk, returns (sample_rate, n_channels, int16 samples).
+    Non-PCM / non-16-bit encodings raise — that seam needs soundfile."""
+    import struct
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid, size = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    "only uncompressed PCM16 decodes without codec "
+                    "libraries; compressed audio needs soundfile/ffmpeg"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    if rate is None or data is None:
+        raise NotImplementedError("WAV missing fmt or data chunk")
+    return rate, channels, np.frombuffer(data, dtype="<i2")
+
+
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Stand-in multimodal corpus over the documents table: image rows
-    carry REAL PPM(P6) files (synthesized per doc — see ``_ppm_bytes``),
-    audio/video rows carry the text bytes as an opaque payload (no
-    audio/video codec exists in this container to make those real)."""
+    carry REAL PPM(P6) files (``_ppm_bytes``), audio rows carry REAL
+    WAV/PCM16 files (``_wav_bytes``); video rows carry the text bytes as
+    an opaque payload (no video codec exists in this container)."""
     base = documents.select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, "image")
@@ -75,6 +136,13 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
         "text",
     )
 
+    def payload(doc_id: int, media_type: str, text: str) -> bytes:
+        if media_type == "image":
+            return _ppm_bytes(doc_id)
+        if media_type == "audio":
+            return _wav_bytes(doc_id)
+        return text.encode("utf-8")
+
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
@@ -82,7 +150,7 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "payload": [
-                        _ppm_bytes(int(d)) if mt == "image" else t.encode("utf-8")
+                        payload(int(d), mt, t)
                         for d, mt, t in zip(
                             pdf["doc_id"], pdf["media_type"], pdf["text"]
                         )
@@ -141,14 +209,19 @@ def decode_metadata(media: DataFrame) -> DataFrame:
 
     Partition-preserving (no shuffle): each Arrow batch is decoded
     in-place, the pattern for feature extraction over a 100 TB corpus.
-    PPM(P6) payloads are decoded for REAL (header parse); other formats
-    fall back to the deterministic fake codec.
+    PPM(P6) and WAV payloads are decoded for REAL (header/chunk parse;
+    audio maps as width=sample_rate, height=n_channels,
+    n_frames=n_samples); other formats fall back to the deterministic
+    fake codec.
     """
 
     def _meta(mt: str, b: bytes) -> tuple[int, int, int]:
         if b[:2] == b"P6":
             w, h, _ = parse_ppm(b)
             return w, h, 1
+        if b[:4] == b"RIFF":
+            rate, channels, samples = parse_wav(b)
+            return rate, channels, len(samples)
         return _fake_decode(mt, b)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -209,6 +282,47 @@ def decode_pixels(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode, schema=PIXELS_SCHEMA)
+
+
+SAMPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("sample_sum", T.LongType(), False),
+        T.StructField("peak", T.IntegerType(), False),
+    ]
+)
+
+
+def decode_samples(media: DataFrame) -> DataFrame:
+    """Full audio decode — REAL for WAV/PCM16 payloads: ``parse_wav``
+    yields the int16 sample array per document and this operator reduces
+    it to decode-proving statistics (rate, count, exact sum, peak
+    amplitude). Compressed formats raise inside the task (the
+    soundfile/ffmpeg seam, same mapInPandas signature)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, ns, sums, peaks = [], [], [], []
+            for pl in pdf["payload"]:
+                rate, _, samples = parse_wav(bytes(pl))
+                rates.append(rate)
+                ns.append(len(samples))
+                s64 = samples.astype(np.int64)
+                sums.append(int(s64.sum()))
+                peaks.append(int(np.abs(s64).max()) if len(s64) else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": rates,
+                    "n_samples": ns,
+                    "sample_sum": sums,
+                    "peak": peaks,
+                }
+            )
+
+    return media.mapInPandas(decode, schema=SAMPLES_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(

@@ -516,12 +516,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="multimodal",
     doc=(
         "Binary media columns -> typed metadata via mapInPandas. Image "
-        "rows carry REAL synthesized PPM(P6) files and are decoded by "
-        "the pure-numpy codec (header parse); audio/video rows use the "
+        "rows carry REAL synthesized PPM(P6) files, audio rows REAL "
+        "WAV/PCM16 files — both decoded by the pure-numpy codecs "
+        "(header/chunk parse; audio maps width=sample_rate, "
+        "height=n_channels, n_frames=n_samples); video rows use the "
         "deterministic fake decoder over text bytes. The oracle "
-        "recomputes both: PPM dimensions/file size from the generator's "
-        "closed form, fake metadata from the UTF-8 BYTE length "
-        "(octet_length(encode(..)))."
+        "recomputes all three: PPM/WAV layout from the generators' "
+        "closed forms, fake metadata from the UTF-8 BYTE length."
     ),
     oracle="""
         SELECT doc_id,
@@ -532,14 +533,19 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                          THEN 9 + length(CAST(8 + doc_id % 9 AS VARCHAR))
                               + length(CAST(8 + doc_id % 7 AS VARCHAR))
                               + (8 + doc_id % 9) * (8 + doc_id % 7) * 3
+                         WHEN doc_id % 3 = 1
+                         THEN 44 + 2 * (200 + doc_id % 300)
                          ELSE octet_length(encode(text)) END AS INTEGER) AS n_bytes,
                CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 9
+                         WHEN doc_id % 3 = 1 THEN 8000
                          ELSE 64 + octet_length(encode(text)) % 129
                     END AS INTEGER) AS width,
                CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 7
+                         WHEN doc_id % 3 = 1 THEN 1
                          ELSE 64 + octet_length(encode(text)) % 97
                     END AS INTEGER) AS height,
                CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                         WHEN doc_id % 3 = 1 THEN 200 + doc_id % 300
                          ELSE 1 + octet_length(encode(text)) % 30 END AS INTEGER) AS n_frames
         FROM documents
     """,
@@ -803,3 +809,40 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return decode_pixels(media.filter(F.col("media_type") == "image"))
+
+
+@register(
+    "q_multimodal_audio",
+    category="multimodal",
+    doc=(
+        "REAL audio decode end-to-end: synthesized WAV/PCM16 files "
+        "parsed to int16 sample arrays by the pure-numpy RIFF decoder "
+        "(operators/multimodal.py::parse_wav) inside mapInPandas, "
+        "reduced to decode-proving statistics. The oracle recomputes "
+        "rate/count and the exact sample sum and peak from the "
+        "generator's closed form (sample i of doc d = "
+        "((d + i) % 65536) - 32768) without touching the binary."
+    ),
+    oracle="""
+        WITH m AS (
+          SELECT doc_id, 200 + doc_id % 300 AS n
+          FROM documents WHERE doc_id % 3 = 1
+        ),
+        s AS (
+          SELECT doc_id, n,
+                 ((doc_id + UNNEST(range(0, n))) % 65536) - 32768 AS v
+          FROM m
+        )
+        SELECT doc_id,
+               CAST(8000 AS INTEGER) AS sample_rate,
+               CAST(MIN(n) AS INTEGER) AS n_samples,
+               CAST(SUM(v) AS BIGINT) AS sample_sum,
+               CAST(MAX(abs(v)) AS INTEGER) AS peak
+        FROM s GROUP BY doc_id
+    """,
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.multimodal import decode_samples
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return decode_samples(media.filter(F.col("media_type") == "audio"))

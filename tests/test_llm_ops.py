@@ -176,11 +176,12 @@ def test_embedding_near_dups_threshold(vecs):
 # ------------------------------------------------------------- multimodal
 
 
-def test_decode_metadata_real_ppm_and_fake_fallback(docs):
-    """Image rows carry real PPM files decoded by the pure-numpy codec
-    (dimensions from the actual header, not the generator's arithmetic);
-    audio/video rows still go through the deterministic fake."""
-    from kafka_s3_etl_spark.operators.multimodal import parse_ppm
+def test_decode_metadata_real_codecs_and_fake_fallback(docs):
+    """Image rows carry real PPM files and audio rows real WAV files,
+    both decoded by the pure-numpy codecs (metadata from the actual
+    bytes, not the generator's arithmetic); video rows still go through
+    the deterministic fake."""
+    from kafka_s3_etl_spark.operators.multimodal import parse_ppm, parse_wav
 
     media = documents_as_media(docs)
     meta = {r.doc_id: r for r in decode_metadata(media).collect()}
@@ -191,11 +192,54 @@ def test_decode_metadata_real_ppm_and_fake_fallback(docs):
             w, h, arr = parse_ppm(pl)
             assert (m.width, m.height, m.n_frames) == (w, h, 1)
             assert arr.shape == (h, w, 3)
+        elif r.media_type == "audio":
+            rate, channels, samples = parse_wav(pl)
+            assert (m.width, m.height, m.n_frames) == (rate, channels, len(samples))
         else:
             w, h, f = _fake_decode(r.media_type, pl)
             assert (m.width, m.height, m.n_frames) == (w, h, f)
         assert m.n_bytes == len(pl)
         assert m.media_type == ("image", "audio", "video")[r.doc_id % 3]
+
+
+def test_parse_wav_walks_chunks_and_roundtrips():
+    """Real RIFF decoding: extra chunks and odd-size 2-byte padding are
+    walked correctly, and the generator's samples round-trip exactly."""
+    import struct
+
+    import numpy as np
+
+    from kafka_s3_etl_spark.operators.multimodal import (
+        WAV_RATE,
+        _wav_bytes,
+        parse_wav,
+    )
+
+    d = 7
+    rate, channels, samples = parse_wav(_wav_bytes(d))
+    n = 200 + d % 300
+    assert (rate, channels, len(samples)) == (WAV_RATE, 1, n)
+    assert np.array_equal(
+        samples.astype(np.int64),
+        ((np.arange(n, dtype=np.int64) + d) % 65536) - 32768,
+    )
+
+    # hand-built file with a LIST chunk of odd size before fmt/data
+    sdata = np.array([-5, 0, 7], dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    body = (
+        b"WAVE"
+        + b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # odd size -> pad byte
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(sdata)) + sdata
+    )
+    rate, channels, samples = parse_wav(
+        b"RIFF" + struct.pack("<I", len(body)) + body
+    )
+    assert (rate, channels, samples.tolist()) == (44100, 2, [-5, 0, 7])
+
+    with pytest.raises(NotImplementedError, match="RIFF"):
+        parse_wav(b"nope")
 
 
 def test_frame_sample_only_video(docs):
