@@ -37,6 +37,7 @@ _PLAN_MODULES = [
     # test_plans.py pins only tier/cost monotonicity, not positions.)
     "kafka_s3_etl_spark.plans.lakehouse",
     "kafka_s3_etl_spark.plans.features",
+    "kafka_s3_etl_spark.plans.analytics",
 ]
 
 

@@ -25,16 +25,21 @@ def test_regressions_flags_only_real_slowdowns():
     _, prev = bench._previous_bench()
     sample = dict(list(prev.items())[:8])
 
-    assert bench._regressions(dict(sample)) == {}  # identical -> clean
+    assert bench._regressions(dict(sample)) == ({}, {})  # identical -> clean
 
     doubled = {k: v * 2 for k, v in sample.items()}
-    flagged = bench._regressions(doubled)
+    flagged, explained = bench._regressions(doubled)
+    both = {**flagged, **explained}
     expect = {k for k, v in sample.items() if v > 0.3}  # 2x & >0.3s abs
-    assert set(flagged) == expect
-    for k, rec in flagged.items():
+    assert set(both) == expect
+    for k, rec in both.items():
         assert rec["prev"] == sample[k] and rec["now"] == doubled[k]
+    # known-slower entries route to the explained channel with a reason
+    for k in expect & set(bench.KNOWN_SLOWER):
+        assert k in explained and explained[k]["why"]
+    assert not set(flagged) & set(bench.KNOWN_SLOWER)
 
     # 2x on a tiny query (<=0.3s absolute delta) is noise, not a regression
     tiny = {k: v for k, v in sample.items() if v <= 0.3}
     if tiny:
-        assert bench._regressions({k: v * 2 for k, v in tiny.items()}) == {}
+        assert bench._regressions({k: v * 2 for k, v in tiny.items()}) == ({}, {})

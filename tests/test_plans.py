@@ -342,3 +342,42 @@ def test_bm25_stats_broadcast_and_jvm_only(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
     assert "partial_count" in plan  # tf aggregation keeps map-side combine
+
+
+def test_exists_correlated_decorrelates_to_joins(spark, sf_dir):
+    """EXISTS / NOT EXISTS must decorrelate into semi + anti hash joins
+    (one pass over orders each) — never a per-row subquery or a
+    nested-loop product."""
+    plan = plan_of(spark, sf_dir, "q_exists_correlated")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_global_shuffle_window_is_shard_partitioned(spark, sf_dir):
+    """The shuffle-position window must partition on the shard key: a
+    global ORDER BY formulation would funnel the corpus through one
+    partition (Exchange SinglePartition), the classic 100 TB killer."""
+    plan = plan_of(spark, sf_dir, "q_global_shuffle")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_stats_moments_one_shuffle_partial_agg(spark, sf_dir):
+    """Exact-moments stats = one hash exchange on the group key with
+    map-side partial sums; every float combination happens on the
+    25-row post-aggregate."""
+    plan = plan_of(spark, sf_dir, "q_stats_moments")
+    assert "partial_" in plan
+    assert plan.count("hashpartitioning(") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_islands_single_shuffle(spark, sf_dir):
+    """The up-front repartition(user_id) must be the ONLY exchange:
+    hashpartitioning(user_id) already clusters the (user_id, hr)
+    distinct, the per-user window, and the (user_id, grp) aggregate."""
+    plan = plan_of(spark, sf_dir, "q_islands")
+    assert plan.count("hashpartitioning(") == 1
+    assert "Window" in plan
