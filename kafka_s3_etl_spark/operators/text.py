@@ -354,3 +354,52 @@ def bm25_scores(documents: DataFrame, query_terms: list[str]) -> DataFrame:
             F.round(F.sum("term_score"), 4).alias("bm25"),
         )
     )
+
+
+def lm_quality_score(documents: DataFrame) -> DataFrame:
+    """CCNet-style unigram-LM quality score: per document the average
+    token log-probability under the corpus's own unigram distribution
+    (low scores = rare-token-heavy / off-distribution documents — the
+    classic perplexity filter for training-data curation).
+
+    Hash-exact across engines despite the floats: ln() is computed ONCE
+    per distinct vocabulary word (not per occurrence) and immediately
+    quantized to integer micro-nats; per-document totals then accumulate
+    in exact BIGINT (count x quantized-logprob) and divide once at the
+    end — summation order cannot perturb the result. The only float
+    hazard left is a quantization boundary landing within 1 ulp of a
+    cross-engine ln() difference (~1e-10 per vocab word).
+
+    Scale shape: two aggregations on (token) and (doc_id, token) with
+    map-side combine, a join on token (vocab-sized side — Spark picks
+    broadcast at small scale, shuffle at corpus scale), and a final
+    doc-keyed aggregation. No Python, no collect, no window.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    lpq = vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.expr(
+            "CAST(ROUND(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000)"
+            " AS BIGINT)"
+        ).alias("lpq"),
+    )
+    doc_tok = toks.groupBy("doc_id", "token").agg(F.count("*").alias("ndt"))
+    return (
+        doc_tok.join(lpq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("ndt").cast("bigint").alias("n_tokens"),
+            F.sum(F.expr("ndt * lpq")).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("CAST(s AS DOUBLE) / 1e6 / CAST(n_tokens AS DOUBLE)").alias(
+                "avg_logprob"
+            ),
+        )
+    )

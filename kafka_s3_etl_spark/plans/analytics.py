@@ -557,3 +557,147 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LM quality scoring, Z-order clustering, compaction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_lm_score",
+    category="text",
+    doc=(
+        "CCNet-style unigram-LM quality score: per-doc average token "
+        "log-probability under the corpus's own unigram distribution "
+        "(the perplexity filter for data curation). Hash-exact floats: "
+        "ln() once per vocab word, quantized to integer micro-nats, "
+        "BIGINT accumulation, one division."
+    ),
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+          FROM documents
+        ),
+        vocab AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+        tot AS (SELECT SUM(c) AS t FROM vocab),
+        lpq AS (
+          SELECT token,
+                 CAST(ROUND(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+                            * 1000000) AS BIGINT) AS lpq
+          FROM vocab, tot
+        ),
+        dt AS (
+          SELECT doc_id, token, COUNT(*) AS ndt
+          FROM toks GROUP BY doc_id, token
+        )
+        SELECT doc_id,
+               CAST(SUM(ndt) AS BIGINT) AS n_tokens,
+               CAST(SUM(ndt * lpq) AS DOUBLE) / 1e6
+                   / CAST(CAST(SUM(ndt) AS BIGINT) AS DOUBLE) AS avg_logprob
+        FROM dt JOIN lpq USING (token) GROUP BY doc_id
+    """,
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.text import lm_quality_score
+
+    return lm_quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _duck_znorm(col: str, lo: str, hi: str) -> str:
+    return (
+        f"CAST(CASE WHEN {hi} = {lo} THEN 0 ELSE "
+        f"floor((CAST({col} AS DOUBLE) - {lo}) * 65535.0 / ({hi} - {lo})) "
+        f"END AS BIGINT)"
+    )
+
+
+def _duck_zexpr(a: str, b: str) -> str:
+    terms = [
+        f"(((({a}) >> {i}) & 1) << {2 * i}) + (((({b}) >> {i}) & 1) << {2 * i + 1})"
+        for i in range(16)
+    ]
+    return " + ".join(terms)
+
+
+_DUCK_Z = _duck_zexpr(
+    _duck_znorm("o_custkey", "alo", "ahi"), _duck_znorm("oday", "blo", "bhi")
+)
+
+
+@register(
+    "q_zorder_cluster",
+    category="lakehouse",
+    doc=(
+        "Z-order clustering values: each order's (custkey, order-day) "
+        "bit-interleaved into a Z-value + coarse Z-bucket — the "
+        "multi-dimensional clustering key OPTIMIZE ZORDER BY sorts on, "
+        "so file min/max stats prune filters on EITHER dimension. "
+        "Bounds via a 1-row broadcast aggregate; the projection itself "
+        "is scan-parallel integer/IEEE arithmetic, identical on both "
+        "engines (no rounding). zorder_write covers the file-layout "
+        "half (tests/test_maintenance.py pins actual file skipping)."
+    ),
+    oracle=f"""
+        WITH src AS (
+          SELECT o_orderkey, o_custkey,
+                 CAST(datediff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) AS BIGINT) AS oday
+          FROM orders
+        ),
+        b AS (
+          SELECT MIN(CAST(o_custkey AS DOUBLE)) AS alo,
+                 MAX(CAST(o_custkey AS DOUBLE)) AS ahi,
+                 MIN(CAST(oday AS DOUBLE)) AS blo,
+                 MAX(CAST(oday AS DOUBLE)) AS bhi
+          FROM src
+        )
+        SELECT o_orderkey,
+               {_DUCK_Z} AS zval,
+               CAST(({_DUCK_Z}) >> 26 AS INTEGER) AS zbucket
+        FROM src, b
+    """,
+)
+def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.maintenance import zorder_values
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)"
+        ).alias("oday"),
+    )
+    return zorder_values(orders, "o_orderkey", "o_custkey", "oday", n_buckets=64)
+
+
+# Compacted-table scratch per sf_dir (testdata is immutable).
+_COMPACT_CACHE: dict[str, str] = {}
+
+
+@register(
+    "q_compact_files",
+    category="lakehouse",
+    cost=1,
+    doc=(
+        "Small-file compaction (the OPTIMIZE maintenance pass): a "
+        "64-fragment documents table bin-packed into size-targeted "
+        "files via repartition (parallel read, unlike coalesce), then "
+        "read back — proving the rewrite is content-preserving. File "
+        "counts pinned in tests/test_maintenance.py."
+    ),
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.maintenance import compact_small_files
+    from kafka_s3_etl_spark.streaming.runner import scratch_dir
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    if sf_dir not in _COMPACT_CACHE:
+        docs = load_table(spark, sf_dir, "documents").select(cols)
+        frag = scratch_dir("frag")
+        docs.repartition(64).write.mode("overwrite").parquet(frag)
+        out = scratch_dir("compacted")
+        compact_small_files(spark, frag, out)
+        _COMPACT_CACHE[sf_dir] = out
+    return spark.read.parquet(_COMPACT_CACHE[sf_dir]).select(cols)

@@ -377,3 +377,30 @@ def s_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value", "c_mktsegment", "c_nationkey"
     )
     return run_available_now(joined)
+
+
+@register(
+    "s_stream_left_join",
+    category="streaming",
+    cost=3,
+    doc=(
+        "Stream-stream LEFT OUTER join: purchases joined to any "
+        "same-user event in the following hour; unmatched purchases "
+        "emit (a_id, NULL) only after the watermark proves no match can "
+        "arrive. A sentinel delivery advances both watermarks past "
+        "every join window so the outer half is fully emitted and the "
+        "result equals the batch LEFT JOIN (streaming/outer_join.py)."
+    ),
+    oracle="""
+        SELECT e1.event_id AS a_id, e2.event_id AS b_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') e1
+        LEFT JOIN events e2
+          ON e1.user_id = e2.user_id
+         AND e2.ts > e1.ts
+         AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+    """,
+)
+def s_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.streaming.outer_join import left_outer_join_demo
+
+    return left_outer_join_demo(spark, sf_dir)

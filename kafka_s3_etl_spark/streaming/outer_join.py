@@ -1,0 +1,126 @@
+"""Stream-stream LEFT OUTER join demo (watermark-driven NULL emission).
+
+The inner half of a time-bounded stream-stream join emits rows as they
+match (batching-invariant); the OUTER half — "this purchase had no
+follow-up within the hour" — can only emit once the watermark proves no
+match can still arrive. That makes outer emission inherently
+watermark-driven, so the demo mirrors streaming/late.py's two-delivery
+harness:
+
+* delivery 1 — the real events (both join sides read the same files);
+* delivery 2 — one sentinel row 3 hours past max(ts), which advances
+  both sides' watermarks beyond every join window and forces the
+  engine to evict + emit every surviving unmatched left row.
+
+After the sentinel the result is deterministic and equals the batch
+LEFT JOIN — the DuckDB oracle. The sentinel (negative ids) is filtered
+out of the returned result.
+
+State-scale note: both sides are watermarked and the join condition
+bounds event time on both ends, so per-key state is finite — identical
+to s_stream_join; the outer flavor adds only the eviction pass.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_s3_etl_spark.sources.tables import load_table
+from kafka_s3_etl_spark.streaming.runner import (
+    _pinned_stream_partitions,
+    scratch_dir,
+)
+
+# Real events and the watermark-advancing sentinel, written once per
+# sf_dir (immutable testdata).
+_PART_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _copy_part(src_dir: str, dest: str, mtime: float) -> None:
+    part = glob.glob(os.path.join(src_dir, "part-*.parquet"))[0]
+    shutil.copy(part, dest)
+    os.utime(dest, (mtime, mtime))
+
+
+def _purchase_followups_left(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Purchases LEFT-joined to any same-user event in the following
+    hour; unmatched purchases surface with b_id NULL after eviction."""
+    l_side = (
+        left.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("a_id"),
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", "1 hour")
+    )
+    r_side = right.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+    ).withWatermark("r_ts", "1 hour")
+    return l_side.join(
+        r_side,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("a_id", "b_id")
+
+
+def left_outer_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    if sf_dir not in _PART_CACHE:
+        data_dir, sent_dir = scratch_dir("loj_data"), scratch_dir("loj_sent")
+        ev.coalesce(1).write.mode("overwrite").parquet(data_dir)
+        sentinel = ev.agg(
+            F.lit(-1).cast("bigint").alias("event_id"),
+            (F.max("ts") + F.expr("INTERVAL 3 HOURS")).alias("ts"),
+            F.lit(-1).cast("bigint").alias("user_id"),
+            F.lit("purchase").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        ).select(*ev.columns)
+        sentinel.coalesce(1).write.mode("overwrite").parquet(sent_dir)
+        _PART_CACHE[sf_dir] = (data_dir, sent_dir)
+    data_dir, sent_dir = _PART_CACHE[sf_dir]
+
+    src_dir = scratch_dir("loj_src")
+    now = os.path.getmtime(src_dir)
+    _copy_part(data_dir, os.path.join(src_dir, "data.parquet"), now - 100)
+
+    left = spark.readStream.schema(ev.schema).parquet(src_dir)
+    right = spark.readStream.schema(ev.schema).parquet(src_dir)
+    joined = _purchase_followups_left(left, right)
+    name = f"loj_{uuid.uuid4().hex[:10]}"
+    with _pinned_stream_partitions(joined):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", scratch_dir("ckpt"))
+            .start()
+        )
+    try:
+        q.processAllAvailable()  # real data commits; watermark advances
+        _copy_part(sent_dir, os.path.join(src_dir, "sentinel.parquet"), now)
+        q.processAllAvailable()  # sentinel pushes watermarks past all windows
+        # Outer-NULL eviction may land in a trailing no-data micro-batch
+        # after processAllAvailable returns. The sentinel watermark
+        # clears EVERY unmatched left row in that one batch, so the
+        # first NULL-match row appearing means eviction ran to
+        # completion.
+        for _ in range(120):
+            if spark.table(name).filter(F.col("b_id").isNull()).count() > 0:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    return spark.table(name).filter(F.col("a_id") >= 0)

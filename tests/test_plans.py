@@ -91,6 +91,7 @@ _EAGER = {n for n in _CAT if n.startswith("s_")} | {
     "x_json_to_xml",
     "q_resample_ffill",  # localCheckpoints the daily rollup at build
     "q_graph_pagerank",  # localCheckpoints every iteration at build
+    "q_compact_files",  # writes + compacts its scratch table at build
 }
 
 
