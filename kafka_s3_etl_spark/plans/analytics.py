@@ -701,3 +701,227 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         compact_small_files(spark, frag, out)
         _COMPACT_CACHE[sf_dir] = out
     return spark.read.parquet(_COMPACT_CACHE[sf_dir]).select(cols)
+
+
+# ---------------------------------------------------------------------------
+# Composite relational benchmarks (TPC-H shapes) + funnel analytics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_tpch_pricing",
+    category="relational",
+    doc=(
+        "TPC-H Q1 shape (pricing summary report): the classic composite "
+        "scan -> filter -> wide grouped aggregation. Hash-exact floats "
+        "via integer units: quantities are integral, prices are cents, "
+        "discount/tax are integer percent, so disc_price accumulates in "
+        "cents x pct (1e4 scale) and charge in cents x pct^2 (1e6 "
+        "scale) — BIGINT holds to ~sf10; past that the same plan "
+        "carries with DECIMAL(38,0) partials. One map-side-combined "
+        "shuffle on a 6-value group key."
+    ),
+    oracle="""
+        WITH s AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+                 CAST(ROUND(l_discount * 100) AS BIGINT) AS dpc,
+                 CAST(ROUND(l_tax * 100) AS BIGINT) AS tpc
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '2001-08-01 00:00:00'
+        )
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(qty) AS BIGINT) AS sum_qty,
+               CAST(SUM(cents) AS DOUBLE) / 100.0 AS sum_base_price,
+               CAST(SUM(cents * (100 - dpc)) AS DOUBLE) / 1e4
+                   AS sum_disc_price,
+               CAST(SUM(cents * (100 - dpc) * (100 + tpc)) AS DOUBLE) / 1e6
+                   AS sum_charge,
+               CAST(SUM(qty) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(SUM(cents) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+               CAST(SUM(dpc) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM s GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= "2001-08-01 00:00:00")
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("qty"),
+            F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+            F.expr("CAST(ROUND(l_discount * 100) AS BIGINT)").alias("dpc"),
+            F.expr("CAST(ROUND(l_tax * 100) AS BIGINT)").alias("tpc"),
+        )
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").cast("bigint").alias("sum_qty"),
+        F.expr("CAST(SUM(cents) AS DOUBLE) / 100.0").alias("sum_base_price"),
+        F.expr("CAST(SUM(cents * (100 - dpc)) AS DOUBLE) / 1e4").alias(
+            "sum_disc_price"
+        ),
+        F.expr(
+            "CAST(SUM(cents * (100 - dpc) * (100 + tpc)) AS DOUBLE) / 1e6"
+        ).alias("sum_charge"),
+        F.expr("CAST(SUM(qty) AS DOUBLE) / COUNT(*)").alias("avg_qty"),
+        F.expr("CAST(SUM(cents) AS DOUBLE) / 100.0 / COUNT(*)").alias("avg_price"),
+        F.expr("CAST(SUM(dpc) AS DOUBLE) / 100.0 / COUNT(*)").alias("avg_disc"),
+        F.count("*").cast("bigint").alias("count_order"),
+    )
+
+
+@register(
+    "q_tpch_shipping",
+    category="relational",
+    doc=(
+        "TPC-H Q3 shape (shipping priority): segment-filtered customer "
+        "dim BROADCAST into orders, shuffle join to lineitem on the "
+        "order key, cents-exact revenue rollup, top-10 via "
+        "TakeOrderedAndProject (never a global sort). Revenue ties are "
+        "broken by (o_orderdate, o_orderkey) so the limit is "
+        "deterministic on both engines."
+    ),
+    oracle="""
+        SELECT l.l_orderkey,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) / 1e4 AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+        LIMIT 10
+    """,
+)
+def q_tpch_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-06-01 00:00:00"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-06-01 00:00:00"
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+                " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))"
+                " AS DOUBLE) / 1e4"
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_window_funnel",
+    category="temporal",
+    doc=(
+        "Conversion funnel (view -> click -> purchase, each step "
+        "strictly after the previous): prefix-min windows carry the "
+        "earliest qualifying prior-step timestamp to every row, so the "
+        "whole funnel is ONE event-stream shuffle on user_id (stacked "
+        "same-spec windows + a co-located agg, plan-pinned) — the "
+        "join-chain formulation would scan and shuffle events six "
+        "times. The oracle states the same semantics as the naive "
+        "3-stage CTE chain."
+    ),
+    oracle="""
+        WITH v AS (
+          SELECT user_id, MIN(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+          SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1
+          GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          GROUP BY e.user_id
+        )
+        SELECT v.user_id, v.t1, c.t2, p.t3,
+               CAST(1 + CASE WHEN c.t2 IS NULL THEN 0 ELSE 1 END
+                      + CASE WHEN p.t3 IS NULL THEN 0 ELSE 1 END
+                    AS INTEGER) AS steps
+        FROM v
+        LEFT JOIN c ON v.user_id = c.user_id
+        LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    # Prefix frame in event-time order: r1 at a click row is the
+    # earliest view ts among events up to it, which equals the user's
+    # global first view EXACTLY WHEN that view precedes the click — so
+    # the strict `r1 < ts` test reproduces "click strictly after first
+    # view" row-locally. Same argument chains r2 into the purchase step.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_view = F.col("event_type") == "view"
+    staged = (
+        ev.withColumn("r1", F.min(F.when(is_view, F.col("ts"))).over(w))
+        .withColumn(
+            "c2",
+            F.when(
+                (F.col("event_type") == "click") & (F.col("r1") < F.col("ts")),
+                F.col("ts"),
+            ),
+        )
+        .withColumn("r2", F.min("c2").over(w))
+        .withColumn(
+            "c3",
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("r2") < F.col("ts")),
+                F.col("ts"),
+            ),
+        )
+    )
+    return (
+        staged.groupBy("user_id")
+        .agg(
+            F.min(F.when(is_view, F.col("ts"))).alias("t1"),
+            F.min("c2").alias("t2"),
+            F.min("c3").alias("t3"),
+        )
+        .filter(F.col("t1").isNotNull())
+        .select(
+            "user_id",
+            "t1",
+            "t2",
+            "t3",
+            F.expr(
+                "CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END"
+                " + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS INT)"
+            ).alias("steps"),
+        )
+    )

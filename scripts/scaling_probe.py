@@ -57,6 +57,13 @@ PROBE_QUERIES = [
     "s_window_tumbling",
     "s_stream_join",
     "s_cdc_upsert",
+    # round-5 batch-2 additions
+    "q_lm_score",
+    "q_global_shuffle",
+    "q_interval_overlap",
+    "q_islands",
+    "q_zorder_cluster",
+    "q_stats_moments",
 ]
 
 

@@ -382,3 +382,25 @@ def test_islands_single_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_islands")
     assert plan.count("hashpartitioning(") == 1
     assert "Window" in plan
+
+
+def test_tpch_pricing_pushdown_and_partial_agg(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_tpch_pricing")
+    assert "LessThanOrEqual(l_shipdate," in plan  # filter reaches the scan
+    assert "partial_" in plan
+    assert plan.count("hashpartitioning(") == 1
+
+
+def test_tpch_shipping_broadcasts_dim_and_takeordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_tpch_shipping")
+    assert "BroadcastHashJoin" in plan  # customer dim never shuffles
+    assert "TakeOrderedAndProject" in plan  # top-10 without a global sort
+    assert "CartesianProduct" not in plan
+
+
+def test_window_funnel_single_repartition(spark, sf_dir):
+    """The up-front repartition(user_id) must be the only exchange: all
+    three stage aggregations and the two left joins are co-located on
+    it."""
+    plan = plan_of(spark, sf_dir, "q_window_funnel")
+    assert plan.count("hashpartitioning(") == 1
