@@ -92,6 +92,18 @@ HEADLINE = [
     "q_window_percent_rank",
     "q_multimodal_decode",
     "q_multimodal_audio",
+    "q_stats_moments",
+    "q_islands",
+    "q_global_shuffle",
+    "q_lm_score",
+    "q_tpch_pricing",
+    "q_tpch_shipping",
+    "q_tpch_local_volume",
+    "q_window_funnel",
+    "q_profile_columns",
+    "q_fuzzy_join",
+    "q_graph_triangles",
+    "q_hll_sketch",
     "s_kafka_to_s3",
     "s_window_tumbling",
     "s_stream_join",

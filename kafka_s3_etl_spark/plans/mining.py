@@ -1,0 +1,328 @@
+"""Round-5 batch 3: profiling, record linkage, graph analytics, and
+mergeable sketches.
+
+Registered as the LAST plan module so the driver sweep's first-50
+window stays untouched (lakehouse-last convention, see registry.py).
+
+Catalog:
+
+* q_profile_columns — one-pass data profiling (the "what is in this
+  table" audit every ingestion run records): per-column row/null/
+  distinct counts plus order-preserving min/max. Shape: melt the table
+  to (col, formatted_value) rows ONCE, then a single grouped agg —
+  Spark plans the per-column count(distinct) as a two-phase partial agg
+  on (col, value), so the wide row count collapses map-side and the
+  profile never holds the table in one place. Values are formatted to
+  ORDER-PRESERVING strings (zero-padded integers / cents, lexicographic
+  timestamps) so min/max of the string IS min/max of the value and the
+  whole profile is one uniform schema.
+* q_fuzzy_join — edit-distance-1 record linkage over customer names via
+  deletion-neighborhood blocking (operators/linkage.py): signature
+  equi-join + bounded verify, never the oracle's O(n^2) cross join.
+* q_graph_triangles — per-node triangle counts over the fuzzy-match
+  graph (operators/graph.py::triangle_counts): degree-ordered wedge
+  join, the distributed triangle-counting standard. Triangles over a
+  similarity graph = "clusters of 3+ mutually-confusable entities",
+  the signal record-linkage uses to escalate from pairwise merge to
+  cluster resolution.
+* q_tpch_local_volume — TPC-H Q5 shape (local supplier volume): the
+  classic snowflake join with the c_nationkey = s_nationkey locality
+  constraint. region/nation dims broadcast; customer joins orders on
+  the customer key, lineitem joins on the order key, supplier joins on
+  the supplier key with the nation equality folded into the join —
+  cents-exact revenue per nation.
+* q_hll_sketch — mergeable-sketch rollup (rows-only): per-nation
+  DataSketches HLL of customer keys + the sketch-union global estimate.
+  THE 100 TB cardinality pattern: sketches pre-aggregate per partition
+  / day / tenant, and any later rollup merges sketches instead of
+  rescanning data. No DuckDB-compatible binary sketch exists, so this
+  entry is property-tested (estimate within rated error of exact;
+  union-of-groups == direct global sketch) instead of oracle-hashed.
+
+Exactness notes: o_totalprice / l_extendedprice / l_discount are
+cent-quantized by the generator, so ``ROUND(x * 100)`` is exact on both
+engines (same convention as plans/analytics.py); revenue divides the
+BIGINT cents product once at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_s3_etl_spark.operators.graph import triangle_counts
+from kafka_s3_etl_spark.operators.linkage import fuzzy_pairs_ed1
+from kafka_s3_etl_spark.plans.registry import register
+from kafka_s3_etl_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Data profiling
+
+
+# (column, order-preserving Spark format expr, matching DuckDB expr).
+# Integers zero-pad to 12; doubles profile as zero-padded exact cents;
+# timestamps format lexicographically time-ordered.
+_PROFILE_COLS = [
+    (
+        "o_orderkey",
+        "lpad(CAST(o_orderkey AS STRING), 12, '0')",
+        "lpad(CAST(o_orderkey AS VARCHAR), 12, '0')",
+    ),
+    (
+        "o_custkey",
+        "lpad(CAST(o_custkey AS STRING), 12, '0')",
+        "lpad(CAST(o_custkey AS VARCHAR), 12, '0')",
+    ),
+    ("o_orderstatus", "o_orderstatus", "o_orderstatus"),
+    (
+        "o_totalprice",
+        "lpad(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS STRING),"
+        " 12, '0')",
+        "lpad(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR),"
+        " 12, '0')",
+    ),
+    (
+        "o_orderdate",
+        "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss')",
+        "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')",
+    ),
+    ("o_orderpriority", "o_orderpriority", "o_orderpriority"),
+]
+
+_PROFILE_ORACLE = (
+    "WITH melted AS ("
+    + " UNION ALL ".join(
+        f"SELECT '{c}' AS col, {duck} AS sval FROM orders"
+        for c, _, duck in _PROFILE_COLS
+    )
+    + """)
+    SELECT col, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(sval) AS n_null,
+           COUNT(DISTINCT sval) AS n_distinct,
+           MIN(sval) AS min_s, MAX(sval) AS max_s
+    FROM melted GROUP BY col
+    """
+)
+
+
+@register(
+    "q_profile_columns",
+    category="profiling",
+    doc=(
+        "One-pass column profile of orders: melt to (col, "
+        "order-preserving string) then a single grouped agg — "
+        "count/nulls/distinct/min/max per column in one uniform schema."
+    ),
+    oracle=_PROFILE_ORACLE,
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    kvs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"), F.expr(spark_fmt).alias("sval")
+            )
+            for c, spark_fmt, _ in _PROFILE_COLS
+        ]
+    )
+    return (
+        orders.select(F.explode(kvs).alias("kv"))
+        .select("kv.col", "kv.sval")
+        .groupBy("col")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("sval")).alias("n_null"),
+            F.countDistinct("sval").alias("n_distinct"),
+            F.min("sval").alias("min_s"),
+            F.max("sval").alias("max_s"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Record linkage + graph analytics over the linkage graph
+
+
+_FUZZY_ORACLE_EDGES = """
+        WITH cn AS (SELECT DISTINCT c_name FROM customer),
+        e AS (
+          SELECT a.c_name AS a, b.c_name AS b
+          FROM cn a JOIN cn b
+            ON a.c_name < b.c_name
+           AND levenshtein(a.c_name, b.c_name) <= 1
+        )
+"""
+
+
+@register(
+    "q_fuzzy_join",
+    category="linkage",
+    doc=(
+        "Edit-distance-1 self-join of customer names via deletion-"
+        "neighborhood blocking (FastSS/SymSpell): signature equi-join "
+        "+ bounded verify; the oracle states the O(n^2) semantics."
+    ),
+    oracle=_FUZZY_ORACLE_EDGES
+    + """
+        SELECT a, b, CAST(levenshtein(a, b) AS INTEGER) AS dist FROM e
+    """,
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fuzzy_pairs_ed1(
+        load_table(spark, sf_dir, "customer"), col="c_name"
+    )
+
+
+@register(
+    "q_graph_triangles",
+    category="graph",
+    cost=1,
+    doc=(
+        "Per-node triangle counts over the edit-distance-1 name graph: "
+        "degree-ordered wedge join (two equi-join shuffles, hub-safe), "
+        "vs the oracle's 3-way self-join enumeration."
+    ),
+    oracle=_FUZZY_ORACLE_EDGES
+    + """
+        , tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1
+          JOIN e e2 ON e1.b = e2.a
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT node AS c_name, COUNT(*) AS n_tri
+        FROM tri, UNNEST([x, y, z]) AS t(node)
+        GROUP BY node
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = fuzzy_pairs_ed1(
+        load_table(spark, sf_dir, "customer"), col="c_name"
+    ).select("a", "b")
+    return triangle_counts(edges).withColumnRenamed("node", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape
+
+
+@register(
+    "q_tpch_local_volume",
+    category="relational",
+    doc=(
+        "TPC-H Q5 shape (local supplier volume): ASIA-filtered "
+        "region->nation dim broadcast into customer AND supplier, "
+        "orders join on customer key, lineitem on order key, supplier "
+        "on (suppkey, nation=nation) — revenue only counts lineitems "
+        "whose supplier sits in the customer's nation. Cents-exact."
+    ),
+    oracle="""
+        SELECT n.n_name,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) / 1e4 AS revenue
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                       AND s.s_nationkey = c.c_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n.n_name
+    """,
+)
+def q_tpch_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    asia_nations = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "ASIA"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(asia_nations),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+            & (F.col("o_orderdate") < "1997-01-01 00:00:00")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    ord_cust = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "c_nationkey", "n_name")
+    return (
+        li.join(ord_cust, li.l_orderkey == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (F.col("c_nationkey") == supp.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+                " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))"
+                " AS DOUBLE) / 1e4"
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketches
+
+
+@register(
+    "q_hll_sketch",
+    category="sketch",
+    cost=1,
+    oracle=None,  # no cross-engine binary sketch; property-tested
+    doc=(
+        "Mergeable DataSketches HLL rollup: per-nation customer-key "
+        "sketches + hll_union_agg global estimate (nationkey -1). "
+        "Rows-only: property test pins estimate-vs-exact error and "
+        "union==direct-global; DuckDB has no compatible sketch."
+    ),
+)
+def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    # lgConfigK=12 -> rated relative standard error ~1.6%.
+    sketches = cust.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey", F.lit(12)).alias("sk"),
+        F.countDistinct("c_custkey").alias("exact"),
+    )
+    per_nation = sketches.select(
+        "c_nationkey",
+        F.hll_sketch_estimate("sk").alias("est"),
+        "exact",
+    )
+    merged = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.sum("exact").alias("exact"),  # nation partitions customers
+    ).select(
+        F.lit(-1).cast("int").alias("c_nationkey"), "est", "exact"
+    )
+    return per_nation.unionAll(merged)

@@ -38,6 +38,7 @@ _PLAN_MODULES = [
     "kafka_s3_etl_spark.plans.lakehouse",
     "kafka_s3_etl_spark.plans.features",
     "kafka_s3_etl_spark.plans.analytics",
+    "kafka_s3_etl_spark.plans.mining",
 ]
 
 

@@ -1,0 +1,164 @@
+"""Round-5 batch-3 operator tests: record linkage, triangle counting,
+mergeable HLL sketches, and the profiling/TPC-H-Q5 plan shapes.
+
+The oracle parity for q_profile_columns / q_fuzzy_join /
+q_graph_triangles / q_tpch_local_volume runs in test_oracle_parity.py
+automatically; this module adds the brute-force property evidence for
+the operators' algorithms (blocking completeness, wedge enumeration)
+and the rows-only sketch contract."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from pyspark.sql import functions as F
+
+from kafka_s3_etl_spark.operators.graph import triangle_counts
+from kafka_s3_etl_spark.operators.linkage import fuzzy_pairs_ed1
+from tests.test_plans import plan_of
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_pairs_match_bruteforce(spark):
+    """Deletion-neighborhood blocking finds EXACTLY the brute-force
+    edit-distance-<=1 pair set — substitutions, inserts, deletes, and
+    transposition-shaped near-misses (dist 2, must be excluded)."""
+    rng = random.Random(7)
+    alpha = "abcde"
+    base = ["".join(rng.choice(alpha) for _ in range(rng.randint(3, 8)))
+            for _ in range(60)]
+    # Seed guaranteed structure: substitution, deletion, insertion
+    # variants plus exact dupes (distinct() must absorb them).
+    vals = set(base)
+    for s in base[:10]:
+        vals.add(s[:-1])                       # deletion
+        vals.add(s + "z")                      # insertion
+        vals.add(("z" + s[1:]) if s else "z")  # substitution
+    vals = sorted(vals)
+    expected = {
+        (a, b)
+        for a, b in itertools.combinations(vals, 2)
+        if _lev(a, b) <= 1
+    }
+    df = spark.createDataFrame([(v,) for v in vals] * 2, ["name"])
+    got = {
+        (r.a, r.b): r.dist
+        for r in fuzzy_pairs_ed1(df, "name").collect()
+    }
+    assert set(got) == expected
+    assert all(d == 1 for d in got.values())
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    """Degree-ordered wedge join == brute-force triangle enumeration on
+    a seeded random graph (with duplicate edges, reversed orientations,
+    and self-loops thrown in)."""
+    rng = random.Random(21)
+    n = 40
+    edges = {
+        tuple(sorted(rng.sample(range(n), 2)))
+        for _ in range(160)
+    }
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected: dict[int, int] = {}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            for node in (a, b, c):
+                expected[node] = expected.get(node, 0) + 1
+    expected = {k: v // 3 for k, v in expected.items() if v}
+    # Feed the operator a dirty edge list: duplicates, both
+    # orientations, and self-loops.
+    rows = [(a, b) for a, b in edges]
+    rows += [(b, a) for a, b in list(edges)[:50]]
+    rows += [(i, i) for i in range(5)]
+    got = {
+        r.node: r.n_tri
+        for r in triangle_counts(
+            spark.createDataFrame(rows, ["a", "b"])
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_hll_sketch_contract(spark, sf_dir):
+    """Per-group estimates hit the sketch's rated error band, the
+    merged row equals a direct global sketch (mergeability — the whole
+    point), and the exact column is truly exact."""
+    from kafka_s3_etl_spark.plans.registry import all_queries
+    from kafka_s3_etl_spark.sources.tables import load_table
+
+    rows = all_queries()["q_hll_sketch"].fn(spark, sf_dir).collect()
+    cust = load_table(spark, sf_dir, "customer")
+    per_nation = {
+        r.c_nationkey: (r.est, r.exact) for r in rows if r.c_nationkey >= 0
+    }
+    truth = {
+        r.c_nationkey: r.n
+        for r in cust.groupBy("c_nationkey")
+        .agg(F.countDistinct("c_custkey").alias("n"))
+        .collect()
+    }
+    assert set(per_nation) == set(truth)
+    for k, (est, exact) in per_nation.items():
+        assert exact == truth[k]
+        assert abs(est - exact) <= max(2, 0.05 * exact)
+    merged = next(r for r in rows if r.c_nationkey == -1)
+    direct = cust.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("c_custkey", F.lit(12))
+        ).alias("est")
+    ).collect()[0].est
+    assert merged.est == direct
+    assert merged.exact == sum(truth.values())
+
+
+def test_fuzzy_join_is_signature_equijoin(spark, sf_dir):
+    """The linkage join must hash-join on signatures — never a
+    cartesian/nested-loop levenshtein sweep."""
+    plan = plan_of(spark, sf_dir, "q_fuzzy_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # Hash equi-join on the signature column (AQE may choose broadcast
+    # at tiny SF; any of the three is the bucketable shape).
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert "sig#" in plan
+
+
+def test_tpch_local_volume_broadcasts_all_dims(spark, sf_dir):
+    """Q5 shape: every dim (region, nation, customer-side, supplier)
+    broadcasts; the only shuffle join key is the order key."""
+    plan = plan_of(spark, sf_dir, "q_tpch_local_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    # Orders date filter reaches the scan.
+    assert "o_orderdate" in plan and "PushedFilters" in plan
+
+
+def test_profile_columns_single_wide_agg(spark, sf_dir):
+    """The profile melts once and aggregates by column: the distinct
+    count plans as a two-phase (col, sval) partial agg, so no Expand
+    multiplies the scan by the distinct-column count."""
+    plan = plan_of(spark, sf_dir, "q_profile_columns")
+    assert "Expand" not in plan
+    assert "partial_" in plan
+    assert "BatchEvalPython" not in plan
