@@ -326,3 +326,210 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("int").alias("c_nationkey"), "est", "exact"
     )
     return per_nation.unionAll(merged)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (table-versioning audit)
+
+
+# v2 is a deterministic simulated "next snapshot" of orders:
+# keys % 7 == 3 deleted, keys % 10 == 0 get price + 1.0, and keys
+# % 11 == 5 are re-inserted shifted by +10M (disjoint from real keys).
+_DIFF_KEYS = "o_orderkey % 10 = 0"
+
+
+@register(
+    "q_table_diff",
+    category="lakehouse",
+    doc=(
+        "Snapshot diff (operators/diff.py::snapshot_diff): one "
+        "full-outer hash join on the key + null-safe JVM column "
+        "compare classifies every changed key as insert/delete/update "
+        "— the reconciliation report before promoting a new table "
+        "version. The oracle states the expected diff closed-form."
+    ),
+    oracle="""
+        SELECT o_orderkey + 10000000 AS o_orderkey,
+               'insert' AS change_type
+        FROM orders WHERE o_orderkey % 11 = 5
+        UNION ALL
+        SELECT o_orderkey, 'delete' FROM orders WHERE o_orderkey % 7 = 3
+        UNION ALL
+        SELECT o_orderkey, 'update' FROM orders
+        WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 <> 3
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.diff import snapshot_diff
+
+    v1 = load_table(spark, sf_dir, "orders")
+    survivors = v1.filter(F.col("o_orderkey") % 7 != 3).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserts = v1.filter(F.col("o_orderkey") % 11 == 5).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    v2 = survivors.select(*v1.columns).unionAll(inserts.select(*v1.columns))
+    return snapshot_diff(v1, v2, "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (search-engine posting lists)
+
+
+@register(
+    "q_inverted_index",
+    category="text",
+    doc=(
+        "Inverted index: term -> (document frequency, sorted posting "
+        "list, total term frequency) in ONE explode + grouped agg. "
+        "Posting arrays here are whole-corpus; at 100 TB the same plan "
+        "shards each term's postings by doc_id range (term, bucket) so "
+        "no single row exceeds memory — the term key simply gains a "
+        "doc_id-div-N suffix."
+    ),
+    oracle="""
+        WITH w AS (
+          SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+          FROM documents
+        )
+        SELECT term,
+               CAST(len(list(DISTINCT doc_id ORDER BY doc_id)) AS INTEGER)
+                   AS df,
+               list(DISTINCT doc_id ORDER BY doc_id) AS postings,
+               CAST(COUNT(*) AS BIGINT) AS tf
+        FROM w WHERE term <> '' GROUP BY term
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    return words.groupBy("term").agg(
+        F.size(F.array_sort(F.collect_set("doc_id"))).alias("df"),
+        F.array_sort(F.collect_set("doc_id")).alias("postings"),
+        F.count(F.lit(1)).alias("tf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-horizon rolling features
+
+
+@register(
+    "q_rolling_multi",
+    category="features",
+    doc=(
+        "Multi-horizon rolling features (7d and 30d revenue/activity "
+        "per user) in one pass: daily rollup first (map-side-combined, "
+        "cents-exact BIGINT), then BOTH RANGE frames over the same "
+        "(user, day) sort — Spark evaluates the two frames in a single "
+        "window sort, so the corpus shuffles once. Division happens "
+        "once per output row on exact cents (identical IEEE op both "
+        "engines)."
+    ),
+    oracle="""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                      AS INTEGER) AS day_i,
+                 SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2, 3
+        )
+        SELECT user_id, day,
+               CAST(SUM(n) OVER w7 AS BIGINT) AS n_7d,
+               CAST(SUM(cents) OVER w7 AS BIGINT) / 100.0 AS rev_7d,
+               CAST(SUM(n) OVER w30 AS BIGINT) AS n_30d,
+               CAST(SUM(cents) OVER w30 AS BIGINT) / 100.0 AS rev_30d
+        FROM daily
+        WINDOW
+          w7 AS (PARTITION BY user_id ORDER BY day_i
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+          w30 AS (PARTITION BY user_id ORDER BY day_i
+                  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.unix_date(F.to_date("ts")).alias("day_i"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100).cast("bigint")
+            ).alias("cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    w7 = (
+        Window.partitionBy("user_id").orderBy("day_i").rangeBetween(-6, 0)
+    )
+    w30 = (
+        Window.partitionBy("user_id").orderBy("day_i").rangeBetween(-29, 0)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        F.sum("n").over(w7).alias("n_7d"),
+        (F.sum("cents").over(w7) / 100.0).alias("rev_7d"),
+        F.sum("n").over(w30).alias("n_30d"),
+        (F.sum("cents").over(w30) / 100.0).alias("rev_30d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern mining
+
+
+@register(
+    "q_sequence_ngrams",
+    category="temporal",
+    doc=(
+        "Behavioral trigram mining: per-user event-type 3-grams over "
+        "the (ts, event_id) total order (two stacked LEADs share one "
+        "window sort), global count, deterministic top-20 via "
+        "TakeOrderedAndProject with the trigram tiebreak."
+    ),
+    oracle="""
+        WITH seq AS (
+          SELECT event_type AS t1,
+                 LEAD(event_type, 1) OVER w AS t2,
+                 LEAD(event_type, 2) OVER w AS t3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT t1 || '>' || t2 || '>' || t3 AS trigram,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20
+    """,
+)
+def q_sequence_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        seq.filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .groupBy(
+            F.concat_ws(">", "t1", "t2", "t3").alias("trigram")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "trigram")
+        .limit(20)
+    )

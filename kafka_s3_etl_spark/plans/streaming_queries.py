@@ -216,6 +216,48 @@ def s_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_session_timeout",
+    category="streaming",
+    cost=3,
+    doc=(
+        "Timeout-driven stateful sessionizer (applyInPandasWithState + "
+        "EventTimeTimeout): sessions close exactly once when the "
+        "watermark passes their gap; a sentinel delivery flushes the "
+        "final sessions. Equals the batch gap-sessionizer minus the "
+        "session_id label."
+    ),
+    oracle="""
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                               PARTITION BY user_id ORDER BY ts)
+                           <= 600000000
+                      THEN 0 ELSE 1 END AS new_session
+          FROM events
+        ),
+        numbered AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (
+                     PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS session_id
+          FROM marked
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def s_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.streaming.session_close import (
+        session_timeout_demo,
+    )
+
+    return session_timeout_demo(spark, sf_dir)
+
+
+@register(
     "s_late_data",
     category="streaming",
     cost=3,

@@ -52,3 +52,89 @@ def user_running_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def gap_sessions(events: DataFrame, gap_minutes: int = 10) -> DataFrame:
+    """Timeout-driven stateful sessionizer: the semantics Spark's
+    built-in session_window cannot express when you need the session to
+    CLOSE and emit exactly once, driven by the event-time watermark.
+
+    Per-key state is one open session (start_us, end_us, n). Each
+    micro-batch folds its (sorted) events into the open session: within
+    ``gap_minutes`` extends it, beyond closes it (emit) and opens a new
+    one. The open session arms an event-time timeout at end + gap; when
+    the watermark passes that, the state times out and the final
+    session flushes. Emission is therefore exactly-once per session and
+    batching-invariant — the stream equivalent of
+    ``operators/temporal.py::sessionize`` (same strict-> gap break at
+    microsecond precision).
+
+    Scale: state is O(distinct keys) x one 24-byte tuple; the timeout
+    bounds it for keys that go quiet. One hash shuffle on the key per
+    micro-batch — identical cost to any streaming agg.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    gap_ms = gap_minutes * 60 * 1_000
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        closed: list[tuple[int, int, int]] = []
+        if state.hasTimedOut:
+            if state.exists:
+                closed.append(tuple(state.get))
+            state.remove()
+        else:
+            ts_us: list[int] = []
+            for pdf in pdfs:
+                # normalize to ns first: arrow hands pandas datetime64
+                # in file-dependent units, and int64-of-ns // 1000 is
+                # unit-safe (2024 timeline, no overflow)
+                t = pdf["ts"].astype("datetime64[ns]").astype("int64")
+                ts_us.extend((t // 1000).tolist())
+            ts_us.sort()
+            if state.exists:
+                s, e, n = state.get
+            else:
+                s, e, n = None, None, 0
+            for t in ts_us:
+                if s is None:
+                    s, e, n = t, t, 1
+                elif t - e <= gap_us:
+                    e, n = t, n + 1
+                else:
+                    closed.append((s, e, n))
+                    s, e, n = t, t, 1
+            if s is not None:
+                state.update((s, e, n))
+                # fire once the watermark proves the gap elapsed
+                state.setTimeoutTimestamp(e // 1000 + gap_ms + 1)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(closed),
+                "session_start": pd.to_datetime(
+                    [c[0] for c in closed], unit="us"
+                ),
+                "session_end": pd.to_datetime(
+                    [c[1] for c in closed], unit="us"
+                ),
+                "n_events": [c[2] for c in closed],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", f"{gap_minutes} minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id bigint, session_start timestamp, "
+                "session_end timestamp, n_events bigint"
+            ),
+            stateStructType="s bigint, e bigint, n bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

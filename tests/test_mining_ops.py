@@ -162,3 +162,53 @@ def test_profile_columns_single_wide_agg(spark, sf_dir):
     assert "Expand" not in plan
     assert "partial_" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_snapshot_diff_identity_and_null_transitions(spark):
+    """Identical snapshots diff to empty; NULL->value and value->NULL
+    count as updates (null-safe compare); schema mismatch raises."""
+    from kafka_s3_etl_spark.operators.diff import snapshot_diff
+
+    rows = [(1, "a", 10.0), (2, None, 20.0), (3, "c", None)]
+    df = spark.createDataFrame(rows, ["k", "s", "x"])
+    assert snapshot_diff(df, df, "k").count() == 0
+
+    v2 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 3.0), (4, "d", 4.0)],
+        ["k", "s", "x"],
+    )
+    got = {r.k: r.change_type for r in snapshot_diff(df, v2, "k").collect()}
+    assert got == {2: "update", 3: "update", 4: "insert"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        snapshot_diff(df, v2.drop("x"), "k")
+
+
+def test_table_diff_single_join_no_window(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_table_diff")
+    assert "SortMergeJoin FullOuter" in plan or "FullOuter" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_multi_one_corpus_shuffle_one_sort(spark, sf_dir):
+    """Daily rollup shuffle + window shuffle only; both RANGE frames
+    ride a single sort of the daily rollup."""
+    plan = plan_of(spark, sf_dir, "q_rolling_multi")
+    assert plan.count("hashpartitioning(") == 2
+    assert plan.count("Sort ") <= 2  # one window sort (+AQE variance)
+    assert "BatchEvalPython" not in plan
+
+
+def test_sequence_ngrams_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_sequence_ngrams")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("hashpartitioning(") <= 2  # user window + agg
+
+
+def test_inverted_index_jvm_only_partial_agg(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_inverted_index")
+    assert "BatchEvalPython" not in plan
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
