@@ -92,3 +92,38 @@ def explode_quantity_units(lineitem: DataFrame, max_qty: int = 10) -> DataFrame:
             F.sequence(F.lit(1), F.col("l_quantity").cast("int"))
         ).alias("unit"),
     )
+
+
+@F.pandas_udf(T.IntegerType())
+def _zlib_size(text: pd.Series) -> pd.Series:
+    """Vectorized compressed-size probe (Arrow batch in/out).
+
+    stdlib zlib at the default level; deterministic for a fixed zlib
+    build (driver and executors share this container's Python)."""
+    import zlib
+
+    return text.map(
+        lambda s: len(zlib.compress(s.encode("utf-8"))) if s is not None
+        else None
+    ).astype("Int32")
+
+
+def compression_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document zlib compression ratio — the classic redundancy /
+    boilerplate quality signal for corpus curation (highly compressible
+    text is repetitive or templated; near-incompressible text is noise
+    or already-encoded data).
+
+    Only the compressed byte count crosses the Arrow boundary; byte
+    length and the final ratio stay JVM-side. One scan, no shuffle —
+    at 100 TB this is a pure map stage that scales with input splits.
+    The ratio divides two exact ints once per row (rounded to 4dp for
+    a stable report; the raw counts are also emitted)."""
+    return docs.select(
+        "doc_id",
+        F.octet_length(text_col).alias("n_bytes"),
+        _zlib_size(F.col(text_col)).alias("n_compressed"),
+    ).withColumn(
+        "ratio",
+        F.round(F.col("n_compressed") / F.col("n_bytes"), 4),
+    )

@@ -158,3 +158,34 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
     )
     return merge_upsert(target, updates.unionByName(inserts), "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Columnar-format interop
+
+
+_ORC_CACHE: dict[str, str] = {}
+
+
+@register(
+    "x_orc_roundtrip",
+    category="etl",
+    cost=1,
+    doc=(
+        "Columnar-format interop: orders written as ORC (zlib, Spark's "
+        "native writer) and read back — types, timestamps (micros), and "
+        "values must survive the format boundary bit-for-bit, so the "
+        "oracle is simply the source table. The interop matrix this "
+        "completes: parquet (everywhere), CSV (A1), JSON wire (A8), "
+        "XML (B3), ORC (here)."
+    ),
+    oracle="SELECT * FROM orders",
+)
+def x_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.streaming.runner import scratch_dir
+
+    if sf_dir not in _ORC_CACHE:
+        out = scratch_dir("orc_orders")
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").orc(out)
+        _ORC_CACHE[sf_dir] = out
+    return spark.read.orc(_ORC_CACHE[sf_dir])

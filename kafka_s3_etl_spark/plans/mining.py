@@ -334,7 +334,8 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # v2 is a deterministic simulated "next snapshot" of orders:
 # keys % 7 == 3 deleted, keys % 10 == 0 get price + 1.0, and keys
-# % 11 == 5 are re-inserted shifted by +10M (disjoint from real keys).
+# % 11 == 5 are re-inserted shifted by +1M (the repo's synthetic-insert offset,
+# disjoint from real keys and from the scaling probe's +10M copies).
 _DIFF_KEYS = "o_orderkey % 10 = 0"
 
 
@@ -349,7 +350,7 @@ _DIFF_KEYS = "o_orderkey % 10 = 0"
         "version. The oracle states the expected diff closed-form."
     ),
     oracle="""
-        SELECT o_orderkey + 10000000 AS o_orderkey,
+        SELECT o_orderkey + 1000000 AS o_orderkey,
                'insert' AS change_type
         FROM orders WHERE o_orderkey % 11 = 5
         UNION ALL
@@ -370,7 +371,7 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("o_totalprice")),
     )
     inserts = v1.filter(F.col("o_orderkey") % 11 == 5).withColumn(
-        "o_orderkey", F.col("o_orderkey") + 10_000_000
+        "o_orderkey", F.col("o_orderkey") + 1_000_000
     )
     v2 = survivors.select(*v1.columns).unionAll(inserts.select(*v1.columns))
     return snapshot_diff(v1, v2, "o_orderkey")
@@ -533,3 +534,141 @@ def q_sequence_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "trigram")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audit (Deequ/dbt-tests shape)
+
+
+@register(
+    "q_dq_audit",
+    category="profiling",
+    doc=(
+        "Declarative data-quality audit: completeness, uniqueness, "
+        "range, domain membership, and referential integrity evaluated "
+        "as ONE wide aggregate over the fact scan plus ONE broadcast "
+        "anti-join count for the foreign key — the Deequ/dbt-test "
+        "report shape. Each rule emits (rule, n_violations, pass); the "
+        "range and RI rules are deliberately strict enough to fire on "
+        "this corpus so the report is non-vacuous."
+    ),
+    oracle="""
+        SELECT 'custkey_complete' AS rule,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations,
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+                   AS pass
+        FROM orders
+        UNION ALL
+        SELECT 'orderkey_unique',
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+               COUNT(*) = COUNT(DISTINCT o_orderkey)
+        FROM orders
+        UNION ALL
+        SELECT 'price_range',
+               CAST(SUM(CASE WHEN o_totalprice < 0
+                              OR o_totalprice > 300000
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 300000
+                        THEN 1 ELSE 0 END) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'status_domain',
+               CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                        THEN 1 ELSE 0 END) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'custkey_in_dim',
+               CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+        FROM orders o
+        WHERE NOT EXISTS (
+          SELECT 1 FROM customer c
+          WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 100 <> 0
+        )
+    """,
+)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # The "dimension with gaps" makes the RI rule fire deterministically
+    # (every custkey divisible by 100 counts as missing from the dim).
+    dim = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 100 != 0
+    )
+
+    def rule(name: str, viol: "F.Column") -> DataFrame:
+        return orders.agg(
+            F.lit(name).alias("rule"),
+            viol.cast("bigint").alias("n_violations"),
+            (viol == 0).alias("pass"),
+        )
+
+    scan_rules = [
+        rule(
+            "custkey_complete",
+            F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)),
+        ),
+        rule(
+            "orderkey_unique",
+            F.count(F.lit(1)) - F.countDistinct("o_orderkey"),
+        ),
+        rule(
+            "price_range",
+            F.sum(
+                F.when(
+                    (F.col("o_totalprice") < 0)
+                    | (F.col("o_totalprice") > 300000),
+                    1,
+                ).otherwise(0)
+            ),
+        ),
+        rule(
+            "status_domain",
+            F.sum(
+                F.when(
+                    ~F.col("o_orderstatus").isin("O", "F", "P"), 1
+                ).otherwise(0)
+            ),
+        ),
+    ]
+    ri = (
+        orders.join(
+            F.broadcast(dim),
+            orders.o_custkey == dim.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+        .select(
+            F.lit("custkey_in_dim").alias("rule"),
+            F.col("v").cast("bigint").alias("n_violations"),
+            (F.col("v") == 0).alias("pass"),
+        )
+    )
+    out = scan_rules[0]
+    for r in scan_rules[1:]:
+        out = out.unionAll(r)
+    return out.unionAll(ri)
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal
+
+
+@register(
+    "q_compress_ratio",
+    category="text",
+    cost=1,
+    oracle=None,  # zlib has no DuckDB equivalent; exact-parity property test
+    doc=(
+        "Per-document zlib compression ratio (the Gopher-style "
+        "redundancy quality signal): Arrow-vectorized stdlib zlib for "
+        "the compressed size only, byte length and ratio JVM-side; one "
+        "map-only scan. Rows-only: tests/test_mining_ops.py recomputes "
+        "the exact compressed sizes with local zlib and pins equality."
+    ),
+)
+def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.udfs import compression_ratio
+
+    return compression_ratio(load_table(spark, sf_dir, "documents"))

@@ -64,6 +64,19 @@ PROBE_QUERIES = [
     "q_islands",
     "q_zorder_cluster",
     "q_stats_moments",
+    # round-5 batch-3/4 additions (customer now scales too: shifted
+    # c_custkey + regenerated c_name, so the linkage graph grows 10x)
+    "q_fuzzy_join",
+    "q_graph_triangles",
+    "q_profile_columns",
+    "q_inverted_index",
+    "q_rolling_multi",
+    "q_sequence_ngrams",
+    "q_table_diff",
+    "q_dq_audit",
+    "q_compress_ratio",
+    "q_hll_sketch",
+    "s_session_timeout",
 ]
 
 
@@ -82,6 +95,7 @@ def build_scaled_dir(spark, factor: int) -> str:
         "documents": [("doc_id", 5_000)],
         "embeddings": [("vec_id", 2_000)],
         "orders": [("o_orderkey", 10_000_000), ("o_custkey", 15_000)],
+        "customer": [("c_custkey", 15_000)],
     }
     for name in TESTDATA_TABLES:
         df = load_table(spark, BASE, name)
@@ -91,6 +105,14 @@ def build_scaled_dir(spark, factor: int) -> str:
                 c = df
                 for col, step in shifts[name]:
                     c = c.withColumn(col, (F.col(col) + i * step).cast("long"))
+                if name == "customer":
+                    # regenerate the name from the shifted key so the
+                    # linkage/triangle graph genuinely grows (identical
+                    # copied names would collapse in distinct())
+                    c = c.withColumn(
+                        "c_name",
+                        F.format_string("Customer#%09d", F.col("c_custkey")),
+                    )
                 copies.append(c)
             scaled = copies[0]
             for c in copies[1:]:

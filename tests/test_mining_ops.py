@@ -212,3 +212,48 @@ def test_inverted_index_jvm_only_partial_agg(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_inverted_index")
     assert "BatchEvalPython" not in plan
     assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_compress_ratio_exact_zlib_parity(spark, sf_dir):
+    """The Arrow UDF's compressed sizes equal local zlib byte-for-byte,
+    and repetitive text compresses tighter than high-entropy text."""
+    import zlib
+
+    from kafka_s3_etl_spark.plans.registry import all_queries
+    from kafka_s3_etl_spark.sources.tables import load_table
+
+    out = {
+        r.doc_id: (r.n_bytes, r.n_compressed, r.ratio)
+        for r in all_queries()["q_compress_ratio"].fn(spark, sf_dir).collect()
+    }
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .limit(2000)
+        .collect()
+    }
+    assert set(docs) <= set(out)
+    for did, text in docs.items():
+        raw = text.encode("utf-8")
+        nb, nc, ratio = out[did]
+        assert nb == len(raw)
+        assert nc == len(zlib.compress(raw))
+        assert ratio == round(nc / nb, 4)
+
+    from kafka_s3_etl_spark.operators.udfs import compression_ratio
+
+    probe = spark.createDataFrame(
+        [(1, "abc " * 200), (2, "".join(chr(33 + (i * 17) % 90) for i in range(800)))],
+        ["doc_id", "text"],
+    )
+    r = {x.doc_id: x.ratio for x in compression_ratio(probe).collect()}
+    assert r[1] < 0.1 < r[2]
+
+
+def test_dq_audit_single_scan_and_broadcast_ri(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_dq_audit")
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "LeftAnti" in plan and "BroadcastExchange" in plan
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
