@@ -108,6 +108,8 @@ HEADLINE = [
     "q_inverted_index",
     "q_rolling_multi",
     "q_sequence_ngrams",
+    "q_anomaly_mad",
+    "q_dq_audit",
     "s_kafka_to_s3",
     "s_session_timeout",
     "s_window_tumbling",

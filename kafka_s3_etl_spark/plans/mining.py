@@ -672,3 +672,113 @@ def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_s3_etl_spark.operators.udfs import compression_ratio
 
     return compression_ratio(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection (median / MAD)
+
+
+@register(
+    "q_anomaly_mad",
+    category="statistics",
+    doc=(
+        "Robust per-group outlier detection (median + MAD, the "
+        "3-sigma-equivalent robust z-score): medians computed over "
+        "EXACT integer cents, where quantile interpolation is "
+        "bit-exact on both engines (midpoints of integers < 2^52 "
+        "involve no rounding), so med/MAD/outlier-threshold are "
+        "engine-identical without any rounding. Two extra corpus "
+        "scans are inherent to the exact two-level median; the "
+        "production single-pass variant swaps in approx_percentile. "
+        "Group medians broadcast back (tiny dim), never a per-type "
+        "window over the corpus (a handful of event types would make "
+        "that one giant sorted partition each)."
+    ),
+    oracle="""
+        WITH med AS (
+          SELECT event_type,
+                 quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.5)
+                     AS med_cents
+          FROM events GROUP BY event_type
+        ),
+        dev AS (
+          SELECT e.event_type,
+                 abs(CAST(ROUND(e.value * 100) AS BIGINT) - m.med_cents)
+                     AS d
+          FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+          SELECT event_type, quantile_cont(d, 0.5) AS mad_cents
+          FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type, m.med_cents, s.mad_cents,
+               CAST(SUM(CASE WHEN d.d > 3 * 1.4826 * s.mad_cents
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev d
+        JOIN med m USING (event_type)
+        JOIN mad s USING (event_type)
+        GROUP BY d.event_type, m.med_cents, s.mad_cents
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med_cents")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med_cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("d"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("d", F.lit(0.5)).alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med_cents", "mad_cents")
+        .agg(
+            F.sum(
+                F.when(F.col("d") > 3 * 1.4826 * F.col("mad_cents"), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution (linkage graph -> canonical entities)
+
+
+@register(
+    "q_entity_resolution",
+    category="linkage",
+    cost=2,
+    oracle=None,  # iterative CC; union-find property test instead
+    doc=(
+        "End-to-end entity resolution: edit-distance-1 linkage pairs "
+        "-> connected components (min-label propagation, string labels "
+        "— the component minimum IS the canonical spelling) -> "
+        "(name, canonical, is_canonical). Rows-only: iterative "
+        "algorithm; tests pin exact equality with a union-find over "
+        "the same pairs."
+    ),
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.dedup import connected_components
+
+    cust = load_table(spark, sf_dir, "customer")
+    edges = fuzzy_pairs_ed1(cust, col="c_name").select(
+        F.col("a").alias("doc_a"), F.col("b").alias("doc_b")
+    )
+    nodes = cust.select(F.col("c_name").alias("doc_id")).distinct()
+    cc = connected_components(edges, nodes)
+    return cc.select(
+        F.col("doc_id").alias("c_name"),
+        F.col("cluster_id").alias("canonical"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )

@@ -257,3 +257,47 @@ def test_dq_audit_single_scan_and_broadcast_ri(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_entity_resolution_matches_union_find(spark, sf_dir):
+    """CC over the linkage graph == a driver-side union-find over the
+    same pairs; the canonical is the lexicographic component minimum,
+    and exactly one member per cluster is flagged canonical."""
+    from kafka_s3_etl_spark.plans.registry import all_queries
+    from kafka_s3_etl_spark.sources.tables import load_table
+
+    got = {
+        r.c_name: (r.canonical, r.is_canonical)
+        for r in all_queries()["q_entity_resolution"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    cust = load_table(spark, sf_dir, "customer")
+    names = [r.c_name for r in cust.select("c_name").distinct().collect()]
+    pairs = [
+        (r.a, r.b)
+        for r in __import__(
+            "kafka_s3_etl_spark.operators.linkage", fromlist=["x"]
+        ).fuzzy_pairs_ed1(cust, "c_name").collect()
+    ]
+    parent = {n: n for n in names}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters: dict[str, list[str]] = {}
+    for n in names:
+        clusters.setdefault(find(n), []).append(n)
+    expected = {
+        n: (min(members), n == min(members))
+        for root, members in clusters.items()
+        for n in members
+    }
+    assert got == expected
