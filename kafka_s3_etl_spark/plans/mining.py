@@ -1,10 +1,19 @@
-"""Round-5 batch 3: profiling, record linkage, graph analytics, and
-mergeable sketches.
+"""Round-5 batches 3-4: profiling, record linkage, graph analytics,
+mergeable sketches, versioning, search, features, and robust stats.
 
 Registered as the LAST plan module so the driver sweep's first-50
 window stays untouched (lakehouse-last convention, see registry.py).
 
-Catalog:
+Batch-4 catalog (SURVEY.md 2i): q_table_diff (snapshot reconciliation),
+q_inverted_index (posting lists), q_rolling_multi (multi-horizon RANGE
+features), q_sequence_ngrams (behavioral trigrams), q_dq_audit
+(Deequ-shape rule report), q_compress_ratio (zlib redundancy signal),
+q_anomaly_mad (median/MAD robust outliers — exact-integer quantiles),
+q_entity_resolution (linkage pairs -> CC -> canonical spellings).
+s_session_timeout lives in plans/streaming_queries.py and
+x_orc_roundtrip in plans/etl.py.
+
+Batch-3 catalog:
 
 * q_profile_columns — one-pass data profiling (the "what is in this
   table" audit every ingestion run records): per-column row/null/
@@ -597,41 +606,54 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey") % 100 != 0
     )
 
-    def rule(name: str, viol: "F.Column") -> DataFrame:
-        return orders.agg(
-            F.lit(name).alias("rule"),
-            viol.cast("bigint").alias("n_violations"),
-            (viol == 0).alias("pass"),
+    # All four scan rules in ONE aggregation over ONE scan, then melted
+    # to rows (a per-rule .agg() would rescan the fact table per rule).
+    metrics = orders.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_complete"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("v_unique"),
+        F.sum(
+            F.when(
+                (F.col("o_totalprice") < 0)
+                | (F.col("o_totalprice") > 300000),
+                1,
+            ).otherwise(0)
         )
-
-    scan_rules = [
-        rule(
-            "custkey_complete",
-            F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)),
-        ),
-        rule(
-            "orderkey_unique",
-            F.count(F.lit(1)) - F.countDistinct("o_orderkey"),
-        ),
-        rule(
-            "price_range",
-            F.sum(
-                F.when(
-                    (F.col("o_totalprice") < 0)
-                    | (F.col("o_totalprice") > 300000),
-                    1,
-                ).otherwise(0)
-            ),
-        ),
-        rule(
-            "status_domain",
-            F.sum(
-                F.when(
-                    ~F.col("o_orderstatus").isin("O", "F", "P"), 1
-                ).otherwise(0)
-            ),
-        ),
+        .cast("bigint")
+        .alias("v_range"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("v_domain"),
+    )
+    rule_names = [
+        ("custkey_complete", "v_complete"),
+        ("orderkey_unique", "v_unique"),
+        ("price_range", "v_range"),
+        ("status_domain", "v_domain"),
     ]
+    scan_report = metrics.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"),
+                        F.col(col).alias("n_violations"),
+                    )
+                    for name, col in rule_names
+                ]
+            )
+        ).alias("kv")
+    ).select(
+        "kv.rule",
+        "kv.n_violations",
+        (F.col("kv.n_violations") == 0).alias("pass"),
+    )
     ri = (
         orders.join(
             F.broadcast(dim),
@@ -645,10 +667,7 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("v") == 0).alias("pass"),
         )
     )
-    out = scan_rules[0]
-    for r in scan_rules[1:]:
-        out = out.unionAll(r)
-    return out.unionAll(ri)
+    return scan_report.unionAll(ri)
 
 
 # ---------------------------------------------------------------------------

@@ -64,10 +64,18 @@ def gap_sessions(events: DataFrame, gap_minutes: int = 10) -> DataFrame:
     ``gap_minutes`` extends it, beyond closes it (emit) and opens a new
     one. The open session arms an event-time timeout at end + gap; when
     the watermark passes that, the state times out and the final
-    session flushes. Emission is therefore exactly-once per session and
-    batching-invariant — the stream equivalent of
-    ``operators/temporal.py::sessionize`` (same strict-> gap break at
-    microsecond precision).
+    session flushes. Emission is exactly-once per session — the stream
+    equivalent of ``operators/temporal.py::sessionize`` (same strict->
+    gap break at microsecond precision).
+
+    Ordering contract: events WITHIN a micro-batch are sorted before
+    folding, but ACROSS batches a key's events must arrive in
+    non-decreasing event time relative to its open session (a Kafka
+    topic partitioned by the session key provides this; the demo's
+    single-delivery source trivially does). A fully reorder-tolerant
+    variant buffers sub-watermark events in state and folds only the
+    below-watermark prefix at timeout — same state bound, one extra
+    list per key.
 
     Scale: state is O(distinct keys) x one 24-byte tuple; the timeout
     bounds it for keys that go quiet. One hash shuffle on the key per

@@ -257,6 +257,11 @@ def test_dq_audit_single_scan_and_broadcast_ri(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+    # One fact scan for the four melted rules + one for the RI
+    # anti-join + the customer dim scan — never a per-rule rescan.
+    # ("Location:" appears once per scan's detail block; the node name
+    # itself prints twice in formatted explain.)
+    assert plan.count("Location:") == 3
 
 
 def test_entity_resolution_matches_union_find(spark, sf_dir):
