@@ -99,6 +99,8 @@ HEADLINE = [
     "q_tpch_pricing",
     "q_tpch_shipping",
     "q_tpch_local_volume",
+    "q_tpch_market_share",
+    "q_tpch_big_orders",
     "q_window_funnel",
     "q_profile_columns",
     "q_fuzzy_join",
@@ -116,6 +118,7 @@ HEADLINE = [
     "s_stream_join",
     "s_foreach_rollup",
     "s_enrich_static",
+    "s_chained_windows",
     "s_cdc_upsert",
 ]
 

@@ -1,0 +1,236 @@
+"""Round-5 batch 5: deep TPC-H snowflake shapes and chained streaming
+window aggregation.
+
+These extend the warehouse surface past the reference's two pipelines
+(beyond-reference tier, same policy as plans/analytics.py): classic
+OLAP benchmark shapes a reference user migrating real warehouse
+workloads would expect, plus the Spark-4 multiple-stateful-operators
+feature (chained event-time window aggregations in ONE streaming
+query — pre-4.x this required two jobs with an intermediate sink).
+
+Catalog (SURVEY.md 2i):
+
+* q_tpch_market_share — TPC-H Q8 shape (national market share): the
+  deepest snowflake join in the benchmark, with nation playing TWO
+  roles (customer-side region filter, supplier-side share dimension).
+  Every dimension (region, nation x2, filtered part, supplier) is a
+  broadcast; the only shuffles are lineitem->orders on the order key
+  and the final one-row-per-year aggregation. Share = exact-integer
+  cents divided ONCE per group, so the double division is
+  bit-identical on both engines.
+* q_tpch_big_orders — TPC-H Q18 shape (large-volume customers): a
+  HAVING-on-aggregate semi-filter. sum(l_quantity) per order is
+  map-side-combined BEFORE any join, so at 100 TB the big->big
+  lineitem x orders join degrades to (filtered orders) x orders:
+  the aggregate filter passes ~1/5 of orders here and a few ppm at
+  TPC-H selectivities. Quantities are integral -> BIGINT-exact sums.
+* s_chained_windows — 5-minute event-time window counts re-windowed
+  into 15-minute buckets INSIDE the same streaming query
+  (groupBy(window(window_time(w), ...)), Spark 4 multi-stateful).
+  Append mode: the inner windows finalize at the watermark and feed
+  the outer agg in the same trigger; emitted rows are exactly the
+  15-minute windows whose end <= final watermark (max ts - 10 min),
+  which is what the oracle computes. n_subwindows counts the distinct
+  5-minute windows merged into each bucket, pinning that the rollup
+  really consumed finalized inner windows (3 per full bucket).
+
+Exactness notes: same integer-unit conventions as plans/analytics.py
+(cents x integer-percent products summed as BIGINT, divided once);
+DuckDB SUM(BIGINT) widens to HUGEINT so every oracle sum is CAST
+before exposure; year() is BIGINT in DuckDB, INT in Spark -> CAST.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_s3_etl_spark.plans.registry import register
+from kafka_s3_etl_spark.sources.tables import load_table
+
+# Q8 parameters: share of TARGET_NATION within MKT_REGION for ECONOMY
+# parts. NATION_2 sits in ASIA (testdata nation->region layout).
+_MKT_REGION = "ASIA"
+_TARGET_NATION = "NATION_2"
+_MKT_PTYPE = "ECONOMY"
+
+_CENTS = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+_DPC = "CAST(ROUND(l_discount * 100) AS BIGINT)"
+
+
+@register(
+    "q_tpch_market_share",
+    category="relational",
+    cost=1,
+    doc=(
+        "TPC-H Q8 shape (market share): nation in two dimension roles; "
+        "all five dims broadcast, lineitem shuffles once (order key); "
+        "share = exact cents ratio, divided once per year."
+    ),
+    oracle=f"""
+        SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+               CAST(SUM(CASE WHEN sn.n_name = '{_TARGET_NATION}'
+                             THEN {_CENTS} * (100 - {_DPC}) ELSE 0 END)
+                    AS DOUBLE)
+                 / CAST(SUM({_CENTS} * (100 - {_DPC})) AS DOUBLE)
+                   AS mkt_share,
+               CAST(SUM({_CENTS} * (100 - {_DPC})) AS DOUBLE) / 1e4
+                   AS revenue_total
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN region r ON cn.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        WHERE p.p_type = '{_MKT_PTYPE}' AND r.r_name = '{_MKT_REGION}'
+        GROUP BY 1
+    """,
+)
+def q_tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    # Customer-side nation role: which nations sit in the market region.
+    region_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == _MKT_REGION)),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(region_nations),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("c_custkey")
+    )
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    # Supplier-side nation role: the share dimension.
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    part_keys = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == _MKT_PTYPE)
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part_keys), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.expr(f"{_CENTS} * (100 - {_DPC})").alias("disc_cents"),
+        )
+    )
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("o_year")
+        .agg(
+            F.expr(
+                f"CAST(SUM(CASE WHEN supp_nation = '{_TARGET_NATION}'"
+                " THEN disc_cents ELSE 0 END) AS DOUBLE)"
+                " / CAST(SUM(disc_cents) AS DOUBLE)"
+            ).alias("mkt_share"),
+            F.expr("CAST(SUM(disc_cents) AS DOUBLE) / 1e4").alias(
+                "revenue_total"
+            ),
+        )
+    )
+
+
+@register(
+    "q_tpch_big_orders",
+    category="relational",
+    cost=1,
+    doc=(
+        "TPC-H Q18 shape (large-volume customers): HAVING-filtered "
+        "per-order quantity rollup (map-side combined, pre-join) "
+        "semi-filters orders before the customer join; integral "
+        "quantities keep the sums BIGINT-exact."
+    ),
+    oracle="""
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice, big.sum_qty
+        FROM (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                     AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 150
+        ) big
+        JOIN orders o ON big.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_tpch_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.expr("CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)").alias(
+                "sum_qty"
+            )
+        )
+        .filter(F.col("sum_qty") > 150)
+    )
+    ords = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(ords, big.l_orderkey == ords.o_orderkey)
+        .join(cust, ords.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "s_chained_windows",
+    category="streaming",
+    cost=3,
+    doc=(
+        "Chained event-time window aggs in ONE streaming query "
+        "(Spark 4 multi-stateful): 5-min counts re-windowed via "
+        "window_time into 15-min buckets; append mode emits exactly "
+        "the buckets closed by the final watermark (max ts - 10 min). "
+        "n_subwindows pins that finalized inner windows fed the rollup."
+    ),
+    oracle="""
+        WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+        SELECT ws, we, event_type, n, n_subwindows FROM (
+          SELECT make_timestamp(CAST(floor(epoch(ts)/900)*900*1000000 AS BIGINT)) AS ws,
+                 make_timestamp(CAST((floor(epoch(ts)/900)+1)*900*1000000 AS BIGINT)) AS we,
+                 event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT floor(epoch(ts)/300)) AS BIGINT)
+                     AS n_subwindows
+          FROM events GROUP BY 1, 2, 3
+        ), wm WHERE we <= wm.w
+    """,
+)
+def s_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.streaming.jobs import chained_window_counts
+    from kafka_s3_etl_spark.streaming.runner import (
+        run_available_now,
+        stream_table,
+    )
+
+    agg = chained_window_counts(stream_table(spark, sf_dir, "events"))
+    return run_available_now(agg, output_mode="append")

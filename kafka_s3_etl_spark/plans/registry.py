@@ -39,6 +39,7 @@ _PLAN_MODULES = [
     "kafka_s3_etl_spark.plans.features",
     "kafka_s3_etl_spark.plans.analytics",
     "kafka_s3_etl_spark.plans.mining",
+    "kafka_s3_etl_spark.plans.olap",
 ]
 
 

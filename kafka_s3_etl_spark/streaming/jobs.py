@@ -84,6 +84,49 @@ def session_counts(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
     )
 
 
+def chained_window_counts(
+    events: DataFrame, inner: str = "5 minutes", outer: str = "15 minutes"
+) -> DataFrame:
+    """Two chained event-time window aggregations in one streaming
+    query (Spark 4 multiple-stateful-operators): per-``inner`` counts
+    per event_type, re-windowed via ``window_time`` into ``outer``
+    buckets. Before multi-stateful support this took two jobs with an
+    intermediate sink; here the inner windows finalize at the watermark
+    and flow straight into the outer agg within the same trigger.
+
+    ``outer`` must be an integer multiple of ``inner`` so inner windows
+    nest exactly. Emits (ws, we, event_type, n, n_subwindows) where
+    n_subwindows counts the finalized inner windows merged per bucket.
+
+    Scale: both stateful stages hash-partition on (window, event_type);
+    the second stage's input is already one-row-per-inner-window, i.e.
+    pre-aggregated by a factor of events-per-window before the second
+    shuffle — the same partial-rollup economics as a two-tier lambda
+    pipeline, without the intermediate storage.
+    """
+    per_inner = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", inner).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_inner"))
+    )
+    return (
+        per_inner.groupBy(
+            F.window(F.window_time("w"), outer).alias("w2"), "event_type"
+        )
+        .agg(
+            F.sum("n_inner").cast("bigint").alias("n"),
+            F.count("*").cast("bigint").alias("n_subwindows"),
+        )
+        .select(
+            F.col("w2.start").alias("ws"),
+            F.col("w2.end").alias("we"),
+            "event_type",
+            "n",
+            "n_subwindows",
+        )
+    )
+
+
 def stream_stream_followups(left: DataFrame, right: DataFrame) -> DataFrame:
     """Stream-stream inner join: follow-up events within 1h per user.
 

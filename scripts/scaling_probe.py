@@ -77,6 +77,12 @@ PROBE_QUERIES = [
     "q_compress_ratio",
     "q_hll_sketch",
     "s_session_timeout",
+    # round-5 batch-5 additions (lineitem now scales too — l_orderkey
+    # shifts in lockstep with orders so each copy keeps FK integrity)
+    "q_tpch_pricing",
+    "q_tpch_market_share",
+    "q_tpch_big_orders",
+    "s_chained_windows",
 ]
 
 
@@ -85,7 +91,9 @@ def build_scaled_dir(spark, factor: int) -> str:
 
     from kafka_s3_etl_spark.sources.tables import TESTDATA_TABLES, load_table
 
-    out = f"/tmp/spark_graft_scaled_{factor}x"
+    # v2: lineitem now replicates too (key-shifted); the suffix keys the
+    # cache so a layout change can never reuse a stale scaled corpus.
+    out = f"/tmp/spark_graft_scaled_{factor}x_v2"
     if os.path.isdir(out) and os.path.exists(os.path.join(out, "_READY")):
         return out
     shutil.rmtree(out, ignore_errors=True)
@@ -95,6 +103,7 @@ def build_scaled_dir(spark, factor: int) -> str:
         "documents": [("doc_id", 5_000)],
         "embeddings": [("vec_id", 2_000)],
         "orders": [("o_orderkey", 10_000_000), ("o_custkey", 15_000)],
+        "lineitem": [("l_orderkey", 10_000_000)],
         "customer": [("c_custkey", 15_000)],
     }
     for name in TESTDATA_TABLES:

@@ -404,3 +404,31 @@ def test_window_funnel_single_repartition(spark, sf_dir):
     it."""
     plan = plan_of(spark, sf_dir, "q_window_funnel")
     assert plan.count("hashpartitioning(") == 1
+
+
+def test_tpch_market_share_all_dims_broadcast(spark, sf_dir):
+    """Q8 shape: part/region/nation/supplier (and the semi-filters they
+    feed) must all arrive as broadcasts; lineitem is the only big side
+    and its scan reads exactly the 5 needed columns."""
+    plan = plan_of(spark, sf_dir, "q_tpch_market_share")
+    assert "EqualTo(p_type,ECONOMY)" in plan  # dim filter reaches the scan
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,"
+        "l_suppkey:bigint,l_extendedprice:double,l_discount:double>"
+    ) in plan
+    # per-year grouped agg is partial (map-side combined)
+    assert "partial_" in plan
+
+
+def test_tpch_big_orders_aggregates_before_joining(spark, sf_dir):
+    """Q18 shape: the per-order quantity rollup (with its map-side
+    partial) must run BEFORE any join — the HAVING filter then shrinks
+    the join input, which is the whole point of the shape at scale."""
+    plan = plan_of(spark, sf_dir, "q_tpch_big_orders")
+    assert "partial_sum(cast(round(l_quantity" in plan
+    # one exchange: the order-key agg; the join reuses its partitioning
+    # (broadcast at test SF) and no other shuffle exists pre-AQE
+    assert plan.count("hashpartitioning(") == 1
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan

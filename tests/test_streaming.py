@@ -207,3 +207,57 @@ def test_stream_table_reads_directory_shaped_tables(spark, sf_dir, tmp_path):
         output_mode="complete",
     )
     assert streamed.collect()[0][0] == n
+
+
+def test_chained_windows_runs_two_stateful_operators(spark):
+    """s_chained_windows must be ONE streaming query with TWO stateful
+    window aggregations (Spark 4 multi-stateful) — pinned via the query
+    progress's stateOperators — and the outer bucket must really merge
+    finalized inner windows (n == sum of its 5-min counts, 3 subwindows
+    per interior bucket)."""
+    import datetime
+    import uuid
+
+    from kafka_s3_etl_spark.streaming.jobs import chained_window_counts
+    from kafka_s3_etl_spark.streaming.runner import (
+        _await_or_fail,
+        _pinned_stream_partitions,
+        scratch_dir,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # one event per minute for 60 min: every interior 15-min bucket
+        # holds 3 finalized 5-min windows of 5 events each
+        (i, base + datetime.timedelta(minutes=i), "click")
+        for i in range(60)
+    ]
+    schema = "event_id long, ts timestamp, event_type string"
+    src = scratch_dir("chained_src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = chained_window_counts(stream)
+    name = f"mem_{uuid.uuid4().hex[:10]}"
+    with _pinned_stream_partitions(agg):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", scratch_dir("ckpt"))
+            .start()
+        )
+    _await_or_fail(q, 120)
+    assert len(q.lastProgress["stateOperators"]) == 2
+    got = {
+        (r.ws, r.n, r.n_subwindows) for r in spark.table(name).collect()
+    }
+    # watermark = 00:59 - 10min = 00:49 -> buckets ending <= 00:45 emit
+    expect = {
+        (base, 15, 3),
+        (base + datetime.timedelta(minutes=15), 15, 3),
+        (base + datetime.timedelta(minutes=30), 15, 3),
+    }
+    assert got == expect
