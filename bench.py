@@ -61,6 +61,7 @@ HEADLINE = [
     "q_sim_topk",
     "q_sim_ann_lsh",
     "q_sim_ivf",
+    "q_embed_pca",
     "q_text_stats",
     "q_text_langid",
     "q_text_fingerprint",

@@ -399,3 +399,85 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95) -> DataF
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def _pca_fit_numpy(sample, k: int):
+    """Deterministic PCA fit on the driver-side sample: center, SVD,
+    keep the top-k right singular vectors. Sign-fixed so the result is
+    reproducible across runs/BLAS builds: each component is flipped to
+    make its largest-|.|-magnitude entry positive (ties broken by the
+    lowest index, which argmax already guarantees).
+
+    Same scale argument as the IVF quantizer fit (`_lloyd_numpy`): a
+    projection basis needs only a representative sample — sklearn/FAISS
+    PCA-reduce train the matrix the same way — so the fit input stays a
+    few hundred KB at any corpus size and no distributed-ML job runs.
+    Returns (mean, components) as plain nested lists.
+    """
+    import numpy as np
+
+    X = np.asarray(sample, dtype=np.float64)
+    mean = X.mean(axis=0)
+    _, _, vt = np.linalg.svd(X - mean, full_matrices=False)
+    comps = vt[:k]
+    for i in range(comps.shape[0]):
+        j = int(np.abs(comps[i]).argmax())
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean.tolist(), [c.tolist() for c in comps]
+
+
+def pca_project(
+    embeddings: DataFrame, k: int = 4, fit_cap: int = 4096
+) -> DataFrame:
+    """Project the embedding column onto its top-k principal components
+    — the dimensionality-reduction stage a training-data pipeline runs
+    before ANN indexing / clustering (FAISS's PCAMatrix pre-transform).
+
+    Fit: driver-side numpy SVD on a deterministic capped sample
+    (vec_id prefix, same convention as `ivf_topk`). Apply: the mean and
+    the k x d component matrix ride into the plan as ONE broadcast row
+    (never thousands of literals — the LSH lesson), and the projection
+    is a map-only JVM expression: proj[i] = dot(embedding - mean,
+    comp[i]) via nested zip_with/aggregate. No shuffle, no Python on
+    the corpus path, one scan; at 100 TB this is embarrassingly
+    parallel and the fit cost is unchanged.
+
+    Returns (vec_id, proj array<double> length k).
+    """
+    spark = embeddings.sparkSession
+    sample = [
+        r.embedding
+        for r in embeddings.filter(F.col("vec_id") < fit_cap)
+        .select("embedding")
+        .collect()
+    ]
+    if not sample:
+        sample = [
+            r.embedding
+            for r in embeddings.select("embedding").limit(fit_cap).collect()
+        ]
+    if not sample:
+        raise ValueError("pca_project: embeddings corpus is empty; nothing to fit")
+    k = min(k, len(sample[0]), len(sample))
+    mean, comps = _pca_fit_numpy(sample, k)
+    basis = spark.createDataFrame(
+        [(mean, comps)], "mu array<double>, comps array<array<double>>"
+    )
+    # centered is re-inlined into each component's dot by CollapseProject
+    # (HOFs get no CSE) — k * d extra subtractions per row, accepted:
+    # still map-only and far under one extra column shuffle.
+    centered = F.zip_with(
+        F.col("embedding"), F.col("mu"), lambda a, b: a.cast("double") - b
+    )
+    proj = F.transform(
+        F.col("comps"),
+        lambda c: F.aggregate(
+            F.zip_with(centered, c, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return embeddings.crossJoin(F.broadcast(basis)).select(
+        "vec_id", proj.alias("proj")
+    )

@@ -8,7 +8,7 @@ workloads would expect, plus the Spark-4 multiple-stateful-operators
 feature (chained event-time window aggregations in ONE streaming
 query — pre-4.x this required two jobs with an intermediate sink).
 
-Catalog (SURVEY.md 2i):
+Catalog (SURVEY.md 2j):
 
 * q_tpch_market_share — TPC-H Q8 shape (national market share): the
   deepest snowflake join in the benchmark, with nation playing TWO
@@ -33,6 +33,10 @@ Catalog (SURVEY.md 2i):
   which is what the oracle computes. n_subwindows counts the distinct
   5-minute windows merged into each bucket, pinning that the rollup
   really consumed finalized inner windows (3 per full bucket).
+* q_embed_pca — PCA dimensionality reduction of the embedding corpus
+  (operators/similarity.py::pca_project): the reduce stage a training
+  pipeline runs before ANN indexing/clustering. Rows-only entry; numpy
+  parity / orthonormality / variance ordering in tests/test_llm_ops.py.
 
 Exactness notes: same integer-unit conventions as plans/analytics.py
 (cents x integer-percent products summed as BIGINT, divided once);
@@ -234,3 +238,23 @@ def s_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     agg = chained_window_counts(stream_table(spark, sf_dir, "events"))
     return run_available_now(agg, output_mode="append")
+
+
+@register(
+    "q_embed_pca",
+    category="similarity",
+    cost=2,
+    oracle=None,  # SVD basis is not SQL-expressible; numpy-parity tested
+    doc=(
+        "PCA dimensionality reduction of the embedding corpus (the "
+        "pre-ANN/clustering reduce stage): driver-fit SVD on a capped "
+        "deterministic sample, sign-fixed components broadcast as one "
+        "row, map-only JVM projection. Rows-only: numpy projection "
+        "parity, component orthonormality, and explained-variance "
+        "ordering pinned in tests/test_llm_ops.py."
+    ),
+)
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.similarity import pca_project
+
+    return pca_project(load_table(spark, sf_dir, "embeddings"), k=4)

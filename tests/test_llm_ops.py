@@ -679,3 +679,59 @@ def test_pagerank_keeps_mass_for_endpoints_missing_from_nodes(spark):
     got = {r.doc_id: r.rank for r in pagerank(pairs, nodes, iters=5).collect()}
     assert set(got) == {1, 2, 3, 99}
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pca_project_matches_numpy_and_orders_variance(spark, sf_dir):
+    """pca_project's JVM projection must equal the numpy projection of
+    the same fitted basis (1e-9), components must be orthonormal, and
+    projected variance must be non-increasing across components (the
+    defining PCA property)."""
+    import numpy as np
+
+    from kafka_s3_etl_spark.operators.similarity import (
+        _pca_fit_numpy,
+        pca_project,
+    )
+    from kafka_s3_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 4
+    got = {r.vec_id: list(r.proj) for r in pca_project(emb, k=k).collect()}
+    rows = {r.vec_id: r.embedding for r in emb.collect()}
+    assert set(got) == set(rows) and all(len(p) == k for p in got.values())
+
+    sample = [rows[v] for v in sorted(rows) if v < 4096] or [
+        rows[v] for v in sorted(rows)
+    ]
+    mean, comps = _pca_fit_numpy(sample, k)
+    mean, comps = np.array(mean), np.array(comps)
+    # orthonormal basis
+    assert np.allclose(comps @ comps.T, np.eye(k), atol=1e-9)
+    # projection parity, element-wise
+    for vid, e in rows.items():
+        want = (np.asarray(e, dtype=np.float64) - mean) @ comps.T
+        assert np.allclose(got[vid], want, atol=1e-9), vid
+    # explained variance is sorted (fit sample == full corpus here)
+    var = np.var(np.array([got[v] for v in sorted(got)]), axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-12 for i in range(k - 1))
+
+
+def test_pca_project_empty_and_sign_determinism(spark):
+    import numpy as np
+    import pytest
+
+    from kafka_s3_etl_spark.operators.similarity import (
+        _pca_fit_numpy,
+        pca_project,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        pca_project(empty)
+
+    # sign convention: largest-|x| entry of each component is positive
+    rng = np.random.default_rng(7)
+    _, comps = _pca_fit_numpy(rng.normal(size=(50, 6)), 3)
+    for c in comps:
+        c = np.array(c)
+        assert c[np.abs(c).argmax()] > 0
