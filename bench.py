@@ -102,6 +102,8 @@ HEADLINE = [
     "q_tpch_local_volume",
     "q_tpch_market_share",
     "q_tpch_big_orders",
+    "q_frequent_pairs",
+    "q_attribution",
     "q_window_funnel",
     "q_profile_columns",
     "q_fuzzy_join",

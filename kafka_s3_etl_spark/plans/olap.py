@@ -37,6 +37,15 @@ Catalog (SURVEY.md 2j):
   (operators/similarity.py::pca_project): the reduce stage a training
   pipeline runs before ANN indexing/clustering. Rows-only entry; numpy
   parity / orthonormality / variance ordering in tests/test_llm_ops.py.
+* q_frequent_pairs — market-basket pair mining, apriori-pruned: pair
+  support can never exceed item support, so dropping infrequent items
+  first (broadcast semi-join) is lossless; pairs are generated INSIDE
+  per-order baskets (bounded by order size), never by self-joining the
+  fact table — the plan test pins zero sort-merge joins.
+* q_attribution — per-purchase first-touch (running struct-min) and
+  last-touch (lag + 7-day lookback mask) attribution from ONE per-user
+  window sort; (ts, event_id) makes the order total so struct min and
+  lag are engine-deterministic under timestamp ties.
 
 Exactness notes: same integer-unit conventions as plans/analytics.py
 (cents x integer-percent products summed as BIGINT, divided once);
@@ -258,3 +267,139 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_s3_etl_spark.operators.similarity import pca_project
 
     return pca_project(load_table(spark, sf_dir, "embeddings"), k=4)
+
+
+@register(
+    "q_frequent_pairs",
+    category="mining",
+    cost=1,
+    doc=(
+        "Market-basket pair mining (apriori-pruned co-occurrence): "
+        "distinct (order, part) -> infrequent parts pruned by the "
+        "apriori property (pair support <= item support, so the filter "
+        "cannot change the answer) -> ONE basket agg per order -> "
+        "in-array pair generation (baskets are bounded by order size, "
+        "never a self-join of the fact table) -> pair count."
+    ),
+    oracle="""
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        freq AS (
+          SELECT l_partkey FROM items GROUP BY l_partkey HAVING count(*) >= 2
+        ),
+        f_items AS (
+          SELECT i.l_orderkey, i.l_partkey FROM items i
+          JOIN freq USING (l_partkey)
+        )
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM f_items a
+        JOIN f_items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    min_support = 2
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    freq = (
+        items.groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_support)
+        .select("l_partkey")
+    )
+    # The part dimension is broadcast-size at any corpus scale (pair
+    # mining over an unbounded item space needs the count-min variant);
+    # at 100 TB this stays a broadcast semi-join keyed on the item.
+    baskets = (
+        items.join(F.broadcast(freq), "l_partkey", "left_semi")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("basket"))
+    )
+    # Pairs are generated INSIDE each basket (<= C(items-per-order, 2)
+    # of them), so pair-explosion is bounded by basket size, not by the
+    # part catalog; the quadratic term never touches a shuffle until
+    # it is already (pair, 1) rows feeding a map-side-combined count.
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(basket, (x, i) ->"
+                " transform(slice(basket, i + 2, size(basket)),"
+                " y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .filter(F.col("n_orders") >= min_support)
+    )
+
+
+@register(
+    "q_attribution",
+    category="temporal",
+    cost=1,
+    doc=(
+        "Marketing attribution per purchase: first-touch (earliest "
+        "prior event, running struct-min) and last-touch (lag, masked "
+        "to NULL past a 7-day lookback) from ONE per-user window sort. "
+        "The (ts, event_id) composite order is total, so struct min / "
+        "lag pick identical rows on both engines even under ts ties."
+    ),
+    oracle="""
+        WITH seq AS (
+          SELECT event_id, user_id, ts, event_type,
+                 min({'ts': ts, 'eid': event_id, 'etype': event_type})
+                     OVER w AS first_s,
+                 lag({'ts': ts, 'eid': event_id, 'etype': event_type})
+                     OVER w AS prev_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id, ts,
+               first_s.ts AS first_ts, first_s.etype AS first_type,
+               CASE WHEN prev_s.ts >= ts - INTERVAL 7 DAY
+                    THEN prev_s.ts END AS last_ts,
+               CASE WHEN prev_s.ts >= ts - INTERVAL 7 DAY
+                    THEN prev_s.etype END AS last_type
+        FROM seq WHERE event_type = 'purchase'
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    touch = F.struct(
+        F.col("ts"),
+        F.col("event_id").alias("eid"),
+        F.col("event_type").alias("etype"),
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_hist = w_seq.rowsBetween(Window.unboundedPreceding, -1)
+    in_window = F.col("prev_s.ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            F.min(touch).over(w_hist).alias("first_s"),
+            F.lag(touch).over(w_seq).alias("prev_s"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("first_s.ts").alias("first_ts"),
+            F.col("first_s.etype").alias("first_type"),
+            F.when(in_window, F.col("prev_s.ts")).alias("last_ts"),
+            F.when(in_window, F.col("prev_s.etype")).alias("last_type"),
+        )
+    )

@@ -83,6 +83,8 @@ PROBE_QUERIES = [
     "q_tpch_market_share",
     "q_tpch_big_orders",
     "s_chained_windows",
+    "q_frequent_pairs",
+    "q_attribution",
 ]
 
 

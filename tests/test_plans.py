@@ -432,3 +432,25 @@ def test_tpch_big_orders_aggregates_before_joining(spark, sf_dir):
     # (broadcast at test SF) and no other shuffle exists pre-AQE
     assert plan.count("hashpartitioning(") == 1
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_frequent_pairs_never_self_joins_the_fact(spark, sf_dir):
+    """Pair generation must happen INSIDE per-order baskets (Generate
+    over the collected set), never as a lineitem self-join: no sort-
+    merge join and exactly 4 exchanges (item distinct, item support,
+    basket agg, pair count), with the frequent-item filter arriving as
+    a broadcast semi-join."""
+    plan = plan_of(spark, sf_dir, "q_frequent_pairs")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "Generate" in plan  # in-basket pair explode
+    assert "BroadcastHashJoin LeftSemi" in plan
+    assert plan.count("hashpartitioning(") == 4
+
+
+def test_attribution_single_window_shuffle(spark, sf_dir):
+    """First-touch and last-touch must come from ONE per-user window
+    sort: a single exchange on user_id, no join."""
+    plan = plan_of(spark, sf_dir, "q_attribution")
+    assert plan.count("hashpartitioning(") == 1
+    assert "Window" in plan
+    assert "Join" not in plan
