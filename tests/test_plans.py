@@ -454,3 +454,54 @@ def test_attribution_single_window_shuffle(spark, sf_dir):
     assert plan.count("hashpartitioning(") == 1
     assert "Window" in plan
     assert "Join" not in plan
+
+
+def test_runtime_bloom_filter_prunes_selective_join(spark, sf_dir):
+    """100 TB insurance for selective big-big joins: with a filtered
+    build side, Spark's runtime row-level filtering must inject a bloom
+    filter (might_contain on the probe side) so the big scan drops
+    non-joining rows BEFORE the shuffle. Disabled by size thresholds at
+    test SF (the application side must scan ~10 GB in production), so
+    the thresholds are forced down here — the pin is that the rewrite
+    engages on this engine's join shapes, same pattern as the AQE
+    skew-split test."""
+    from pyspark.sql import functions as F
+
+    from kafka_s3_etl_spark.sources.tables import load_table
+
+    conf = spark.conf
+    keys = (
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    saved = {k: conf.get(k, None) for k in keys}
+    try:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB",
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle join
+        li = load_table(spark, sf_dir, "lineitem")
+        ords = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        j = li.join(ords, li.l_orderkey == ords.o_orderkey)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "might_contain" in plan  # bloom probe reached the big side
+        assert j.count() > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
