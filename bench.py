@@ -104,6 +104,7 @@ HEADLINE = [
     "q_tpch_big_orders",
     "q_frequent_pairs",
     "q_attribution",
+    "q_user_growth",
     "q_window_funnel",
     "q_profile_columns",
     "q_fuzzy_join",

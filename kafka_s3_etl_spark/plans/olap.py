@@ -46,6 +46,9 @@ Catalog (SURVEY.md 2j):
   last-touch (lag + 7-day lookback mask) attribution from ONE per-user
   window sort; (ts, event_id) makes the order total so struct min and
   lag are engine-deterministic under timestamp ties.
+* q_user_growth — cumulative adoption curve: first-seen day per user,
+  daily new-user counts, running total over one row per day (the
+  global window sorts the calendar, not the corpus).
 
 Exactness notes: same integer-unit conventions as plans/analytics.py
 (cents x integer-percent products summed as BIGINT, divided once);
@@ -402,4 +405,49 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(in_window, F.col("prev_s.ts")).alias("last_ts"),
             F.when(in_window, F.col("prev_s.etype")).alias("last_type"),
         )
+    )
+
+
+@register(
+    "q_user_growth",
+    category="temporal",
+    cost=0,
+    doc=(
+        "Cumulative adoption curve: first-seen day per user (map-side "
+        "combined min), daily new-user counts, running total. The "
+        "cumulative window runs over one row PER DAY (the rollup's own "
+        "output size class), so its single-partition sort is bounded "
+        "by the calendar, not the corpus, at any scale."
+    ),
+    oracle="""
+        WITH firsts AS (
+          SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+          FROM events GROUP BY user_id
+        ),
+        daily AS (
+          SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+          FROM firsts GROUP BY first_day
+        )
+        SELECT day, new_users,
+               CAST(SUM(new_users) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_users
+        FROM daily
+    """,
+)
+def q_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
     )
