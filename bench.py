@@ -105,6 +105,7 @@ HEADLINE = [
     "q_frequent_pairs",
     "q_attribution",
     "q_user_growth",
+    "q_rolling_actives",
     "q_window_funnel",
     "q_profile_columns",
     "q_fuzzy_join",

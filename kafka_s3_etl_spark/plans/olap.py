@@ -49,6 +49,9 @@ Catalog (SURVEY.md 2j):
 * q_user_growth — cumulative adoption curve: first-seen day per user,
   daily new-user counts, running total over one row per day (the
   global window sorts the calendar, not the corpus).
+* q_rolling_actives — rolling 7-day active users (WAU curve): each
+  distinct (day, user) observation explodes into the <=7 report days
+  it supports — linear in window length, never a day-range self-join.
 
 Exactness notes: same integer-unit conventions as plans/analytics.py
 (cents x integer-percent products summed as BIGINT, divided once);
@@ -450,4 +453,48 @@ def q_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
+
+
+@register(
+    "q_rolling_actives",
+    category="temporal",
+    cost=1,
+    doc=(
+        "Rolling 7-day active users per day (WAU curve): distinct "
+        "(day, user) once, then each observation is EXPLODED into the "
+        "<=7 report days it supports and counted distinct per day — "
+        "the linear explode-by-window-length shape, never a day-range "
+        "self-join (whose candidate set is quadratic in the calendar). "
+        "Report days are clamped to observed days so both engines "
+        "agree on the curve's domain."
+    ),
+    oracle="""
+        WITH du AS (
+          SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM du)
+        SELECT d.day, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS active_7d
+        FROM days d
+        JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day
+    """,
+)
+def q_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    du = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    supported = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add("day", 6))
+        ).alias("day"),
+        "user_id",
+    )
+    return (
+        supported.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_7d"))
     )
