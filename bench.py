@@ -172,28 +172,71 @@ def _warm_streaming(spark) -> None:
     q.awaitTermination(60)
 
 
-def _previous_bench() -> tuple[str, dict[str, float]] | None:
-    """Newest committed BENCH_r{N}.json next to this script, if any."""
+def _artifact_queries(path: str) -> dict[str, float] | None:
+    """Per-query timings out of one bench artifact, surviving every
+    layout the driver has produced so far: this script's own JSON
+    (BENCH_LOCAL.json), the driver wrapper with "parsed", and — the
+    r5 failure mode — "parsed": null with the JSON line truncated
+    inside the driver's 2000-char "tail" capture window."""
+    import re
+
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    if not isinstance(data, dict):
+        return None
+    for payload in (data, data.get("parsed")):
+        if isinstance(payload, dict) and isinstance(payload.get("queries"), dict):
+            return {k: float(v) for k, v in payload["queries"].items()}
+    tail = data.get("tail")
+    if not isinstance(tail, str):
+        return None
+    # Recover the JSON line from the tail if it survived intact...
+    for line in reversed(tail.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                payload = json.loads(line)
+                if isinstance(payload.get("queries"), dict):
+                    return {
+                        k: float(v) for k, v in payload["queries"].items()
+                    }
+            except ValueError:
+                pass
+            break
+    # ...else salvage whatever per-query pairs the window kept. Query
+    # names are q_/s_/x_-prefixed, so "sf"/"value"/nested regression
+    # fields can't false-match.
+    pairs = re.findall(r'"([qsx]_\w+)":\s*([0-9]+(?:\.[0-9]+)?)', tail)
+    queries = {k: float(v) for k, v in pairs}
+    return queries if len(queries) >= 10 else None
+
+
+def _previous_bench(here: str | None = None) -> tuple[str, dict[str, float]] | None:
+    """Newest usable bench baseline next to this script: committed
+    BENCH_LOCAL.json from the previous run if present, else the
+    BENCH_r{N}.json driver artifacts newest-first, skipping any whose
+    timings can't be recovered (VERDICT r5 #1)."""
     import glob
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    best: tuple[int, str] | None = None
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+    candidates: list[tuple[int, str, str]] = []
+    local = os.path.join(here, "BENCH_LOCAL.json")
+    if os.path.exists(local):
+        candidates.append((1 << 30, "r-local", local))
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m and (best is None or int(m.group(1)) > best[0]):
-            best = (int(m.group(1)), p)
-    if best is None:
-        return None
-    try:
-        with open(best[1]) as fh:
-            data = json.load(fh)
-        # The driver's BENCH_r{N}.json wraps this script's JSON line
-        # under "parsed"; accept both layouts.
-        payload = data.get("parsed", data)
-        return f"r{best[0]}", dict(payload.get("queries", {}))
-    except (OSError, ValueError, AttributeError):
-        return None
+        if m:
+            candidates.append((int(m.group(1)), f"r{int(m.group(1))}", p))
+    for _, label, path in sorted(candidates, reverse=True):
+        queries = _artifact_queries(path)
+        if queries:
+            return label, queries
+    return None
 
 
 # Slowdowns with a NAMED, accepted cause (design tradeoffs taken on
@@ -260,20 +303,37 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # Baseline lookup must happen BEFORE this run overwrites
+    # BENCH_LOCAL.json, or the tripwire would compare a run to itself.
     unexplained, explained = _regressions(timings)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "regressions": unexplained,
-                "regressions_explained": explained,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "regressions": unexplained,
+        "regressions_explained": explained,
+    }
+    # Full per-query map goes to a committed file; the driver's
+    # BENCH_r{N}.json only captures the last 2000 chars of stdout, and
+    # the 90-query line outgrew that window in r5 (VERDICT r5 #2). The
+    # printed line keeps the contract keys but trims "queries" to the
+    # slowest 25 so it stays parseable inside the tail capture.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(payload, fh)
+        fh.write("\n")
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:25]
     )
+    compact = {
+        **payload,
+        "queries": {k: timings[k] for k in timings if k in slowest},
+        "queries_total_count": len(timings),
+        "queries_full": "BENCH_LOCAL.json",
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -43,3 +43,33 @@ def test_regressions_flags_only_real_slowdowns():
     tiny = {k: v for k, v in sample.items() if v <= 0.3}
     if tiny:
         assert bench._regressions({k: v * 2 for k, v in tiny.items()}) == ({}, {})
+
+
+def test_artifact_queries_salvages_truncated_r5_artifact():
+    """The driver-written BENCH_r05.json has "parsed": null and a JSON
+    line whose head fell outside the 2000-char tail window. Recovery
+    must still yield the per-query pairs the window kept (VERDICT r5
+    #1) instead of returning None and silently disarming the tripwire."""
+    path = os.path.join(os.path.dirname(bench.__file__), "BENCH_r05.json")
+    if not os.path.exists(path):  # artifact set varies by checkout
+        return
+    queries = bench._artifact_queries(path)
+    assert queries is not None and len(queries) >= 10
+    assert queries["s_cdc_upsert"] == 2.876  # from the intact tail end
+    assert all(isinstance(v, float) for v in queries.values())
+
+
+def test_previous_bench_never_returns_empty_map(tmp_path):
+    """An unrecoverable newest artifact must fall back to the next
+    older one, not return None/empty; a BENCH_LOCAL.json from a prior
+    run outranks the driver artifacts."""
+    (tmp_path / "BENCH_r09.json").write_text('{"parsed": null, "tail": "x"}')
+    (tmp_path / "BENCH_r08.json").write_text(
+        '{"parsed": {"queries": {"q_a": 1.0, "q_b": 2.0}}}'
+    )
+    label, queries = bench._previous_bench(str(tmp_path))
+    assert label == "r8" and queries == {"q_a": 1.0, "q_b": 2.0}
+
+    (tmp_path / "BENCH_LOCAL.json").write_text('{"queries": {"q_c": 3.0}}')
+    label, queries = bench._previous_bench(str(tmp_path))
+    assert label == "r-local" and queries == {"q_c": 3.0}
