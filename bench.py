@@ -117,6 +117,14 @@ HEADLINE = [
     "q_sequence_ngrams",
     "q_anomaly_mad",
     "q_dq_audit",
+    "q_tpch_priority",
+    "q_tpch_returned",
+    "q_tpch_promo",
+    "q_tpch_top_supplier",
+    "q_tpch_parts_supp",
+    "q_tpch_small_qty",
+    "q_tpch_waiting",
+    "q_tpch_idle_customers",
     "s_kafka_to_s3",
     "s_session_timeout",
     "s_window_tumbling",

@@ -81,10 +81,10 @@ def session_timeout_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Timeouts fire in the no-data batch AFTER the watermark
         # advances; every user still holds >= 1 open session, so the
         # count strictly grows once that batch commits.
-        for _ in range(120):
+        for _ in range(1200):
             if spark.table(name).count() > n_before:
                 break
-            time.sleep(0.5)
+            time.sleep(0.05)
     finally:
         q.stop()
     return spark.table(name).filter(F.col("user_id") >= 0)

@@ -20,6 +20,7 @@ from __future__ import annotations
 from collections.abc import Iterable, Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -95,45 +96,71 @@ def gap_sessions(events: DataFrame, gap_minutes: int = 10) -> DataFrame:
                 closed.append(tuple(state.get))
             state.remove()
         else:
-            ts_us: list[int] = []
-            for pdf in pdfs:
-                # normalize to ns first: arrow hands pandas datetime64
-                # in file-dependent units, and int64-of-ns // 1000 is
-                # unit-safe (2024 timeline, no overflow)
-                t = pdf["ts"].astype("datetime64[ns]").astype("int64")
-                ts_us.extend((t // 1000).tolist())
-            ts_us.sort()
-            if state.exists:
-                s, e, n = state.get
-            else:
-                s, e, n = None, None, 0
-            for t in ts_us:
-                if s is None:
-                    s, e, n = t, t, 1
-                elif t - e <= gap_us:
-                    e, n = t, n + 1
-                else:
-                    closed.append((s, e, n))
-                    s, e, n = t, t, 1
-            if s is not None:
+            # normalize to ns first: arrow hands pandas datetime64 in
+            # file-dependent units, and int64-of-ns // 1000 is
+            # unit-safe (2024 timeline, no overflow)
+            chunks = [
+                pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+                // 1000
+                for pdf in pdfs
+            ]
+            t = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, "int64")
+            if t.size:
+                # Vectorized fold (VERDICT r5 #4): session breaks are
+                # exactly the sorted gaps > gap_us; each segment's
+                # (start, end, count) replaces the per-event loop —
+                # the probe's 4.4x-at-10x-events was pure Python tax.
+                brk = np.nonzero(np.diff(t) > gap_us)[0]
+                i0 = np.concatenate(([0], brk + 1))
+                i1 = np.concatenate((brk, [t.size - 1]))
+                seg_s, seg_e = t[i0], t[i1]
+                seg_n = i1 - i0 + 1
+                if state.exists:
+                    s, e, n = state.get
+                    if int(t[0]) - e <= gap_us:
+                        # open session absorbs the first segment; its
+                        # end lands on the segment's last event, same
+                        # as the sequential fold
+                        seg_s[0] = s
+                        seg_n[0] += n
+                    else:
+                        closed.append((s, e, n))
+                closed.extend(
+                    zip(
+                        seg_s[:-1].tolist(),
+                        seg_e[:-1].tolist(),
+                        seg_n[:-1].tolist(),
+                    )
+                )
+                s, e, n = int(seg_s[-1]), int(seg_e[-1]), int(seg_n[-1])
                 state.update((s, e, n))
                 # fire once the watermark proves the gap elapsed
                 state.setTimeoutTimestamp(e // 1000 + gap_ms + 1)
+            elif state.exists:
+                s, e, n = state.get
+                state.update((s, e, n))
+                state.setTimeoutTimestamp(e // 1000 + gap_ms + 1)
+        if not closed:
+            return  # no frame at all beats concat-ing an empty one
+        # numpy-built emission: pd.to_datetime on a tiny list costs
+        # ~300us/key; int64-us * 1000 viewed as datetime64[ns] is ~3x
+        # cheaper, and this runs once per key per micro-batch
+        arr = np.asarray(closed, dtype="int64").reshape(-1, 3)
         yield pd.DataFrame(
             {
-                "user_id": [key[0]] * len(closed),
-                "session_start": pd.to_datetime(
-                    [c[0] for c in closed], unit="us"
-                ),
-                "session_end": pd.to_datetime(
-                    [c[1] for c in closed], unit="us"
-                ),
-                "n_events": [c[2] for c in closed],
+                "user_id": np.full(arr.shape[0], key[0], dtype="int64"),
+                "session_start": (arr[:, 0] * 1000).view("datetime64[ns]"),
+                "session_end": (arr[:, 1] * 1000).view("datetime64[ns]"),
+                "n_events": arr[:, 2],
             }
         )
 
+    # Explicit projection: Spark cannot column-prune through an opaque
+    # pandas function, so without this every event column (including
+    # the fat props JSON) rides the Arrow transfer into Python.
     return (
-        events.withWatermark("ts", f"{gap_minutes} minutes")
+        events.select("user_id", "ts")
+        .withWatermark("ts", f"{gap_minutes} minutes")
         .groupBy("user_id")
         .applyInPandasWithState(
             update,

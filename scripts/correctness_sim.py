@@ -73,6 +73,11 @@ def main() -> int:
         i = argv.index("--json")
         json_out = argv[i + 1]
         del argv[i : i + 2]
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     from pyspark.sql import SparkSession
 
@@ -98,6 +103,8 @@ def main() -> int:
     records: dict[str, dict] = {}
     t_start = time.time()
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         t0 = time.time()
         rec = {
             "rows_match": None,
@@ -170,7 +177,7 @@ def main() -> int:
         print(f"  {name}: {status} [{time.time() - t0:.1f}s]")
 
     print(
-        f"\n{len(qs)} queries in {time.time() - t_start:.0f}s; "
+        f"\n{len(records)} queries in {time.time() - t_start:.0f}s; "
         f"{len(failures)} failures"
     )
     for name, why in failures:

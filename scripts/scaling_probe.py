@@ -85,6 +85,11 @@ PROBE_QUERIES = [
     "s_chained_windows",
     "q_frequent_pairs",
     "q_attribution",
+    # round-6 additions: the two fact-heavy new TPC-H shapes (Q21's
+    # double-correlation rides scaled lineitem x orders; Q4's semi-join
+    # probes the scaled fact)
+    "q_tpch_waiting",
+    "q_tpch_priority",
 ]
 
 
@@ -138,7 +143,13 @@ def build_scaled_dir(spark, factor: int) -> str:
 
 
 def main() -> int:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # Usage: scaling_probe.py [factor] [query ...] — extra args narrow
+    # the probe to the named queries (re-measuring one changed operator
+    # without paying the full 40-query sweep).
+    argv = sys.argv[1:]
+    factor = int(argv[0]) if argv and argv[0].isdigit() else 10
+    names = argv[1:] if argv and argv[0].isdigit() else argv
+    probe_queries = [q for q in PROBE_QUERIES if not names or q in names]
     from pyspark.sql import SparkSession
 
     from kafka_s3_etl_spark.plans.registry import all_queries
@@ -157,7 +168,7 @@ def main() -> int:
 
     print(f"query, sf0.1_s, {factor}x_s, ratio")
     worst = 0.0
-    for name in PROBE_QUERIES:
+    for name in probe_queries:
         times = {}
         for label, sf_dir in (("base", BASE), ("scaled", scaled)):
             best = float("inf")

@@ -505,3 +505,61 @@ def test_runtime_bloom_filter_prunes_selective_join(spark, sf_dir):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_tpch_priority_semi_join_probes_filtered_orders(spark, sf_dir):
+    """Q4 shape: the EXISTS must plan as a (semi) join keyed on the
+    order key — never a per-order correlated re-scan — with the date
+    filter pushed to the orders scan."""
+    plan = plan_of(spark, sf_dir, "q_tpch_priority")
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate," in plan  # pushed to scan
+    assert "CartesianProduct" not in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp>" in plan
+
+
+def test_tpch_small_qty_threshold_broadcasts_back(spark, sf_dir):
+    """Q17 shape: the brand dim and the per-part threshold agg must
+    both re-enter as broadcasts; lineitem reads only its 3 needed
+    columns and the threshold agg keeps its map-side partial."""
+    plan = plan_of(spark, sf_dir, "q_tpch_small_qty")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "EqualTo(p_brand,Brand#23)" in plan  # dim filter at the scan
+    assert "partial_avg" in plan
+    assert (
+        "ReadSchema: struct<l_partkey:bigint,l_quantity:double,"
+        "l_extendedprice:double>" in plan
+    )
+
+
+def test_tpch_waiting_one_orderkey_shuffle_family(spark, sf_dir):
+    """Q21 shape: the EXISTS/NOT-EXISTS reformulation must never
+    correlated-re-scan or self-join the raw fact — every join is keyed
+    (no cartesian), the supplier+nation dim arrives broadcast, and both
+    per-order aggregates keep map-side partials."""
+    plan = plan_of(spark, sf_dir, "q_tpch_waiting")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # supplier x nation dim
+    assert "partial_count(distinct" in plan.lower()
+    assert "EqualTo(o_orderstatus,F)" in plan  # status filter at the scan
+
+
+def test_tpch_top_supplier_argmax_is_broadcast_not_sort(spark, sf_dir):
+    """Q15 shape: the global max re-enters as a 1-row broadcast
+    (BroadcastNestedLoopJoin over a single row is fine); no global
+    Sort of the per-supplier aggregate appears."""
+    plan = plan_of(spark, sf_dir, "q_tpch_top_supplier")
+    assert "Broadcast" in plan
+    assert "TakeOrdered" not in plan
+    # the only sorts allowed are inside SMJ (none expected at this size)
+    assert "Sort [rev_e4" not in plan
+
+
+def test_tpch_idle_customers_anti_join_and_scalar_broadcast(spark, sf_dir):
+    """Q22 shape: NOT EXISTS plans as LeftAnti on the customer key; the
+    threshold is a broadcast; the orders date filter reaches the scan."""
+    plan = plan_of(spark, sf_dir, "q_tpch_idle_customers")
+    assert "LeftAnti" in plan
+    assert "Broadcast" in plan
+    assert "GreaterThanOrEqual(o_orderdate," in plan
+    assert "ReadSchema: struct<o_custkey:bigint,o_orderdate:timestamp>" in plan
