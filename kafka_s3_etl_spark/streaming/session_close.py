@@ -41,7 +41,19 @@ def _copy_part(src_dir: str, dest: str, mtime: float) -> None:
     os.utime(dest, (mtime, mtime))
 
 
-def session_timeout_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+def session_timeout_demo(
+    spark: SparkSession,
+    sf_dir: str,
+    sessionizer=gap_sessions,
+    conf_ctx=None,
+) -> DataFrame:
+    """Two-delivery close-out harness around a gap sessionizer.
+
+    ``sessionizer`` is any (stream_df) -> stream_df gap sessionizer with
+    gap_sessions' output schema (the transformWithStateInPandas variant
+    plugs in here); ``conf_ctx`` optionally wraps the query start in an
+    extra conf-pinning context (e.g. tws.pinned_rocksdb_state_store).
+    """
     ev = load_table(spark, sf_dir, "events")
     if sf_dir not in _PART_CACHE:
         data_dir, sent_dir = scratch_dir("sess_data"), scratch_dir("sess_sent")
@@ -63,9 +75,12 @@ def session_timeout_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     _copy_part(data_dir, os.path.join(src_dir, "data.parquet"), now - 100)
 
     stream = spark.readStream.schema(ev.schema).parquet(src_dir)
-    sessions = gap_sessions(stream)
+    sessions = sessionizer(stream)
     name = f"sess_{uuid.uuid4().hex[:10]}"
-    with _pinned_stream_partitions(sessions):
+    import contextlib
+
+    extra = conf_ctx(sessions) if conf_ctx is not None else contextlib.nullcontext()
+    with _pinned_stream_partitions(sessions), extra:
         q = (
             sessions.writeStream.outputMode("append")
             .format("memory")
