@@ -125,6 +125,14 @@ HEADLINE = [
     "q_tpch_small_qty",
     "q_tpch_waiting",
     "q_tpch_idle_customers",
+    "q_tpch_forecast",
+    "q_tpch_nation_volume",
+    "q_tpch_profit",
+    "q_tpch_linestatus_priority",
+    "q_tpch_custdist",
+    "q_tpch_disjunctive",
+    "q_heavy_hitters",
+    "q_skyline",
     "s_kafka_to_s3",
     "s_session_timeout",
     "s_window_tumbling",

@@ -457,3 +457,311 @@ def q_tpch_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cents").cast("double") / F.lit(100.0)).alias("totacctbal"),
         )
     )
+
+
+# ---- batch 6b: the scan/disjunction/outer-join TPC-H shapes ----------
+
+@register(
+    "q_tpch_forecast",
+    category="relational",
+    doc=(
+        "TPC-H Q6 shape: forecast revenue change — a pure scan-filter-"
+        "aggregate with every predicate pushed to the parquet scan; "
+        "discount matched on exact integer basis points."
+    ),
+    oracle=f"""
+        SELECT CAST(SUM({_CENTS} * {_DPC}) AS DOUBLE) / 1e4 AS revenue_delta,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND {_DPC} BETWEEN 5 AND 7
+          AND l_quantity < 24.0
+    """,
+)
+def q_tpch_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-01-01'"))
+            & F.expr(f"{_DPC} BETWEEN 5 AND 7")
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            (F.sum(F.expr(f"{_CENTS} * {_DPC}")).cast("double") / F.lit(1e4)).alias(
+                "revenue_delta"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_tpch_nation_volume",
+    category="relational",
+    doc=(
+        "TPC-H Q7 shape: shipping volume between two nations by year; "
+        "nation joins in BOTH dimension roles (supplier side, customer "
+        "side) with a symmetric pair predicate; all dims broadcast, "
+        "lineitem->orders is the only big join."
+    ),
+    oracle=f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS INT) AS l_year,
+               CAST(SUM({_E4}) AS DOUBLE) / 1e4 AS revenue
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1998-01-01'"))
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year("l_shipdate").alias("l_year"),
+            F.expr(_E4).alias("e4"),
+        )
+    )
+    ords = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg((F.sum("e4").cast("double") / F.lit(1e4)).alias("revenue"))
+    )
+
+
+@register(
+    "q_tpch_profit",
+    category="relational",
+    doc=(
+        "TPC-H Q9 shape: product-line profit per supplier nation-year "
+        "(cost adapted to 50% of p_retailprice — no partsupp table); "
+        "part-name filter broadcast-prunes lineitem first; profit stays "
+        "exact e4 BIGINT until one final division."
+    ),
+    oracle=f"""
+        SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+               CAST(SUM({_E4}
+                        - CAST(ROUND(p.p_retailprice * 100) AS BIGINT) * 50
+                          * CAST(ROUND(l.l_quantity) AS BIGINT))
+                    AS DOUBLE) / 1e4 AS profit
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY 1, 2
+    """,
+)
+def q_tpch_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select(
+            "p_partkey",
+            F.expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)").alias(
+                "retail_cents"
+            ),
+        )
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.expr(_E4).alias("e4"),
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("qty"),
+    )
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(ords, li.l_orderkey == ords.o_orderkey)
+        .groupBy("nation", "o_year")
+        .agg(
+            (
+                F.sum(
+                    F.col("e4") - F.col("retail_cents") * F.lit(50) * F.col("qty")
+                ).cast("double")
+                / F.lit(1e4)
+            ).alias("profit")
+        )
+    )
+
+
+@register(
+    "q_tpch_linestatus_priority",
+    category="relational",
+    doc=(
+        "TPC-H Q12 shape (no l_shipmode column: grouped by "
+        "l_linestatus): late lineitems split into high/low order "
+        "priority via CASE-summed counts — the dual-conditional-count "
+        "pattern; one fact->orders join, map-side-combined agg."
+    ),
+    oracle="""
+        SELECT l.l_linestatus,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    """,
+)
+def q_tpch_linestatus_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-01-01'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1998-01-01'"))
+        )
+        .select("l_orderkey", "l_linestatus", "l_shipdate")
+    )
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_count"),
+        )
+    )
+
+
+@register(
+    "q_tpch_custdist",
+    category="relational",
+    doc=(
+        "TPC-H Q13 shape: customer distribution by order count — LEFT "
+        "join with the filter INSIDE the join condition (zero-order "
+        "customers must survive), then a histogram of the per-customer "
+        "counts; both aggs map-side-combined."
+    ),
+    oracle="""
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (
+          SELECT c.c_custkey,
+                 CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                            AND o.o_orderpriority <> '4-NOT SPECIFIED'
+          GROUP BY 1
+        )
+        GROUP BY 1
+    """,
+)
+def q_tpch_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ords = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            ords,
+            (cust.c_custkey == ords.o_custkey)
+            & (ords.o_orderpriority != "4-NOT SPECIFIED"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q_tpch_disjunctive",
+    category="relational",
+    doc=(
+        "TPC-H Q19 shape: OR-of-ANDs join predicate (brand x size x "
+        "quantity bands); part broadcast, the disjunction evaluated as "
+        "the join filter — never a fan-out-then-filter; quantities "
+        "integral so band edges are exact."
+    ),
+    oracle=f"""
+        SELECT CAST(SUM({_E4}) AS DOUBLE) / 1e4 AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1.0 AND 11.0)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10.0 AND 20.0)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20.0 AND 30.0)
+    """,
+)
+def q_tpch_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", F.expr(_E4).alias("e4")
+    )
+    band = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1.0, 11.0)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10.0, 20.0)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20.0, 30.0)
+    )
+    return (
+        li.join(F.broadcast(part), (li.l_partkey == part.p_partkey) & band)
+        .agg(
+            (F.sum("e4").cast("double") / F.lit(1e4)).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )

@@ -563,3 +563,60 @@ def test_tpch_idle_customers_anti_join_and_scalar_broadcast(spark, sf_dir):
     assert "Broadcast" in plan
     assert "GreaterThanOrEqual(o_orderdate," in plan
     assert "ReadSchema: struct<o_custkey:bigint,o_orderdate:timestamp>" in plan
+
+
+def test_tpch_forecast_all_predicates_pushed(spark, sf_dir):
+    """Q6 shape: a pure scan-filter-agg — the date and quantity
+    predicates must reach the parquet scan as PushedFilters, the scan
+    reads only the 4 needed columns, and no exchange beyond the final
+    single-row agg exists."""
+    plan = plan_of(spark, sf_dir, "q_tpch_forecast")
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_quantity)" in plan
+    assert "GreaterThanOrEqual(l_shipdate," in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp>" in plan
+    )
+    assert "partial_" in plan
+
+
+def test_tpch_custdist_left_join_keeps_zero_customers(spark, sf_dir):
+    """Q13 shape: the priority filter must live INSIDE the left join
+    (a post-filter would drop zero-order customers); both aggregation
+    levels keep map-side partials."""
+    plan = plan_of(spark, sf_dir, "q_tpch_custdist")
+    assert "LeftOuter" in plan
+    assert plan.count("partial_count") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_disjunctive_or_stays_in_join_filter(spark, sf_dir):
+    """Q19 shape: the OR-of-ANDs must evaluate as the broadcast join's
+    filter — a plain key-equality join followed by the disjunction, no
+    nested-loop fan-out; the brand/size legs prune the part scan."""
+    plan = plan_of(spark, sf_dir, "q_tpch_disjunctive")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # the disjunction survives into the plan (brand legs visible)
+    assert "Brand#12" in plan and "Brand#23" in plan
+
+
+def test_heavy_hitters_arrow_only_and_broadcast_verify(spark, sf_dir):
+    """Pass 1 is Arrow mapInPandas (never row-at-a-time Python); the
+    verify pass re-enters as a broadcast semi-join; the count agg keeps
+    its map-side partial."""
+    plan = plan_of(spark, sf_dir, "q_heavy_hitters")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "partial_count" in plan
+
+
+def test_skyline_never_all_pairs(spark, sf_dir):
+    """The frontier join-back is a broadcast semi-join; no cartesian/
+    nested-loop dominance join exists anywhere in the plan."""
+    plan = plan_of(spark, sf_dir, "q_skyline")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "LeftSemi" in plan
+    assert "partial_min" in plan  # min-per-x is map-side combined

@@ -1,0 +1,92 @@
+"""Misra-Gries heavy hitters + 2-D skyline (operators/sketch.py).
+
+The catalog oracle checks exactness on the toy corpus (31-token
+vocabulary — MG never prunes). These tests force the interesting
+regimes: domains far larger than the counter budget (decrements fire),
+skewed and adversarially-uniform distributions, and random point
+clouds for the skyline vs a brute-force dominance check."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafka_s3_etl_spark.operators.sketch import (
+    _mg_summarize,
+    heavy_hitters,
+    skyline_2d,
+)
+
+
+def _run_mg(values: list, m: int, batch: int = 97) -> set:
+    fn = _mg_summarize("v", m)
+    frames = [
+        pd.DataFrame({"v": values[i : i + batch]})
+        for i in range(0, len(values), batch)
+    ]
+    (out,) = list(fn(iter(frames)))
+    return set(out["v"])
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(2, 8))
+@settings(max_examples=40, deadline=None)
+def test_mg_summary_bounded_and_superset(seed, k):
+    """Counter budget respected AND every item with count >= n/(m+1)
+    survives — on a zipf-ish domain of ~500 items with m = 2k."""
+    rng = random.Random(seed)
+    values = [int(rng.paretovariate(1.2)) for _ in range(3000)]
+    m = 2 * k
+    survivors = _run_mg(values, m)
+    assert len(survivors) <= m
+    n = len(values)
+    counts = pd.Series(values).value_counts()
+    must_survive = set(counts[counts > n / (m + 1)].index)
+    assert must_survive <= survivors
+
+
+def test_mg_uniform_domain_still_bounded():
+    """Adversarially uniform: 5000 distinct singletons, m=10 — the
+    summary must stay tiny instead of holding the whole domain."""
+    assert len(_run_mg(list(range(5000)), 10)) <= 10
+
+
+def test_heavy_hitters_exact_on_skewed_forced_decrements(spark):
+    """End-to-end over 8 partitions with a 2000-item domain and k=8
+    (m=16 counters; decrements fire constantly): output must equal the
+    brute GROUP BY/HAVING exactly."""
+    rng = random.Random(7)
+    vals = [int(rng.paretovariate(1.05)) % 2000 for _ in range(20_000)]
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "item bigint"
+    ).repartition(8)
+    got = {
+        (r.item, r.n_occurrences)
+        for r in heavy_hitters(df, "item", k=8).collect()
+    }
+    counts = pd.Series(vals).value_counts()
+    n = len(vals)
+    want = {(int(i), int(c)) for i, c in counts.items() if c * 8 >= n}
+    assert got == want and len(want) > 0
+
+
+@given(st.integers(0, 2**31 - 1))
+@settings(max_examples=20, deadline=None)
+def test_skyline_matches_bruteforce(spark, seed):
+    rng = random.Random(seed)
+    pts = [(rng.randint(0, 20), rng.randint(0, 20), i) for i in range(60)]
+    df = spark.createDataFrame(pts, "x int, y int, pid int")
+    got = {tuple(r) for r in skyline_2d(df, "x", "y", "pid").collect()}
+    want = {
+        p
+        for p in pts
+        if not any(
+            q[0] <= p[0]
+            and q[1] <= p[1]
+            and (q[0] < p[0] or q[1] < p[1])
+            for q in pts
+        )
+    }
+    assert got == want
