@@ -90,6 +90,8 @@ PROBE_QUERIES = [
     # probes the scaled fact)
     "q_tpch_waiting",
     "q_tpch_priority",
+    "q_tpch_custdist",
+    "q_heavy_hitters",
 ]
 
 
