@@ -133,6 +133,9 @@ HEADLINE = [
     "q_tpch_disjunctive",
     "q_heavy_hitters",
     "q_skyline",
+    "q_tpch_min_supplier",
+    "q_tpch_important_parts",
+    "q_tpch_dominant_supplier",
     "s_kafka_to_s3",
     "s_session_timeout",
     "s_window_tumbling",

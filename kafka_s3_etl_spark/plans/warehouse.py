@@ -765,3 +765,211 @@ def q_tpch_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+# ---- batch 6d: the partsupp-derived shapes (Q2 / Q11 / Q20), -------
+# ---- completing a shape-equivalent for all 22 TPC-H queries --------
+
+@register(
+    "q_tpch_min_supplier",
+    category="relational",
+    doc=(
+        "TPC-H Q2 shape (no partsupp: supply cost = lineitem revenue "
+        "per part-supplier): cheapest regional supplier per STANDARD "
+        "part. Lineitem is broadcast-semi-filtered by part and regional "
+        "supplier BEFORE its one map-side-combined agg; the per-part "
+        "argmin is a named-struct min (total order via suppkey), never "
+        "a sort."
+    ),
+    oracle=f"""
+        WITH rsupp AS (
+          SELECT s.s_suppkey, s.s_name, n.n_name
+          FROM supplier s
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'ASIA'
+        ),
+        cost AS (
+          SELECT l.l_partkey, l.l_suppkey,
+                 CAST(SUM({_CENTS}) AS BIGINT) AS sum_cents
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE p.p_type = 'STANDARD'
+            AND l.l_suppkey IN (SELECT s_suppkey FROM rsupp)
+          GROUP BY 1, 2
+        )
+        SELECT c.l_partkey AS p_partkey, s.s_name, s.n_name,
+               CAST(c.sum_cents AS DOUBLE) / 100.0 AS total_cost
+        FROM cost c JOIN rsupp s ON c.l_suppkey = s.s_suppkey
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY c.l_partkey ORDER BY c.sum_cents, c.l_suppkey) = 1
+    """,
+)
+def q_tpch_min_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rsupp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    pdim = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", F.expr(_CENTS).alias("cents")
+    )
+    cost = (
+        li.join(F.broadcast(pdim), li.l_partkey == pdim.p_partkey, "left_semi")
+        .join(
+            F.broadcast(rsupp.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("cents").alias("sum_cents"))
+    )
+    best = cost.groupBy("l_partkey").agg(
+        F.min(F.struct("sum_cents", "l_suppkey")).alias("m")
+    )
+    return (
+        best.select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("m.sum_cents").alias("sum_cents"),
+            F.col("m.l_suppkey").alias("l_suppkey"),
+        )
+        .join(F.broadcast(rsupp), F.col("l_suppkey") == rsupp.s_suppkey)
+        .select(
+            "p_partkey",
+            "s_name",
+            "n_name",
+            (F.col("sum_cents").cast("double") / F.lit(100.0)).alias("total_cost"),
+        )
+    )
+
+
+@register(
+    "q_tpch_important_parts",
+    category="relational",
+    doc=(
+        "TPC-H Q11 shape: parts whose revenue from one nation's "
+        "suppliers exceeds 0.1% of that nation's total — the HAVING-"
+        "against-scalar-subquery pattern with an exact BIGINT "
+        "cross-multiply (value*1000 > total) instead of a float "
+        "threshold."
+    ),
+    oracle=f"""
+        WITH nli AS (
+          SELECT l.l_partkey, {_E4} AS e4
+          FROM lineitem l
+          WHERE l.l_suppkey IN (
+            SELECT s_suppkey FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_5')
+        ),
+        tot AS (SELECT CAST(SUM(e4) AS BIGINT) AS total_e4 FROM nli)
+        SELECT l_partkey AS p_partkey,
+               CAST(CAST(SUM(e4) AS BIGINT) AS DOUBLE) / 1e4 AS part_value
+        FROM nli, tot
+        GROUP BY l_partkey, tot.total_e4
+        HAVING CAST(SUM(e4) AS BIGINT) * 1000 > tot.total_e4
+    """,
+)
+def q_tpch_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nsupp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("n_name") == "NATION_5")
+        .select("s_suppkey")
+    )
+    nli = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", F.expr(_E4).alias("e4"))
+        .join(F.broadcast(nsupp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+    )
+    per_part = nli.groupBy("l_partkey").agg(F.sum("e4").alias("value_e4"))
+    total = per_part.agg(F.sum("value_e4").alias("total_e4"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_e4") * 1000 > F.col("total_e4"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("value_e4").cast("double") / F.lit(1e4)).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "q_tpch_dominant_supplier",
+    category="relational",
+    doc=(
+        "TPC-H Q20 shape: suppliers (in one region) who shipped a "
+        "majority of some part's annual volume — the semi-join-on-an-"
+        "aggregate-derived-set chain; dominance via exact integer "
+        "cross-multiply (2*supp_qty > part_qty). The fact is touched "
+        "ONCE by a map-side-combined rollup; every later shuffle and "
+        "join runs on the (part, supplier, year) rollup, never the "
+        "raw fact."
+    ),
+    oracle="""
+        WITH psy AS (
+          SELECT l_partkey, l_suppkey,
+                 CAST(year(l_shipdate) AS INT) AS l_year,
+                 CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+          FROM lineitem GROUP BY 1, 2, 3
+        ),
+        py AS (
+          SELECT l_partkey, l_year, CAST(SUM(qty) AS BIGINT) AS total_qty
+          FROM psy GROUP BY 1, 2
+        )
+        SELECT s.s_suppkey, s.s_name,
+               CAST(COUNT(*) AS BIGINT) AS n_dominant
+        FROM psy JOIN py ON psy.l_partkey = py.l_partkey
+                        AND psy.l_year = py.l_year
+        JOIN supplier s ON psy.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE psy.qty * 2 > py.total_qty AND r.r_name = 'EUROPE'
+        GROUP BY 1, 2
+    """,
+)
+def q_tpch_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.year("l_shipdate").alias("l_year"),
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("q"),
+    )
+    psy = li.groupBy("l_partkey", "l_suppkey", "l_year").agg(
+        F.sum("q").alias("qty")
+    )
+    py = psy.groupBy("l_partkey", "l_year").agg(F.sum("qty").alias("total_qty"))
+    esupp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "EUROPE"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        psy.join(py, ["l_partkey", "l_year"])
+        .filter(F.col("qty") * 2 > F.col("total_qty"))
+        .join(F.broadcast(esupp), psy.l_suppkey == esupp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_dominant"))
+    )

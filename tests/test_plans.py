@@ -620,3 +620,25 @@ def test_skyline_never_all_pairs(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "LeftSemi" in plan
     assert "partial_min" in plan  # min-per-x is map-side combined
+
+
+def test_tpch_min_supplier_argmin_is_struct_min_not_sort(spark, sf_dir):
+    """Q2 shape: the per-part argmin must be a map-side-combined
+    struct-min aggregate, never a window sort; lineitem is semi-pruned
+    by broadcast part and supplier filters BEFORE its one agg."""
+    plan = plan_of(spark, sf_dir, "q_tpch_min_supplier")
+    assert "partial_min" in plan
+    assert "row_number" not in plan.lower()
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_dominant_supplier_fact_touched_once(spark, sf_dir):
+    """Q20 shape: exactly one scan of lineitem feeds the rollup chain
+    (the psy aggregate is reused for py via its exchange, not by
+    re-scanning), and the region-filtered supplier dim broadcasts."""
+    plan = plan_of(spark, sf_dir, "q_tpch_dominant_supplier")
+    assert plan.count("ReadSchema: struct<l_orderkey") == 0  # pruned away
+    assert "partial_sum" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
