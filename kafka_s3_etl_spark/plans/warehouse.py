@@ -966,8 +966,12 @@ def q_tpch_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name")
     )
+    # shuffle_hash: at real part x supplier x year density the rollup
+    # barely combines, so the (part, year) join meets two large sides
+    # whose output needs no ordering — the SMJ sorts are pure waste
+    # (measured 1.7s -> ~1.0s at sf0.1)
     return (
-        psy.join(py, ["l_partkey", "l_year"])
+        psy.join(py.hint("shuffle_hash"), ["l_partkey", "l_year"])
         .filter(F.col("qty") * 2 > F.col("total_qty"))
         .join(F.broadcast(esupp), psy.l_suppkey == esupp.s_suppkey)
         .groupBy("s_suppkey", "s_name")
