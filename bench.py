@@ -136,6 +136,8 @@ HEADLINE = [
     "q_tpch_min_supplier",
     "q_tpch_important_parts",
     "q_tpch_dominant_supplier",
+    "q_ab_test",
+    "q_mutual_info",
     "s_kafka_to_s3",
     "s_session_timeout",
     "s_window_tumbling",

@@ -42,6 +42,7 @@ _PLAN_MODULES = [
     "kafka_s3_etl_spark.plans.olap",
     "kafka_s3_etl_spark.plans.warehouse",
     "kafka_s3_etl_spark.plans.sketches",
+    "kafka_s3_etl_spark.plans.stats",
 ]
 
 

@@ -1,0 +1,165 @@
+"""Round-6 batch 6e: experiment-analysis statistics
+(beyond-reference tier, same policy as plans/analytics.py).
+
+* q_ab_test — Welch z-statistic comparing purchase value between two
+  user cohorts, one row per event_type. The whole query is ONE
+  map-side-combined groupBy: cohorts pivot into conditional aggregates
+  (n / sum-cents / sum-squared-cents as exact BIGINTs), then the
+  mean/variance/z formula runs as ONE identical scalar expression tree
+  on both engines — every op (+ - * / sqrt) is IEEE correctly-rounded,
+  so exact integer inputs give bit-identical doubles with NO rounding
+  step at all. (Only libm transcendentals can diverge across engines;
+  this stat uses none.)
+* q_mutual_info — mutual information between event_type and cohort
+  from the exact contingency counts. ln() IS a libm call, so each
+  term's log goes through the integer micro-nats pattern proven by
+  q_lm_score (round(ln*1e6) as BIGINT — a final-ulp libm difference
+  cannot flip a 1e-6 rounding), terms sum as BIGINT, and ONE division
+  exposes the result.
+
+Both are single-shuffle plans on a 5x2 contingency rollup — at 100 TB
+the shuffle carries ten grouped rows per partition, nothing else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_s3_etl_spark.plans.registry import register
+from kafka_s3_etl_spark.sources.tables import load_table
+
+_VC = "CAST(ROUND(value * 100) AS BIGINT)"  # exact cents
+
+
+@register(
+    "q_ab_test",
+    category="analytics",
+    doc=(
+        "Welch z-test per event_type between user cohorts (user_id "
+        "parity): one map-combined groupBy with conditional exact-"
+        "BIGINT aggregates; the z formula is a single shared IEEE "
+        "expression tree — bit-identical with zero rounding."
+    ),
+    oracle=f"""
+        WITH g AS (
+          SELECT event_type,
+                 CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                 CAST(SUM(CASE WHEN user_id % 2 = 0 THEN {_VC} ELSE 0 END) AS BIGINT) AS s_a,
+                 CAST(SUM(CASE WHEN user_id % 2 = 1 THEN {_VC} ELSE 0 END) AS BIGINT) AS s_b,
+                 CAST(SUM(CASE WHEN user_id % 2 = 0 THEN {_VC} * {_VC} ELSE 0 END) AS BIGINT) AS q_a,
+                 CAST(SUM(CASE WHEN user_id % 2 = 1 THEN {_VC} * {_VC} ELSE 0 END) AS BIGINT) AS q_b
+          FROM events GROUP BY event_type
+        )
+        SELECT event_type, n_a, n_b,
+               (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / 100.0
+                   AS mean_diff,
+               (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               / sqrt(
+                   ((CAST(q_a AS DOUBLE)
+                     - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+                       / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0))
+                   / CAST(n_a AS DOUBLE)
+                   + ((CAST(q_b AS DOUBLE)
+                       - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+                         / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0))
+                     / CAST(n_b AS DOUBLE)
+                 ) AS z_stat
+        FROM g
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = F.col("user_id") % 2 == 0
+    vc = F.expr(_VC)
+    g = ev.groupBy("event_type").agg(
+        F.sum(F.when(a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~a, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(a, vc).otherwise(0)).alias("s_a"),
+        F.sum(F.when(~a, vc).otherwise(0)).alias("s_b"),
+        F.sum(F.when(a, vc * vc).otherwise(0)).alias("q_a"),
+        F.sum(F.when(~a, vc * vc).otherwise(0)).alias("q_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("s_a").cast("double"), F.col("s_b").cast("double")
+    qa, qb = F.col("q_a").cast("double"), F.col("q_b").cast("double")
+    mean_delta = sa / na - sb / nb
+    var_a = (qa - sa * sa / na) / (na - F.lit(1.0))
+    var_b = (qb - sb * sb / nb) / (nb - F.lit(1.0))
+    return g.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (mean_delta / F.lit(100.0)).alias("mean_diff"),
+        (mean_delta / F.sqrt(var_a / na + var_b / nb)).alias("z_stat"),
+    )
+
+
+@register(
+    "q_mutual_info",
+    category="analytics",
+    doc=(
+        "Mutual information between event_type and user cohort from "
+        "the exact 5x2 contingency rollup; each term's ln() rounds to "
+        "integer micro-nats (the q_lm_score libm-proofing pattern), "
+        "terms sum as BIGINT, one division at the end."
+    ),
+    oracle="""
+        WITH cells AS (
+          SELECT event_type, user_id % 2 AS cohort,
+                 CAST(COUNT(*) AS BIGINT) AS n_xy
+          FROM events GROUP BY 1, 2
+        ),
+        rows_ AS (SELECT event_type, CAST(SUM(n_xy) AS BIGINT) AS n_x
+                  FROM cells GROUP BY 1),
+        cols_ AS (SELECT cohort, CAST(SUM(n_xy) AS BIGINT) AS n_y
+                  FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cells),
+        terms AS (
+          SELECT c.n_xy, t.n,
+                 CAST(ROUND(ln(CAST(c.n_xy AS DOUBLE) * CAST(t.n AS DOUBLE)
+                               / (CAST(r.n_x AS DOUBLE)
+                                  * CAST(co.n_y AS DOUBLE))) * 1e6)
+                      AS BIGINT) AS micronats
+          FROM cells c
+          JOIN rows_ r ON c.event_type = r.event_type
+          JOIN cols_ co ON c.cohort = co.cohort
+          CROSS JOIN tot t
+        )
+        SELECT CAST(CAST(SUM(n_xy * micronats) AS BIGINT) AS DOUBLE)
+               / (1e6 * CAST(ANY_VALUE(n) AS DOUBLE)) AS mi_nats,
+               CAST(ANY_VALUE(n) AS BIGINT) AS n_events
+        FROM terms
+    """,
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("cohort")
+    ).agg(F.count("*").alias("n_xy"))
+    rows_ = cells.groupBy("event_type").agg(F.sum("n_xy").alias("n_x"))
+    cols_ = cells.groupBy("cohort").agg(F.sum("n_xy").alias("n_y"))
+    tot = cells.agg(F.sum("n_xy").alias("n"))
+    terms = (
+        cells.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols_), "cohort")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "micronats",
+            F.expr(
+                "CAST(ROUND(ln(CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE)"
+                " / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))) * 1e6)"
+                " AS BIGINT)"
+            ),
+        )
+    )
+    return terms.agg(
+        (
+            F.sum(F.col("n_xy") * F.col("micronats")).cast("double")
+            / (F.lit(1e6) * F.first("n").cast("double"))
+        ).alias("mi_nats"),
+        F.first("n").alias("n_events"),
+    )
