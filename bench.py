@@ -138,6 +138,7 @@ HEADLINE = [
     "q_tpch_dominant_supplier",
     "q_ab_test",
     "q_mutual_info",
+    "x_python_datasource",
     "s_kafka_to_s3",
     "s_session_timeout",
     "s_window_tumbling",

@@ -163,3 +163,33 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mi_nats"),
         F.first("n").alias("n_events"),
     )
+
+
+@register(
+    "x_python_datasource",
+    category="source",
+    doc=(
+        "Spark 4 Python DataSource end-to-end: driver-side partition "
+        "planning, executor-side Arrow RecordBatch emission, hash-"
+        "checked against a closed-form range() oracle (sources/pyds.py)."
+    ),
+    oracle="""
+        SELECT id, CAST(id % 16 AS INT) AS bucket,
+               CAST(id AS DOUBLE) / 7.0 AS val
+        FROM range(0, 60000) t(id)
+    """,
+)
+def x_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.shiplib import ensure_workers_can_import
+    from kafka_s3_etl_spark.sources.pyds import register_python_sources
+
+    # the reader class unpickles by reference inside executor Python
+    # workers — ship the package exactly like every pandas-UDF path
+    ensure_workers_can_import(spark)
+    register_python_sources(spark)
+    return (
+        spark.read.format("graft_range")
+        .option("n", 60_000)
+        .option("partitions", 8)
+        .load()
+    )

@@ -1,0 +1,74 @@
+"""Custom Spark 4 Python DataSource (pyspark.sql.datasource).
+
+The Python DataSource API is the Spark-4 seam for ingesting from
+systems without a JVM connector — each `InputPartition` is planned
+driver-side and `read()` runs distributed on executors, yielding Arrow
+RecordBatches (the vectorized path; never row tuples).
+
+`GraftRangeDataSource` is the registered demo source: a deterministic
+partitioned generator (id, bucket, val) whose output is closed-form,
+so the catalog entry `x_python_datasource` can hash-check the ENTIRE
+custom-source path (partition planning -> executor Arrow batches ->
+Spark types) against a plain DuckDB range() oracle. Swapping the
+arithmetic body for an external client call (REST page, message queue
+slice, proprietary file decoder) is the intended production use; the
+partition-planning and Arrow-emission plumbing is what this verifies.
+
+Scale: partitions are independent and planned up front (option
+`partitions`), so the source parallelizes like any file scan; each
+partition materializes only its own slice as one Arrow batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _RangeReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", 60_000))
+        self.num_parts = int(options.get("partitions", 8))
+
+    def partitions(self):
+        return [InputPartition(i) for i in range(self.num_parts)]
+
+    def read(self, partition: InputPartition):
+        import pyarrow as pa
+
+        i = partition.value
+        start = self.n * i // self.num_parts
+        end = self.n * (i + 1) // self.num_parts
+        ids = np.arange(start, end, dtype="int64")
+        yield pa.record_batch(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array((ids % 16).astype("int32"), type=pa.int32()),
+                # one IEEE division: bit-identical to any engine's
+                # DOUBLE division of the same integers
+                pa.array(ids / 7.0, type=pa.float64()),
+            ],
+            names=["id", "bucket", "val"],
+        )
+
+
+class GraftRangeDataSource(DataSource):
+    """spark.read.format("graft_range").option("n", N).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "graft_range"
+
+    def schema(self) -> str:
+        return "id bigint, bucket int, val double"
+
+    def reader(self, schema) -> DataSourceReader:
+        return _RangeReader(self.options)
+
+
+def register_python_sources(spark) -> None:
+    """Idempotently register the custom sources on a session."""
+    if getattr(spark, "_graft_pyds_registered", False):
+        return
+    spark.dataSource.register(GraftRangeDataSource)
+    spark._graft_pyds_registered = True
