@@ -139,6 +139,7 @@ HEADLINE = [
     "q_ab_test",
     "q_mutual_info",
     "x_python_datasource",
+    "s_python_stream_source",
     "s_kafka_to_s3",
     "s_session_timeout",
     "s_window_tumbling",

@@ -193,3 +193,63 @@ def x_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("partitions", 8)
         .load()
     )
+
+
+@register(
+    "s_python_stream_source",
+    category="streaming",
+    cost=2,
+    doc=(
+        "Spark 4 Python DataSource STREAM reader: offset-managed "
+        "micro-batches (initialOffset/latestOffset/partitions/commit — "
+        "the Kafka-connector protocol in Python), 3 triggers of 20k "
+        "rows, per-bucket rollup in complete mode; exact-BIGINT output "
+        "hash-checks the whole offset/partition/Arrow path."
+    ),
+    oracle="""
+        SELECT CAST(id % 16 AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(id) AS BIGINT) AS sum_id
+        FROM range(0, 60000) t(id)
+        GROUP BY 1
+    """,
+)
+def s_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from kafka_s3_etl_spark.shiplib import ensure_workers_can_import
+    from kafka_s3_etl_spark.sources.pyds import register_python_sources
+    from kafka_s3_etl_spark.streaming.runner import (
+        _pinned_stream_partitions,
+        scratch_dir,
+    )
+
+    ensure_workers_can_import(spark)
+    register_python_sources(spark)
+    stream = (
+        spark.readStream.format("graft_range")
+        .option("n", 60_000)
+        .option("step", 20_000)
+        .option("partitions", 8)
+        .load()
+    )
+    agg = stream.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.sum("id").alias("sum_id")
+    )
+    name = f"pyds_{uuid.uuid4().hex[:10]}"
+    with _pinned_stream_partitions(agg):
+        # custom Python stream sources don't implement availableNow;
+        # drain with processAllAvailable (latestOffset stops advancing
+        # once the log is exhausted, so this terminates)
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", scratch_dir("pyds_ckpt"))
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -22,7 +22,12 @@ partition materializes only its own slice as one Arrow batch.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 class _RangeReader(DataSourceReader):
@@ -65,10 +70,69 @@ class GraftRangeDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return _RangeReader(self.options)
 
+    def streamReader(self, schema) -> "DataSourceStreamReader":
+        return _RangeStreamReader(self.options)
+
 
 def register_python_sources(spark) -> None:
     """Idempotently register the custom sources on a session."""
     if getattr(spark, "_graft_pyds_registered", False):
         return
+    # The STREAM reader runs in the JVM-spawned PythonStreamingSource
+    # runner, which (like the transformWithState server, unlike
+    # executor UDF workers) never sees addPyFile — pickle this module
+    # by value so the source is self-contained everywhere.
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(GraftRangeDataSource)
     spark._graft_pyds_registered = True
+
+
+class _Slice(InputPartition):
+    def __init__(self, s: int, e: int):
+        self.s, self.e = s, e
+
+
+class _RangeStreamReader(DataSourceStreamReader):
+    """Offset-managed micro-batch reader over the same deterministic
+    log: latestOffset advances by `step` rows per trigger (the Kafka
+    endOffsets analogue), partitions() splits each [start, end) offset
+    range for distributed reads, commit() is the ack no-op. Offsets are
+    plain dicts, checkpointed by Spark like any source offset."""
+
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", 60_000))
+        self.step = int(options.get("step", 20_000))
+        self.num_parts = int(options.get("partitions", 8))
+        self._pos = 0
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        self._pos = min(self._pos + self.step, self.n)
+        return {"pos": self._pos}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = int(start["pos"]), int(end["pos"])
+        bounds = [s + (e - s) * i // self.num_parts for i in range(self.num_parts + 1)]
+        return [_Slice(a, b) for a, b in zip(bounds, bounds[1:]) if b > a]
+
+    def read(self, partition: _Slice):
+        import pyarrow as pa
+
+        ids = np.arange(partition.s, partition.e, dtype="int64")
+        yield pa.record_batch(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array((ids % 16).astype("int32"), type=pa.int32()),
+                pa.array(ids / 7.0, type=pa.float64()),
+            ],
+            names=["id", "bucket", "val"],
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
