@@ -140,6 +140,7 @@ HEADLINE = [
     "q_mutual_info",
     "x_python_datasource",
     "s_python_stream_source",
+    "x_python_datasink",
     "s_kafka_to_s3",
     "s_session_timeout",
     "s_window_tumbling",

