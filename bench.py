@@ -141,6 +141,7 @@ HEADLINE = [
     "x_python_datasource",
     "s_python_stream_source",
     "x_python_datasink",
+    "s_python_stream_sink",
     "s_kafka_to_s3",
     "s_session_timeout",
     "s_window_tumbling",

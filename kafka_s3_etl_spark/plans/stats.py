@@ -295,3 +295,56 @@ def x_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "part-*.jsonl")
         .json(out)
     )
+
+
+@register(
+    "s_python_stream_sink",
+    category="streaming",
+    cost=2,
+    doc=(
+        "Python DataSource stream source INTO Python DataSource stream "
+        "sink: 3 offset-managed micro-batches written via per-batch "
+        "two-phase commit (batchId-keyed parts = replay-safe); raw "
+        "readback hash-matches the closed-form log — no row lost or "
+        "duplicated through either protocol."
+    ),
+    oracle="""
+        SELECT id, CAST(id % 16 AS INT) AS bucket,
+               CAST(id AS DOUBLE) / 7.0 AS val
+        FROM range(0, 60000) t(id)
+    """,
+)
+def s_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.shiplib import ensure_workers_can_import
+    from kafka_s3_etl_spark.sources.pyds import register_python_sources
+    from kafka_s3_etl_spark.streaming.runner import (
+        _pinned_stream_partitions,
+        scratch_dir,
+    )
+
+    ensure_workers_can_import(spark)
+    register_python_sources(spark)
+    stream = (
+        spark.readStream.format("graft_range")
+        .option("n", 60_000)
+        .option("step", 20_000)
+        .option("partitions", 8)
+        .load()
+    )
+    out = scratch_dir("jsonl_stream_sink")
+    with _pinned_stream_partitions(stream):
+        q = (
+            stream.writeStream.format("graft_jsonl")
+            .option("path", out)
+            .option("checkpointLocation", scratch_dir("pyds_sink_ckpt"))
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.schema("id bigint, bucket int, val double")
+        .option("pathGlobFilter", "part-*.jsonl")
+        .json(out)
+    )

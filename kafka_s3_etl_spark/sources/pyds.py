@@ -29,6 +29,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
@@ -206,3 +207,41 @@ class GraftJsonlSink(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return _JsonlArrowWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _JsonlStreamArrowWriter(self.options)
+
+
+class _JsonlStreamArrowWriter(DataSourceStreamArrowWriter):
+    """Streaming flavor of the JSONL sink: same task-staged files, but
+    commit/abort are per-MICRO-BATCH (batchId-suffixed part names +
+    manifest) — the exactly-once publish contract a replayed batch
+    needs: re-running batchId N rewrites batch-N parts instead of
+    appending duplicates."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    write = _JsonlArrowWriter.write
+
+    def commit(self, messages, batchId: int):
+        i = 0
+        for msg in messages:
+            for staged in getattr(msg, "staged", ()) or ():
+                os.replace(
+                    staged,
+                    os.path.join(
+                        self.path, f"part-b{batchId:05d}-{i:05d}.jsonl"
+                    ),
+                )
+                i += 1
+        with open(os.path.join(self.path, f"_batch-{batchId}"), "w"):
+            pass
+
+    def abort(self, messages, batchId: int):
+        for msg in messages:
+            for staged in getattr(msg, "staged", ()) or ():
+                try:
+                    os.remove(staged)
+                except OSError:
+                    pass
