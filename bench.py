@@ -142,6 +142,7 @@ HEADLINE = [
     "s_python_stream_source",
     "x_python_datasink",
     "s_python_stream_sink",
+    "x_python_pushdown",
     "s_kafka_to_s3",
     "s_session_timeout",
     "s_window_tumbling",

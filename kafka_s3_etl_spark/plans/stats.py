@@ -348,3 +348,34 @@ def s_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "part-*.jsonl")
         .json(out)
     )
+
+
+@register(
+    "x_python_pushdown",
+    category="source",
+    doc=(
+        "Predicate pushdown INTO the Python DataSource: pushFilters "
+        "accepts the bucket equality and generation strides by 16 at "
+        "the source (never post-filtered); hash-checked against the "
+        "filtered range oracle, pruning unit-tested directly."
+    ),
+    oracle="""
+        SELECT id, CAST(id % 16 AS INT) AS bucket,
+               CAST(id AS DOUBLE) / 7.0 AS val
+        FROM range(0, 60000) t(id)
+        WHERE id % 16 = 3
+    """,
+)
+def x_python_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.shiplib import ensure_workers_can_import
+    from kafka_s3_etl_spark.sources.pyds import register_python_sources
+
+    ensure_workers_can_import(spark)
+    register_python_sources(spark)
+    return (
+        spark.read.format("graft_range")
+        .option("n", 60_000)
+        .option("partitions", 8)
+        .load()
+        .filter(F.col("bucket") == 3)
+    )

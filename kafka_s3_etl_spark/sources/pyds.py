@@ -31,6 +31,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
+    EqualTo,
     InputPartition,
     WriterCommitMessage,
 )
@@ -40,6 +41,25 @@ class _RangeReader(DataSourceReader):
     def __init__(self, options: dict):
         self.n = int(options.get("n", 60_000))
         self.num_parts = int(options.get("partitions", 8))
+        self._bucket = None
+
+    def pushFilters(self, filters):
+        """Accept `bucket = k` equality: generation then strides by 16
+        instead of post-filtering — true source-side pruning (the
+        Python-DataSource analogue of parquet PushedFilters). Anything
+        else is returned for Spark to evaluate."""
+        unsupported = []
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and tuple(f.attribute) == ("bucket",)
+                and isinstance(f.value, int)
+                and 0 <= f.value < 16
+            ):
+                self._bucket = f.value
+            else:
+                unsupported.append(f)
+        return unsupported
 
     def partitions(self):
         return [InputPartition(i) for i in range(self.num_parts)]
@@ -50,7 +70,11 @@ class _RangeReader(DataSourceReader):
         i = partition.value
         start = self.n * i // self.num_parts
         end = self.n * (i + 1) // self.num_parts
-        ids = np.arange(start, end, dtype="int64")
+        if self._bucket is not None:
+            first = start + ((self._bucket - start) % 16)
+            ids = np.arange(first, end, 16, dtype="int64")
+        else:
+            ids = np.arange(start, end, dtype="int64")
         yield pa.record_batch(
             [
                 pa.array(ids, type=pa.int64()),
@@ -93,6 +117,12 @@ def register_python_sources(spark) -> None:
     from pyspark import cloudpickle
 
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    # A reader implementing pushFilters is REJECTED at analysis unless
+    # this conf is on (Spark refuses to silently skip a source's
+    # declared pushdown). It only affects Python-DataSource plans —
+    # parquet/JVM scans never read it — so setting it at registration
+    # is scoped to this feature, not a global behavior flip.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(GraftRangeDataSource)
     spark.dataSource.register(GraftJsonlSink)
     spark._graft_pyds_registered = True

@@ -90,3 +90,23 @@ def test_skyline_matches_bruteforce(spark, seed):
         )
     }
     assert got == want
+
+
+def test_pyds_pushdown_prunes_at_generation():
+    """pushFilters(bucket = 3) must make read() GENERATE only bucket-3
+    ids (stride-16), not post-filter, and report the equality as
+    supported (empty unsupported list)."""
+    from pyspark.sql.datasource import EqualTo
+
+    from kafka_s3_etl_spark.sources.pyds import _RangeReader
+
+    r = _RangeReader({"n": "1000", "partitions": "4"})
+    other = EqualTo(("id",), 5)
+    unsupported = list(r.pushFilters([EqualTo(("bucket",), 3), other]))
+    assert unsupported == [other]
+    rows = []
+    for p in r.partitions():
+        for batch in r.read(p):
+            rows.extend(batch.to_pylist())
+    assert rows and all(row["bucket"] == 3 for row in rows)
+    assert sorted(row["id"] for row in rows) == list(range(3, 1000, 16))
