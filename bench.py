@@ -143,6 +143,7 @@ HEADLINE = [
     "x_python_datasink",
     "s_python_stream_sink",
     "x_python_pushdown",
+    "q_recursive_tree",
     "s_kafka_to_s3",
     "s_session_timeout",
     "s_window_tumbling",

@@ -379,3 +379,44 @@ def x_python_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .filter(F.col("bucket") == 3)
     )
+
+
+@register(
+    "q_recursive_tree",
+    category="relational",
+    doc=(
+        "Spark 4 WITH RECURSIVE: per-supplier depth in the implicit "
+        "binary tree (children of k are 2k, 2k+1) walked from the "
+        "root by iterative recursive-CTE joins — the hierarchy/"
+        "reachability pattern (org charts, BOM explosions) that "
+        "pre-4.x needed a driver-side loop."
+    ),
+    oracle="""
+        WITH RECURSIVE chain(suppkey, depth) AS (
+          SELECT CAST(1 AS BIGINT), 0
+          UNION ALL
+          SELECT s.s_suppkey, c.depth + 1
+          FROM supplier s JOIN chain c
+            ON s.s_suppkey = 2 * c.suppkey OR s.s_suppkey = 2 * c.suppkey + 1
+        )
+        SELECT c.suppkey AS s_suppkey, s.s_name, c.depth
+        FROM chain c JOIN supplier s ON c.suppkey = s.s_suppkey
+    """,
+)
+def q_recursive_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "supplier_rtree"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(suppkey, depth) AS (
+          SELECT CAST(1 AS BIGINT), 0
+          UNION ALL
+          SELECT s.s_suppkey, c.depth + 1
+          FROM supplier_rtree s JOIN chain c
+            ON s.s_suppkey = 2 * c.suppkey OR s.s_suppkey = 2 * c.suppkey + 1
+        )
+        SELECT c.suppkey AS s_suppkey, s.s_name, c.depth
+        FROM chain c JOIN supplier_rtree s ON c.suppkey = s.s_suppkey
+        """
+    )
