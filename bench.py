@@ -144,6 +144,9 @@ HEADLINE = [
     "s_python_stream_sink",
     "x_python_pushdown",
     "q_recursive_tree",
+    "q_sql_udf",
+    "q_lateral_topn",
+    "q_pagination",
     "s_kafka_to_s3",
     "s_session_timeout",
     "s_window_tumbling",

@@ -1,5 +1,15 @@
-"""Round-6 batch 6e: experiment-analysis statistics
+"""Round-6 batches 6e-6g: experiment-analysis statistics, the Python
+DataSource catalog entries, and Spark-4 SQL surface
 (beyond-reference tier, same policy as plans/analytics.py).
+
+Besides the two statistics below, this module registers:
+x_python_datasource / x_python_pushdown / s_python_stream_source /
+x_python_datasink / s_python_stream_sink (the full custom Python
+DataSource matrix, sources/pyds.py), q_recursive_tree (WITH
+RECURSIVE), q_sql_udf (SQL scalar function — analysis-time inlining,
+full codegen), q_lateral_topn (correlated LATERAL + ORDER BY LIMIT,
+decorrelated by Catalyst), and q_pagination (total-ordered
+LIMIT/OFFSET).
 
 * q_ab_test — Welch z-statistic comparing purchase value between two
   user cohorts, one row per event_type. The whole query is ONE
@@ -419,4 +429,103 @@ def q_recursive_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.suppkey AS s_suppkey, s.s_name, c.depth
         FROM chain c JOIN supplier_rtree s ON c.suppkey = s.s_suppkey
         """
+    )
+
+
+@register(
+    "q_sql_udf",
+    category="relational",
+    doc=(
+        "Spark 4 SQL scalar UDF (CREATE TEMPORARY FUNCTION ... RETURN "
+        "expr): the declarative UDF family — inlined into the plan at "
+        "analysis (full codegen, no Python), unlike F.udf; used inside "
+        "a grouped exact-cents aggregate."
+    ),
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue_e4,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1
+    """,
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION revenue_e4_udf"
+        "(price DOUBLE, disc DOUBLE) RETURNS BIGINT RETURN "
+        "CAST(ROUND(price * 100) AS BIGINT)"
+        " * (100 - CAST(ROUND(disc * 100) AS BIGINT))"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_squ")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(revenue_e4_udf(l_extendedprice, l_discount))
+                    AS BIGINT) AS revenue_e4,
+               COUNT(*) AS n
+        FROM li_squ GROUP BY 1
+        """
+    )
+
+
+@register(
+    "q_lateral_topn",
+    category="relational",
+    doc=(
+        "Correlated LATERAL subquery with ORDER BY ... LIMIT 1: the "
+        "last-shipped lineitem per January-1996 order. Catalyst "
+        "decorrelates the lateral to a join + per-key top-1 — never a "
+        "per-row re-scan; (shipdate DESC, linenumber) makes the pick "
+        "total-ordered on both engines."
+    ),
+    oracle="""
+        SELECT o.o_orderkey, o.o_orderdate, l.l_shipdate, l.l_linenumber
+        FROM orders o, LATERAL (
+          SELECT l_shipdate, l_linenumber FROM lineitem
+          WHERE l_orderkey = o.o_orderkey
+          ORDER BY l_shipdate DESC, l_linenumber LIMIT 1) l
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1996-02-01'
+    """,
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_lat")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("o_lat")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_orderdate, l.l_shipdate, l.l_linenumber
+        FROM o_lat o, LATERAL (
+          SELECT l_shipdate, l_linenumber FROM li_lat
+          WHERE l_orderkey = o.o_orderkey
+          ORDER BY l_shipdate DESC, l_linenumber LIMIT 1) l
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1996-02-01'
+        """
+    )
+
+
+@register(
+    "q_pagination",
+    category="relational",
+    doc=(
+        "Keyless pagination: ORDER BY (c_acctbal DESC, c_custkey) "
+        "LIMIT 50 OFFSET 100 — total order makes the page cut "
+        "deterministic; Spark plans a single TakeOrdered-style global "
+        "top-150 then drops the head, no full sort materialization."
+    ),
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 50 OFFSET 100
+    """,
+)
+def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .offset(100)
+        .limit(50)
     )
