@@ -92,6 +92,14 @@ PROBE_QUERIES = [
     "q_tpch_priority",
     "q_tpch_custdist",
     "q_heavy_hitters",
+    # round-6 batch-2 additions: remaining fact-heavy TPC-H shapes and
+    # the decorrelated LATERAL top-1
+    "q_tpch_profit",
+    "q_tpch_nation_volume",
+    "q_tpch_min_supplier",
+    "q_tpch_dominant_supplier",
+    "q_tpch_important_parts",
+    "q_lateral_topn",
 ]
 
 
