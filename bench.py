@@ -202,53 +202,83 @@ def _warm_streaming(spark) -> None:
     q.awaitTermination(60)
 
 
-def _artifact_queries(path: str) -> dict[str, float] | None:
+def _artifact_queries(
+    path: str, sf: float | str | None = None
+) -> dict[str, float] | None:
     """Per-query timings out of one bench artifact, surviving every
     layout the driver has produced so far: this script's own JSON
     (BENCH_LOCAL.json), the driver wrapper with "parsed", and — the
     r5 failure mode — "parsed": null with the JSON line truncated
-    inside the driver's 2000-char "tail" capture window."""
+    inside the driver's 2000-char "tail" capture window.
+
+    When ``sf`` is given, an artifact that RECORDS a different scale
+    factor is rejected: a quick sf0.01 local run must not become the
+    baseline that flags every subsequent sf0.1 query as a regression.
+    Artifacts whose sf can't be recovered are accepted (best effort).
+    Any malformed artifact (non-numeric timing values, etc.) yields
+    None instead of raising — the caller falls through to the next."""
     import re
+
+    def _sf_ok(recorded) -> bool:
+        if sf is None or recorded is None:
+            return True
+        try:
+            return float(recorded) == float(sf)
+        except (TypeError, ValueError):
+            return str(recorded) == str(sf)
 
     try:
         with open(path) as fh:
             data = json.load(fh)
-    except (OSError, ValueError):
+        if not isinstance(data, dict):
+            return None
+        for payload in (data, data.get("parsed")):
+            if isinstance(payload, dict) and isinstance(
+                payload.get("queries"), dict
+            ):
+                if not _sf_ok(payload.get("sf")):
+                    return None
+                return {k: float(v) for k, v in payload["queries"].items()}
+        tail = data.get("tail")
+        if not isinstance(tail, str):
+            return None
+        # Recover the JSON line from the tail if it survived intact...
+        for line in reversed(tail.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    payload = json.loads(line)
+                    if isinstance(payload.get("queries"), dict):
+                        if not _sf_ok(payload.get("sf")):
+                            return None
+                        return {
+                            k: float(v)
+                            for k, v in payload["queries"].items()
+                        }
+                except ValueError:
+                    pass
+                break
+        # ...else salvage whatever per-query pairs the window kept.
+        # Query names are q_/s_/x_-prefixed, so "sf"/"value"/nested
+        # regression fields can't false-match.
+        m = re.search(r'"sf":\s*([0-9]+(?:\.[0-9]+)?)', tail)
+        if m and not _sf_ok(m.group(1)):
+            return None
+        pairs = re.findall(r'"([qsx]_\w+)":\s*([0-9]+(?:\.[0-9]+)?)', tail)
+        queries = {k: float(v) for k, v in pairs}
+        return queries if len(queries) >= 10 else None
+    except (OSError, ValueError, TypeError, AttributeError):
         return None
-    if not isinstance(data, dict):
-        return None
-    for payload in (data, data.get("parsed")):
-        if isinstance(payload, dict) and isinstance(payload.get("queries"), dict):
-            return {k: float(v) for k, v in payload["queries"].items()}
-    tail = data.get("tail")
-    if not isinstance(tail, str):
-        return None
-    # Recover the JSON line from the tail if it survived intact...
-    for line in reversed(tail.strip().splitlines()):
-        line = line.strip()
-        if line.startswith("{"):
-            try:
-                payload = json.loads(line)
-                if isinstance(payload.get("queries"), dict):
-                    return {
-                        k: float(v) for k, v in payload["queries"].items()
-                    }
-            except ValueError:
-                pass
-            break
-    # ...else salvage whatever per-query pairs the window kept. Query
-    # names are q_/s_/x_-prefixed, so "sf"/"value"/nested regression
-    # fields can't false-match.
-    pairs = re.findall(r'"([qsx]_\w+)":\s*([0-9]+(?:\.[0-9]+)?)', tail)
-    queries = {k: float(v) for k, v in pairs}
-    return queries if len(queries) >= 10 else None
 
 
-def _previous_bench(here: str | None = None) -> tuple[str, dict[str, float]] | None:
+def _previous_bench(
+    here: str | None = None, sf: float | str | None = None
+) -> tuple[str, dict[str, float]] | None:
     """Newest usable bench baseline next to this script: committed
     BENCH_LOCAL.json from the previous run if present, else the
     BENCH_r{N}.json driver artifacts newest-first, skipping any whose
-    timings can't be recovered (VERDICT r5 #1)."""
+    timings can't be recovered (VERDICT r5 #1) or whose recorded scale
+    factor differs from ``sf``."""
     import glob
     import re
 
@@ -263,7 +293,7 @@ def _previous_bench(here: str | None = None) -> tuple[str, dict[str, float]] | N
         if m:
             candidates.append((int(m.group(1)), f"r{int(m.group(1))}", p))
     for _, label, path in sorted(candidates, reverse=True):
-        queries = _artifact_queries(path)
+        queries = _artifact_queries(path, sf)
         if queries:
             return label, queries
     return None
@@ -285,8 +315,10 @@ KNOWN_SLOWER = {
 }
 
 
-def _regressions(timings: dict[str, float]) -> tuple[dict, dict]:
-    prev = _previous_bench()
+def _regressions(
+    timings: dict[str, float], sf: float | str | None = None
+) -> tuple[dict, dict]:
+    prev = _previous_bench(sf=sf)
     if prev is None:
         return {}, {}
     label, old = prev
@@ -335,13 +367,14 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     # Baseline lookup must happen BEFORE this run overwrites
     # BENCH_LOCAL.json, or the tripwire would compare a run to itself.
-    unexplained, explained = _regressions(timings)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    unexplained, explained = _regressions(timings, sf=sf_val)
     payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
         "regressions": unexplained,
         "regressions_explained": explained,
     }

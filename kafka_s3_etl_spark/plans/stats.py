@@ -83,15 +83,19 @@ _VC = "CAST(ROUND(value * 100) AS BIGINT)"  # exact cents
 )
 def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # mirror the oracle's predicates EXACTLY: `% 2 = 1` (not `NOT = 0`)
+    # so a hypothetical negative odd user_id (% 2 = -1 in both engines)
+    # lands in neither cohort on both sides
     a = F.col("user_id") % 2 == 0
+    b = F.col("user_id") % 2 == 1
     vc = F.expr(_VC)
     g = ev.groupBy("event_type").agg(
         F.sum(F.when(a, 1).otherwise(0)).alias("n_a"),
-        F.sum(F.when(~a, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(b, 1).otherwise(0)).alias("n_b"),
         F.sum(F.when(a, vc).otherwise(0)).alias("s_a"),
-        F.sum(F.when(~a, vc).otherwise(0)).alias("s_b"),
+        F.sum(F.when(b, vc).otherwise(0)).alias("s_b"),
         F.sum(F.when(a, vc * vc).otherwise(0)).alias("q_a"),
-        F.sum(F.when(~a, vc * vc).otherwise(0)).alias("q_b"),
+        F.sum(F.when(b, vc * vc).otherwise(0)).alias("q_b"),
     )
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     sa, sb = F.col("s_a").cast("double"), F.col("s_b").cast("double")

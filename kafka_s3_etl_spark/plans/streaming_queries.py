@@ -262,9 +262,9 @@ def s_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and unit-tested, but the API's state-server protocol needs
 # google.protobuf, which this container lacks (and installs are
 # disallowed) — same environment-gated status as live Kafka/MinIO.
-# tests/test_streaming.py::test_tws_sessionizer_live runs it whenever
-# protobuf appears; the processor's fold/timer logic is covered offline
-# against gap_sessions semantics via a mock handle.
+# tests/test_tws_sessionizer.py::test_tws_sessionizer_live runs it
+# whenever protobuf appears; the processor's fold/timer logic is
+# covered offline against gap_sessions semantics via a mock handle.
 
 
 @register(

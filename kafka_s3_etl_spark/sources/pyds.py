@@ -44,14 +44,18 @@ class _RangeReader(DataSourceReader):
         self._bucket = None
 
     def pushFilters(self, filters):
-        """Accept `bucket = k` equality: generation then strides by 16
-        instead of post-filtering — true source-side pruning (the
+        """Accept ONE `bucket = k` equality: generation then strides by
+        16 instead of post-filtering — true source-side pruning (the
         Python-DataSource analogue of parquet PushedFilters). Anything
-        else is returned for Spark to evaluate."""
+        else — including any FURTHER bucket equality, since the list is
+        an AND and accepting only the last would silently drop a
+        conflicting predicate (bucket=3 AND bucket=5 must stay empty) —
+        is returned for Spark to evaluate."""
         unsupported = []
         for f in filters:
             if (
-                isinstance(f, EqualTo)
+                self._bucket is None
+                and isinstance(f, EqualTo)
                 and tuple(f.attribute) == ("bucket",)
                 and isinstance(f.value, int)
                 and 0 <= f.value < 16
@@ -255,6 +259,16 @@ class _JsonlStreamArrowWriter(DataSourceStreamArrowWriter):
     write = _JsonlArrowWriter.write
 
     def commit(self, messages, batchId: int):
+        import glob as _glob
+
+        # Replay safety requires REMOVING every part this batchId
+        # published on a previous attempt first: a replay that commits
+        # fewer non-empty tasks than the original would otherwise leave
+        # the original's higher-indexed parts visible -> duplicates.
+        for stale in _glob.glob(
+            os.path.join(self.path, f"part-b{batchId:05d}-*.jsonl")
+        ):
+            os.remove(stale)
         i = 0
         for msg in messages:
             for staged in getattr(msg, "staged", ()) or ():

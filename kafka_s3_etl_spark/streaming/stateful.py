@@ -55,6 +55,68 @@ def user_running_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def fold_gap_segments(
+    pdfs: Iterable[pd.DataFrame],
+    prev: tuple[int, int, int] | None,
+    gap_us: int,
+) -> tuple[list[tuple[int, int, int]], tuple[int, int, int] | None]:
+    """Shared vectorized session fold for BOTH sessionizer APIs
+    (applyInPandasWithState here, transformWithStateInPandas in
+    streaming/tws.py) — one implementation so the two can never
+    diverge. Returns (closed sessions, still-open session).
+
+    Session breaks are exactly the sorted gaps > gap_us; each
+    segment's (start, end, count) replaces the r1-r5 per-event loop —
+    the probe's 4.4x-at-10x-events was pure Python tax. Timestamps
+    normalize to ns first: arrow hands pandas datetime64 in
+    file-dependent units, and int64-of-ns // 1000 is unit-safe (2024
+    timeline, no overflow)."""
+    chunks = [
+        pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+        for pdf in pdfs
+    ]
+    t = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, "int64")
+    if not t.size:
+        return [], prev
+    closed: list[tuple[int, int, int]] = []
+    brk = np.nonzero(np.diff(t) > gap_us)[0]
+    i0 = np.concatenate(([0], brk + 1))
+    i1 = np.concatenate((brk, [t.size - 1]))
+    seg_s, seg_e = t[i0], t[i1]
+    seg_n = i1 - i0 + 1
+    if prev is not None:
+        s, e, n = prev
+        if int(t[0]) - e <= gap_us:
+            # open session absorbs the first segment; its end lands on
+            # the segment's last event, same as the sequential fold
+            seg_s[0] = s
+            seg_n[0] += n
+        else:
+            closed.append((s, e, n))
+    closed.extend(
+        zip(seg_s[:-1].tolist(), seg_e[:-1].tolist(), seg_n[:-1].tolist())
+    )
+    return closed, (int(seg_s[-1]), int(seg_e[-1]), int(seg_n[-1]))
+
+
+def sessions_frame(
+    key_val: int, closed: list[tuple[int, int, int]]
+) -> pd.DataFrame:
+    """numpy-built emission shared by both sessionizers:
+    pd.to_datetime on a tiny list costs ~300us/key; int64-us * 1000
+    viewed as datetime64[ns] is ~3x cheaper, and this runs once per
+    key per micro-batch."""
+    arr = np.asarray(closed, dtype="int64").reshape(-1, 3)
+    return pd.DataFrame(
+        {
+            "user_id": np.full(arr.shape[0], key_val, dtype="int64"),
+            "session_start": (arr[:, 0] * 1000).view("datetime64[ns]"),
+            "session_end": (arr[:, 1] * 1000).view("datetime64[ns]"),
+            "n_events": arr[:, 2],
+        }
+    )
+
+
 def gap_sessions(events: DataFrame, gap_minutes: int = 10) -> DataFrame:
     """Timeout-driven stateful sessionizer: the semantics Spark's
     built-in session_window cannot express when you need the session to
@@ -96,64 +158,15 @@ def gap_sessions(events: DataFrame, gap_minutes: int = 10) -> DataFrame:
                 closed.append(tuple(state.get))
             state.remove()
         else:
-            # normalize to ns first: arrow hands pandas datetime64 in
-            # file-dependent units, and int64-of-ns // 1000 is
-            # unit-safe (2024 timeline, no overflow)
-            chunks = [
-                pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
-                // 1000
-                for pdf in pdfs
-            ]
-            t = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, "int64")
-            if t.size:
-                # Vectorized fold (VERDICT r5 #4): session breaks are
-                # exactly the sorted gaps > gap_us; each segment's
-                # (start, end, count) replaces the per-event loop —
-                # the probe's 4.4x-at-10x-events was pure Python tax.
-                brk = np.nonzero(np.diff(t) > gap_us)[0]
-                i0 = np.concatenate(([0], brk + 1))
-                i1 = np.concatenate((brk, [t.size - 1]))
-                seg_s, seg_e = t[i0], t[i1]
-                seg_n = i1 - i0 + 1
-                if state.exists:
-                    s, e, n = state.get
-                    if int(t[0]) - e <= gap_us:
-                        # open session absorbs the first segment; its
-                        # end lands on the segment's last event, same
-                        # as the sequential fold
-                        seg_s[0] = s
-                        seg_n[0] += n
-                    else:
-                        closed.append((s, e, n))
-                closed.extend(
-                    zip(
-                        seg_s[:-1].tolist(),
-                        seg_e[:-1].tolist(),
-                        seg_n[:-1].tolist(),
-                    )
-                )
-                s, e, n = int(seg_s[-1]), int(seg_e[-1]), int(seg_n[-1])
-                state.update((s, e, n))
+            prev = tuple(state.get) if state.exists else None
+            closed, open_ = fold_gap_segments(pdfs, prev, gap_us)
+            if open_ is not None:
+                state.update(open_)
                 # fire once the watermark proves the gap elapsed
-                state.setTimeoutTimestamp(e // 1000 + gap_ms + 1)
-            elif state.exists:
-                s, e, n = state.get
-                state.update((s, e, n))
-                state.setTimeoutTimestamp(e // 1000 + gap_ms + 1)
+                state.setTimeoutTimestamp(open_[1] // 1000 + gap_ms + 1)
         if not closed:
             return  # no frame at all beats concat-ing an empty one
-        # numpy-built emission: pd.to_datetime on a tiny list costs
-        # ~300us/key; int64-us * 1000 viewed as datetime64[ns] is ~3x
-        # cheaper, and this runs once per key per micro-batch
-        arr = np.asarray(closed, dtype="int64").reshape(-1, 3)
-        yield pd.DataFrame(
-            {
-                "user_id": np.full(arr.shape[0], key[0], dtype="int64"),
-                "session_start": (arr[:, 0] * 1000).view("datetime64[ns]"),
-                "session_end": (arr[:, 1] * 1000).view("datetime64[ns]"),
-                "n_events": arr[:, 2],
-            }
-        )
+        yield sessions_frame(key[0], closed)
 
     # Explicit projection: Spark cannot column-prune through an opaque
     # pandas function, so without this every event column (including

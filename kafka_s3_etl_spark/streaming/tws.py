@@ -27,7 +27,6 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.stateful_processor import (
@@ -37,22 +36,15 @@ from pyspark.sql.streaming.stateful_processor import (
     TimerValues,
 )
 
+from kafka_s3_etl_spark.streaming.stateful import (  # noqa: E402
+    fold_gap_segments,
+    sessions_frame,
+)
+
 _OUTPUT_SCHEMA = (
     "user_id bigint, session_start timestamp, "
     "session_end timestamp, n_events bigint"
 )
-
-
-def _emit(key_val: int, closed: list[tuple[int, int, int]]) -> pd.DataFrame:
-    arr = np.asarray(closed, dtype="int64").reshape(-1, 3)
-    return pd.DataFrame(
-        {
-            "user_id": np.full(arr.shape[0], key_val, dtype="int64"),
-            "session_start": (arr[:, 0] * 1000).view("datetime64[ns]"),
-            "session_end": (arr[:, 1] * 1000).view("datetime64[ns]"),
-            "n_events": arr[:, 2],
-        }
-    )
 
 
 class GapSessionProcessor(StatefulProcessor):
@@ -78,35 +70,15 @@ class GapSessionProcessor(StatefulProcessor):
     def handleInputRows(
         self, key: Any, rows: Iterator[pd.DataFrame], timerValues: TimerValues
     ) -> Iterator[pd.DataFrame]:
-        chunks = [
-            pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
-            for pdf in rows
-        ]
-        t = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, "int64")
-        if not t.size:
-            return
-        closed: list[tuple[int, int, int]] = []
-        brk = np.nonzero(np.diff(t) > self._gap_us)[0]
-        i0 = np.concatenate(([0], brk + 1))
-        i1 = np.concatenate((brk, [t.size - 1]))
-        seg_s, seg_e = t[i0], t[i1]
-        seg_n = i1 - i0 + 1
         prev = self._open.get()
-        if prev is not None:
-            s, e, n = prev
-            if int(t[0]) - e <= self._gap_us:
-                seg_s[0] = s
-                seg_n[0] += n
-            else:
-                closed.append((s, e, n))
-        closed.extend(
-            zip(seg_s[:-1].tolist(), seg_e[:-1].tolist(), seg_n[:-1].tolist())
+        closed, open_ = fold_gap_segments(
+            rows, tuple(prev) if prev is not None else None, self._gap_us
         )
-        end = int(seg_e[-1])
-        self._open.update((int(seg_s[-1]), end, int(seg_n[-1])))
-        self._rearm(end)
+        if open_ is not None:
+            self._open.update(open_)
+            self._rearm(open_[1])
         if closed:
-            yield _emit(key[0], closed)
+            yield sessions_frame(key[0], closed)
 
     def handleExpiredTimer(
         self,
@@ -117,7 +89,7 @@ class GapSessionProcessor(StatefulProcessor):
         prev = self._open.get()
         if prev is not None:
             self._open.clear()
-            yield _emit(key[0], [tuple(prev)])
+            yield sessions_frame(key[0], [tuple(prev)])
 
     def close(self) -> None:
         pass
@@ -162,7 +134,12 @@ def gap_sessions_tws(events: DataFrame, gap_minutes: int = 10) -> DataFrame:
 
     from pyspark import cloudpickle
 
+    # this module AND the shared fold helpers it imports — a
+    # by-reference pickle of either dies in the streaming runner
+    import kafka_s3_etl_spark.streaming.stateful as _stateful_mod
+
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    cloudpickle.register_pickle_by_value(_stateful_mod)
     return (
         events.select("user_id", "ts")
         .withWatermark("ts", f"{gap_minutes} minutes")

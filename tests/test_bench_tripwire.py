@@ -73,3 +73,26 @@ def test_previous_bench_never_returns_empty_map(tmp_path):
     (tmp_path / "BENCH_LOCAL.json").write_text('{"queries": {"q_c": 3.0}}')
     label, queries = bench._previous_bench(str(tmp_path))
     assert label == "r-local" and queries == {"q_c": 3.0}
+
+
+def test_previous_bench_rejects_mismatched_sf(tmp_path):
+    """A quick sf0.01 local run must not poison the sf0.1 baseline:
+    artifacts recording a different sf are skipped; malformed timing
+    values degrade to skipping the artifact, never raising."""
+    (tmp_path / "BENCH_LOCAL.json").write_text(
+        '{"sf": 0.01, "queries": {"q_a": 0.1, "q_b": 0.2}}'
+    )
+    (tmp_path / "BENCH_r07.json").write_text(
+        '{"parsed": {"sf": 0.1, "queries": {"q_a": 1.0, "q_b": 2.0}}}'
+    )
+    label, queries = bench._previous_bench(str(tmp_path), sf=0.1)
+    assert label == "r7" and queries == {"q_a": 1.0, "q_b": 2.0}
+    # without an expected sf, newest still wins (back-compat)
+    label, _ = bench._previous_bench(str(tmp_path))
+    assert label == "r-local"
+    # malformed values -> skip, don't raise
+    (tmp_path / "BENCH_LOCAL.json").write_text(
+        '{"sf": 0.1, "queries": {"q_a": "1.2s"}}'
+    )
+    label, _ = bench._previous_bench(str(tmp_path), sf=0.1)
+    assert label == "r7"

@@ -110,3 +110,45 @@ def test_pyds_pushdown_prunes_at_generation():
             rows.extend(batch.to_pylist())
     assert rows and all(row["bucket"] == 3 for row in rows)
     assert sorted(row["id"] for row in rows) == list(range(3, 1000, 16))
+
+
+def test_pyds_pushdown_conflicting_equalities_keeps_one():
+    """bucket=3 AND bucket=5 must NOT silently drop a predicate: only
+    the first equality is accepted, the second returns to Spark (which
+    post-filters the stride-generated rows to the correct empty set)."""
+    from pyspark.sql.datasource import EqualTo
+
+    from kafka_s3_etl_spark.sources.pyds import _RangeReader
+
+    r = _RangeReader({"n": "1000", "partitions": "2"})
+    f3, f5 = EqualTo(("bucket",), 3), EqualTo(("bucket",), 5)
+    assert list(r.pushFilters([f3, f5])) == [f5]
+    rows = [row for p in r.partitions() for b in r.read(p) for row in b.to_pylist()]
+    assert all(row["bucket"] == 3 for row in rows)
+
+
+def test_pyds_stream_sink_replay_removes_stale_parts(tmp_path):
+    """A replayed micro-batch that commits FEWER parts than the first
+    attempt must remove the first attempt's leftovers — otherwise the
+    readback duplicates rows."""
+    from kafka_s3_etl_spark.sources.pyds import (
+        _JsonlStreamArrowWriter,
+        _StagedFiles,
+    )
+
+    w = _JsonlStreamArrowWriter({"path": str(tmp_path)})
+    # first attempt: two parts for batch 7
+    for i, content in enumerate(['{"id": 1}\n', '{"id": 2}\n']):
+        (tmp_path / f"s{i}").write_text(content)
+    w.commit(
+        [_StagedFiles(staged=(str(tmp_path / "s0"),)),
+         _StagedFiles(staged=(str(tmp_path / "s1"),))],
+        batchId=7,
+    )
+    assert len(list(tmp_path.glob("part-b00007-*.jsonl"))) == 2
+    # replay: only ONE part this time
+    (tmp_path / "s2").write_text('{"id": 1}\n{"id": 2}\n')
+    w.commit([_StagedFiles(staged=(str(tmp_path / "s2"),))], batchId=7)
+    parts = sorted(tmp_path.glob("part-b00007-*.jsonl"))
+    assert len(parts) == 1
+    assert parts[0].read_text() == '{"id": 1}\n{"id": 2}\n'
