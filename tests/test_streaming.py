@@ -261,3 +261,52 @@ def test_chained_windows_runs_two_stateful_operators(spark):
         (base + datetime.timedelta(minutes=30), 15, 3),
     }
     assert got == expect
+
+
+def test_stateful_aggregation_state_survives_restart(spark, tmp_path):
+    """Streaming aggregation STATE must persist across a stop/restart
+    from the same checkpoint: counts after the second run include the
+    first run's events (state-store recovery), not just the new file —
+    the stateless-recovery test above can't see this, foreachBatch has
+    no state store."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from kafka_s3_etl_spark.streaming.runner import (
+        _await_or_fail,
+        _pinned_stream_partitions,
+    )
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    spark.range(100).withColumn("g", F.col("id") % 4).coalesce(1).write.parquet(src)
+
+    def run() -> str:
+        name = f"rec_{uuid.uuid4().hex[:8]}"
+        df = spark.readStream.schema("id long, g long").parquet(src)
+        agg = df.groupBy("g").count()
+        with _pinned_stream_partitions(agg):
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+        _await_or_fail(q, 120)
+        return name
+
+    first = run()
+    assert {
+        (r.g, r["count"]) for r in spark.table(first).collect()
+    } == {(g, 25) for g in range(4)}
+
+    # second delivery, then restart from the SAME checkpoint
+    spark.range(100, 300).withColumn("g", F.col("id") % 4).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    second = run()
+    assert {
+        (r.g, r["count"]) for r in spark.table(second).collect()
+    } == {(g, 75) for g in range(4)}  # 25 recovered + 50 new per group
