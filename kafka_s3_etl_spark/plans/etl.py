@@ -5,8 +5,8 @@
   DuckDB's to_json (formats verified byte-identical).
 * q_products_flagship_csv — the reference's flagship query on its own
   shipped CSV, string-lexicographic date semantics preserved
-  (src/sql_to_kafka.py:147-151; SURVEY 1.4.1). Rows-only: the products
-  CSV is not one of the driver's oracle views.
+  (src/sql_to_kafka.py:147-151; SURVEY 1.4.1). Oracle-checked since
+  r6: DuckDB read_csv on the same file (all_varchar string schema).
 * x_json_to_xml — per-record XML fragments of the reference's sample
   JSON document (golden-file parity asserted byte-for-byte in
   tests/test_xml_golden.py). Rows-only for the driver.
@@ -71,10 +71,19 @@ def q_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Flagship query on the reference's own products.csv with its "
         "string-lexicographic date comparison (works because zero-padded "
-        "ISO-8601 sorts like time; SURVEY 1.4.1). Rows-only: CSV is not an "
-        "oracle view. 67/105 sample rows have articleStatus='created'."
+        "ISO-8601 sorts like time; SURVEY 1.4.1). Oracle since r6: DuckDB "
+        "reads the same shipped CSV directly (all_varchar mirrors the "
+        "string schema, empty cells NULL on both engines)."
     ),
-    oracle=None,
+    oracle="""
+        SELECT ean, "styleNumber", "articleStatus", "b2bReadinessDate",
+               CAST(price_eur AS DOUBLE) AS price_eur
+        FROM read_csv('/root/reference/data/products.csv',
+                      header = true, all_varchar = true)
+        WHERE "articleStatus" = 'created'
+          AND "b2bReadinessDate" >= '2024-12-01'
+        ORDER BY "b2bReadinessDate" DESC
+    """,
 )
 def q_products_flagship_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     products = read_products_csv(spark, REFERENCE_CSV)
