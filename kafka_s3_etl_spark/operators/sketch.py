@@ -13,10 +13,14 @@ frequency mining:
                        n_p/(m+1) everywhere, its total would be below
                        n/(m+1)). With m >= k the candidate set is a
                        SUPERSET of every item with count >= n/k.
-  pass 2 (verify)    — exact counts of the candidates only, via a
-                       broadcast semi-join + map-side-combined count;
-                       the threshold filter then makes the output
-                       EXACT (no false positives, none missed).
+  pass 2 (verify)    — exact counts of the candidates AND the grand
+                       total in ONE aggregation: a broadcast left join
+                       tags candidate rows, everything else collapses
+                       into a NULL group, and n_total is the sum over
+                       the <= 2k+1 grouped rows. The threshold filter
+                       then makes the output EXACT (no false
+                       positives, none missed) with exactly two corpus
+                       scans.
 
 So the sketch buys bounded memory (m counters per task, independent of
 the item domain) while the final answer stays hash-checkable against a
@@ -43,44 +47,83 @@ from pyspark.sql import functions as F
 
 
 def _mg_summarize(col: str, m: int):
-    """mapInPandas body: one Misra-Gries summary per partition."""
+    """mapInPandas body: one Misra-Gries summary per partition.
+
+    Peak memory is a HARD 2m dict entries: each Arrow batch's
+    value_counts is merged in chunks of <= m items with a decrement
+    round after every chunk, so the summary never holds more than
+    m (carried) + m (one chunk) entries — independent of both the item
+    domain AND the per-batch distinct count. The decrement subtracts
+    the (len-m)-th smallest counter from everyone; >= m+1 counters lose
+    that amount each round, so any item's cumulative deficit is at most
+    n_p/(m+1) (the standard aggressive-MG argument), preserving the
+    superset guarantee heavy_hitters' verify pass relies on.
+    """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         summary: dict = {}
         for pdf in batches:
-            for item, c in pdf[col].value_counts().items():
-                summary[item] = summary.get(item, 0) + int(c)
-            if len(summary) > m:
-                # decrement step: subtract the (len-m)-th smallest
-                # count from everyone; at least len-m items hit zero
-                vals = sorted(summary.values())
-                dec = vals[len(summary) - m - 1]
-                summary = {i: c - dec for i, c in summary.items() if c > dec}
+            counts = pdf[col].value_counts()
+            for lo in range(0, len(counts), m):
+                for item, c in counts.iloc[lo : lo + m].items():
+                    summary[item] = summary.get(item, 0) + int(c)
+                summary = _mg_prune(summary, m)
         yield pd.DataFrame({col: list(summary.keys())})
 
     return fn
 
 
+def _mg_prune(summary: dict, m: int) -> dict:
+    """One Misra-Gries decrement round: if over budget, subtract the
+    (len-m)-th smallest counter from everyone; at least len-m items hit
+    zero, restoring len <= m. Split out so tests can instrument the
+    peak dict size at every prune point."""
+    if len(summary) <= m:
+        return summary
+    vals = sorted(summary.values())
+    dec = vals[len(summary) - m - 1]
+    return {i: c - dec for i, c in summary.items() if c > dec}
+
+
 def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
     """Exact items with count >= ceil(n/k), found via per-partition
-    Misra-Gries candidates (m = 2k counters) + an exact verify pass.
+    Misra-Gries candidates (m = 2k counters, peak 4k dict entries per
+    task — see _mg_summarize) + an exact verify pass.
 
     Returns (col, n_occurrences) — identical to the naive
-    GROUP BY/HAVING, but pass 1 never holds more than 2k counters per
-    task regardless of the item domain's size."""
+    GROUP BY/HAVING, and the corpus is touched exactly TWICE: the MG
+    candidate pass and one verify aggregation. The verify pass folds
+    n_total in by bucketing non-candidate rows under a NULL group (a
+    broadcast left join + conditional group key, still map-side
+    combined), so the grand total is the sum over <= 2k+1 grouped rows
+    — no third corpus scan for count(*)."""
     src = df.select(col)
     m = 2 * k
     candidates = src.mapInPandas(
         _mg_summarize(col, m), schema=f"{col} {dict(src.dtypes)[col]}"
     ).distinct()
-    total = src.agg(F.count("*").alias("n_total"))
-    return (
-        src.join(F.broadcast(candidates), col, "left_semi")
-        .groupBy(col)
+    grouped = (
+        src.join(
+            F.broadcast(candidates.withColumn("_cand", F.lit(True))),
+            col,
+            "left",
+        )
+        # non-candidates (and null items, which can never be candidates)
+        # collapse into one NULL group that only feeds the total
+        .groupBy(F.when(F.col("_cand"), F.col(col)).alias(col))
         .agg(F.count("*").alias("n_occurrences"))
-        .crossJoin(F.broadcast(total))
+    )
+    # grand total over the grouped rows (<= 2k+1 of them, corpus-
+    # independent) via an unpartitioned window — tiny by construction
+    return (
+        grouped.withColumn(
+            "n_total", F.sum("n_occurrences").over(Window.partitionBy())
+        )
         # integer form of count >= ceil(n/k): count * k >= n
-        .filter(F.col("n_occurrences") * k >= F.col("n_total"))
+        .filter(
+            F.col(col).isNotNull()
+            & (F.col("n_occurrences") * k >= F.col("n_total"))
+        )
         .select(col, "n_occurrences")
     )
 

@@ -82,7 +82,7 @@ def q_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                       header = true, all_varchar = true)
         WHERE "articleStatus" = 'created'
           AND "b2bReadinessDate" >= '2024-12-01'
-        ORDER BY "b2bReadinessDate" DESC
+        ORDER BY "b2bReadinessDate" DESC, ean
     """,
 )
 def q_products_flagship_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,7 +92,11 @@ def q_products_flagship_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("articleStatus") == "created")
             & (F.col("b2bReadinessDate") >= "2024-12-01")
         )
-        .orderBy(F.col("b2bReadinessDate").desc())
+        # ean tiebreaks day-granularity dates: the result order is TOTAL,
+        # matching the catalog convention for ordered queries (the driver
+        # hash is order-insensitive, but a total order keeps the two
+        # engines row-for-row comparable).
+        .orderBy(F.col("b2bReadinessDate").desc(), F.col("ean"))
         .select("ean", "styleNumber", "articleStatus", "b2bReadinessDate", "price_eur")
     )
 

@@ -142,7 +142,11 @@ class _RangeStreamReader(DataSourceStreamReader):
     log: latestOffset advances by `step` rows per trigger (the Kafka
     endOffsets analogue), partitions() splits each [start, end) offset
     range for distributed reads, commit() is the ack no-op. Offsets are
-    plain dicts, checkpointed by Spark like any source offset."""
+    plain dicts, checkpointed by Spark like any source offset; the
+    cursor below is only the driver-side ADVANCE state, and re-seats
+    itself from the checkpointed offsets Spark hands back (see
+    partitions) so a restart from an existing checkpoint resumes at the
+    committed position instead of replaying from 0."""
 
     def __init__(self, options: dict):
         self.n = int(options.get("n", 60_000))
@@ -159,6 +163,12 @@ class _RangeStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         s, e = int(start["pos"]), int(end["pos"])
+        # Restart safety: after a checkpoint restore this reader object
+        # is FRESH (_pos == 0) but Spark replays the committed offset
+        # range here first — fold it into the cursor so the next
+        # latestOffset() advances from the restored position, never
+        # behind it (an end offset < start would be an invalid range).
+        self._pos = max(self._pos, e)
         bounds = [s + (e - s) * i // self.num_parts for i in range(self.num_parts + 1)]
         return [_Slice(a, b) for a, b in zip(bounds, bounds[1:]) if b > a]
 
@@ -176,7 +186,9 @@ class _RangeStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        pass
+        # Same re-seat as partitions(): an ack for offsets ahead of the
+        # cursor means this is a restarted reader catching up.
+        self._pos = max(self._pos, int(end["pos"]))
 
 
 @dataclass

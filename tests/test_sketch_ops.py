@@ -53,6 +53,29 @@ def test_mg_uniform_domain_still_bounded():
     assert len(_run_mg(list(range(5000)), 10)) <= 10
 
 
+def test_mg_peak_memory_bounded_within_one_batch(monkeypatch):
+    """The summary must never exceed 2m entries even MID-batch: one
+    Arrow batch with 5000 distinct items and m=10 may not absorb the
+    batch's whole value_counts before pruning (the r6 advice finding).
+    Instrumented at every prune point — the only place the dict can be
+    at its largest, since merges between prunes add <= m items."""
+    import kafka_s3_etl_spark.operators.sketch as sk
+
+    peak = 0
+    real_prune = sk._mg_prune
+
+    def tracing_prune(summary, m):
+        nonlocal peak
+        peak = max(peak, len(summary))
+        return real_prune(summary, m)
+
+    monkeypatch.setattr(sk, "_mg_prune", tracing_prune)
+    fn = sk._mg_summarize("v", 10)
+    (out,) = list(fn(iter([pd.DataFrame({"v": list(range(5000))})])))
+    assert len(out) <= 10
+    assert 0 < peak <= 20  # 2m hard bound, domain 500x larger
+
+
 def test_heavy_hitters_exact_on_skewed_forced_decrements(spark):
     """End-to-end over 8 partitions with a 2000-item domain and k=8
     (m=16 counters; decrements fire constantly): output must equal the
@@ -125,6 +148,28 @@ def test_pyds_pushdown_conflicting_equalities_keeps_one():
     assert list(r.pushFilters([f3, f5])) == [f5]
     rows = [row for p in r.partitions() for b in r.read(p) for row in b.to_pylist()]
     assert all(row["bucket"] == 3 for row in rows)
+
+
+def test_pyds_stream_reader_resumes_from_checkpointed_offset():
+    """A FRESH reader (post-restart) handed the checkpointed offset
+    range via partitions()/commit() must advance from the committed
+    position, never behind it (r6 advice: a driver-memory-only cursor
+    restarted from 0 and produced end offsets behind the start)."""
+    from kafka_s3_etl_spark.sources.pyds import _RangeStreamReader
+
+    # pre-restart reader committed up to 40k out of 60k
+    r = _RangeStreamReader({"n": "60000", "step": "20000"})
+    # restart path A: Spark re-plans a pending batch first
+    r.partitions({"pos": 20_000}, {"pos": 40_000})
+    assert r.latestOffset() == {"pos": 60_000}
+    # restart path B: no pending batch, commit ack arrives first
+    r2 = _RangeStreamReader({"n": "60000", "step": "20000"})
+    r2.commit({"pos": 40_000})
+    assert r2.latestOffset() == {"pos": 60_000}
+    # fresh-start behavior unchanged
+    r3 = _RangeStreamReader({"n": "60000", "step": "20000"})
+    assert r3.initialOffset() == {"pos": 0}
+    assert r3.latestOffset() == {"pos": 20_000}
 
 
 def test_pyds_stream_sink_replay_removes_stale_parts(tmp_path):
