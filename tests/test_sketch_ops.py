@@ -150,6 +150,55 @@ def test_pyds_pushdown_conflicting_equalities_keeps_one():
     assert all(row["bucket"] == 3 for row in rows)
 
 
+def test_pyds_jsonl_lines_parse_parity_with_json_dumps():
+    """The Arrow-vectorized encoder must be PARSE-equivalent to the old
+    per-row json.dumps(sort_keys=True) on every JSON-native shape:
+    escapes, unicode, nulls, bools, and floats that need all 17
+    significant digits to round-trip."""
+    import json
+
+    import pyarrow as pa
+
+    from kafka_s3_etl_spark.sources.pyds import _SlowPath, _jsonl_lines
+
+    batch = pa.record_batch(
+        [
+            pa.array([1, None, -(2**62)], type=pa.int64()),
+            pa.array([1 / 7.0, -0.0, None], type=pa.float64()),
+            pa.array(['a"b\\c\nd\te\r', "café ☃", None]),
+            pa.array([True, False, None]),
+        ],
+        names=["zint", "val", "txt", "flag"],
+    )
+    lines = _jsonl_lines(batch)
+    rows = [json.loads(ln) for ln in lines]
+    want = [
+        json.loads(json.dumps(row, sort_keys=True))
+        for row in batch.to_pylist()
+    ]
+    assert rows == want
+    # keys sorted, exactly like sort_keys=True
+    assert [list(r) for r in rows] == [sorted(r) for r in rows]
+    # 17-significant-digit float survived exactly
+    assert rows[0]["val"] == 1 / 7.0
+    # non-finite floats and exotic control chars take the slow path
+    import pytest
+
+    with pytest.raises(_SlowPath):
+        _jsonl_lines(
+            pa.record_batch([pa.array([float("nan")])], names=["x"])
+        )
+    with pytest.raises(_SlowPath):
+        _jsonl_lines(pa.record_batch([pa.array(["a\x01b"])], names=["x"]))
+    # JSON-unrepresentable types still raise loudly
+    with pytest.raises(NotImplementedError):
+        _jsonl_lines(
+            pa.record_batch(
+                [pa.array([b"raw"], type=pa.binary())], names=["x"]
+            )
+        )
+
+
 def test_pyds_stream_reader_resumes_from_checkpointed_offset():
     """A FRESH reader (post-restart) handed the checkpointed offset
     range via partitions()/commit() must advance from the committed
