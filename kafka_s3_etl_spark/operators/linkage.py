@@ -38,7 +38,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def fuzzy_pairs_ed1(values: DataFrame, col: str = "name") -> DataFrame:
+def fuzzy_pairs_ed1(
+    values: DataFrame, col: str = "name", max_block: int | None = None
+) -> DataFrame:
     """All unordered pairs (a < b) of DISTINCT values of ``values[col]``
     with Levenshtein distance <= 1.
 
@@ -63,6 +65,23 @@ def fuzzy_pairs_ed1(values: DataFrame, col: str = "name") -> DataFrame:
     (cheap, output-sized) dist column so the schema carries the real
     metric. Cost: two hash equi-joins on short string signatures,
     never an all-pairs product.
+
+    ``max_block`` is the bounded-output knob for corpora where a few
+    very common near-identical strings make the PAIR COUNT itself
+    superlinear (the r6 probe measured ~5.3x output growth at 10x data
+    against ~41x latent pair growth): when set, any value with a
+    deletion-signature (sig, pos) block larger than ``max_block`` is
+    DROPPED, and the result is EXACT over the surviving values — the
+    same pair set a brute-force Levenshtein join over the survivors
+    produces. The error is characterized (only pairs touching a
+    dropped value are missing) and the cost is bounded: each surviving
+    value meets <= (L+1) * max_block substitution candidates and the
+    insert/delete branch is capped the same way, so candidates grow
+    linearly in the corpus regardless of signature skew. Hot-block
+    detection is one extra aggregation over the signature set; the
+    block-key set broadcasts (at most |sigs|/max_block blocks can be
+    hot) while the hot VALUES — the potentially huge excluded mass —
+    anti-join by shuffle.
     """
     v = values.select(F.col(col).cast("string").alias("v")).distinct()
     dels = v.select(
@@ -73,6 +92,24 @@ def fuzzy_pairs_ed1(values: DataFrame, col: str = "name") -> DataFrame:
             " AS sig, i AS pos)))"
         ).alias("d"),
     ).select("v", "d.sig", "d.pos")
+    if max_block is not None:
+        hot = (
+            dels.groupBy("sig", "pos")
+            .agg(F.count("*").alias("_blk"))
+            .filter(F.col("_blk") > max_block)
+            .select("sig", "pos")
+        )
+        # the hot BLOCK-KEY set broadcasts (<= |sigs|/max_block rows);
+        # the hot VALUE set is exactly the mass being excluded — it can
+        # be arbitrarily large, so it anti-joins by shuffle, never
+        # broadcast
+        hot_values = (
+            dels.join(F.broadcast(hot), ["sig", "pos"], "left_semi")
+            .select("v")
+            .distinct()
+        )
+        v = v.join(hot_values, "v", "left_anti").localCheckpoint()
+        dels = dels.join(hot_values, "v", "left_anti").localCheckpoint()
     subs = (
         dels.alias("a")
         # shuffle_hash: no downstream ordering need; skipping the

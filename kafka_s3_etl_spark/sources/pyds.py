@@ -32,9 +32,18 @@ from pyspark.sql.datasource import (
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
+
+
+def _is_int(v) -> bool:
+    return isinstance(v, int) and not isinstance(v, bool)
 
 
 class _RangeReader(DataSourceReader):
@@ -42,25 +51,60 @@ class _RangeReader(DataSourceReader):
         self.n = int(options.get("n", 60_000))
         self.num_parts = int(options.get("partitions", 8))
         self._bucket = None
+        self._lo = 0  # accepted id range [lo, hi) — None hi = open
+        self._hi = None
+        self._ids = None  # accepted id set from In, or None
 
     def pushFilters(self, filters):
-        """Accept ONE `bucket = k` equality: generation then strides by
-        16 instead of post-filtering — true source-side pruning (the
-        Python-DataSource analogue of parquet PushedFilters). Anything
-        else — including any FURTHER bucket equality, since the list is
-        an AND and accepting only the last would silently drop a
-        conflicting predicate (bucket=3 AND bucket=5 must stay empty) —
-        is returned for Spark to evaluate."""
+        """Source-side pruning, the Python-DataSource analogue of
+        parquet PushedFilters / min-max pruning:
+
+        * ONE `bucket = k` equality — generation strides by 16. Any
+          FURTHER bucket equality is returned for Spark to evaluate:
+          the filter list is an AND, and accepting only the last one
+          would silently drop a conflicting predicate (bucket=3 AND
+          bucket=5 must stay empty).
+        * any number of `id` range predicates (>, >=, <, <=, =) — these
+          compose by interval INTERSECTION, so conjunctions (including
+          contradictory ones, which intersect to empty) are always
+          safe to accept; generation then strides the narrowed range,
+          exactly like a parquet scan skipping row groups outside the
+          predicate's min/max.
+        * `id IN (...)` — intersected into an accepted-id set; read()
+          then generates candidates from the set instead of the range.
+
+        Everything else is returned for Spark to evaluate."""
         unsupported = []
         for f in filters:
+            attr = tuple(f.attribute) if hasattr(f, "attribute") else None
             if (
                 self._bucket is None
                 and isinstance(f, EqualTo)
-                and tuple(f.attribute) == ("bucket",)
-                and isinstance(f.value, int)
+                and attr == ("bucket",)
+                and _is_int(f.value)
                 and 0 <= f.value < 16
             ):
                 self._bucket = f.value
+            elif attr == ("id",) and isinstance(f, GreaterThan) and _is_int(f.value):
+                self._lo = max(self._lo, f.value + 1)
+            elif attr == ("id",) and isinstance(f, GreaterThanOrEqual) and _is_int(f.value):
+                self._lo = max(self._lo, f.value)
+            elif attr == ("id",) and isinstance(f, LessThan) and _is_int(f.value):
+                self._hi = f.value if self._hi is None else min(self._hi, f.value)
+            elif attr == ("id",) and isinstance(f, LessThanOrEqual) and _is_int(f.value):
+                v = f.value + 1
+                self._hi = v if self._hi is None else min(self._hi, v)
+            elif attr == ("id",) and isinstance(f, EqualTo) and _is_int(f.value):
+                self._lo = max(self._lo, f.value)
+                v = f.value + 1
+                self._hi = v if self._hi is None else min(self._hi, v)
+            elif (
+                attr == ("id",)
+                and isinstance(f, In)
+                and all(_is_int(v) for v in f.value)
+            ):
+                vs = set(f.value)
+                self._ids = vs if self._ids is None else (self._ids & vs)
             else:
                 unsupported.append(f)
         return unsupported
@@ -74,7 +118,19 @@ class _RangeReader(DataSourceReader):
         i = partition.value
         start = self.n * i // self.num_parts
         end = self.n * (i + 1) // self.num_parts
-        if self._bucket is not None:
+        # narrow this partition's slice by the pushed id interval —
+        # a partition wholly outside it generates NOTHING
+        start = max(start, self._lo)
+        if self._hi is not None:
+            end = min(end, self._hi)
+        if self._ids is not None:
+            # generate from the accepted-id set, range- and
+            # bucket-filtered — never materialize the full slice
+            cand = np.fromiter(sorted(self._ids), dtype="int64")
+            ids = cand[(cand >= start) & (cand < end)]
+            if self._bucket is not None:
+                ids = ids[ids % 16 == self._bucket]
+        elif self._bucket is not None:
             first = start + ((self._bucket - start) % 16)
             ids = np.arange(first, end, 16, dtype="int64")
         else:

@@ -119,10 +119,16 @@ class _pinned_stream_partitions:
 
 
 def run_available_now(
-    df: DataFrame, output_mode: str = "append", timeout_sec: int = 120
+    df: DataFrame,
+    output_mode: str = "append",
+    timeout_sec: int = 120,
+    progress_sink: list | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink and
-    return the result as a batch DataFrame."""
+    return the result as a batch DataFrame. With ``progress_sink`` a
+    list, the query's recentProgress dicts are appended after
+    termination (per-micro-batch numInputRows etc. for admission-
+    control assertions)."""
     name = f"mem_{uuid.uuid4().hex[:10]}"
     with _pinned_stream_partitions(df):
         q = (
@@ -134,6 +140,8 @@ def run_available_now(
             .start()
         )
     _await_or_fail(q, timeout_sec)
+    if progress_sink is not None:
+        progress_sink.extend(q.recentProgress)
     spark = df.sparkSession
     return spark.table(name)
 

@@ -97,6 +97,97 @@ def test_triangle_counts_match_bruteforce(spark):
     assert got == expected
 
 
+def test_fuzzy_pairs_capped_exact_over_survivors(spark):
+    """max_block semantics: with a generous cap the result equals the
+    uncapped join; with a tight cap it equals brute-force Levenshtein
+    over exactly the values whose signature blocks all fit the cap."""
+    rng = random.Random(11)
+    # a deliberately HOT neighborhood: many single-substitution
+    # variants of one stem share deletion signatures
+    stem = "abcd"
+    vals = {stem[:i] + c + stem[i + 1 :] for i in range(4) for c in "abcdefgh"}
+    vals |= {
+        "".join(rng.choice("xyzw") for _ in range(rng.randint(3, 7)))
+        for _ in range(40)
+    }
+    vals = sorted(vals)
+    df = spark.createDataFrame([(v,) for v in vals], ["name"])
+
+    uncapped = {
+        (r.a, r.b) for r in fuzzy_pairs_ed1(df, "name").collect()
+    }
+    generous = {
+        (r.a, r.b)
+        for r in fuzzy_pairs_ed1(df, "name", max_block=len(vals)).collect()
+    }
+    assert generous == uncapped
+
+    cap = 3
+    # survivors per the documented rule: every (sig, pos) block the
+    # value participates in has <= cap members
+    blocks: dict[tuple, set] = {}
+    for s in vals:
+        for i in range(len(s)):
+            blocks.setdefault((s[:i] + s[i + 1 :], i), set()).add(s)
+    dropped = {s for bl in blocks.values() if len(bl) > cap for s in bl}
+    survivors = [s for s in vals if s not in dropped]
+    assert dropped, "test graph must actually truncate something"
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(survivors, 2)
+        if _lev(a, b) <= 1
+    }
+    got = {
+        (r.a, r.b)
+        for r in fuzzy_pairs_ed1(df, "name", max_block=cap).collect()
+    }
+    assert got == want
+
+
+def test_triangle_counts_capped_exact_on_induced_subgraph(spark):
+    """max_degree semantics: generous cap == uncapped; tight cap ==
+    exact triangle counts of the subgraph induced by sub-cap nodes."""
+    rng = random.Random(5)
+    n = 30
+    edges = {tuple(sorted(rng.sample(range(n), 2))) for _ in range(140)}
+    # make node 0 a hub touching everything
+    edges |= {(0, i) for i in range(1, n)}
+    df = spark.createDataFrame(sorted(edges), ["a", "b"])
+
+    uncapped = {
+        (r.node, r.n_tri) for r in triangle_counts(df).collect()
+    }
+    generous = {
+        (r.node, r.n_tri)
+        for r in triangle_counts(df, max_degree=2 * n).collect()
+    }
+    assert generous == uncapped
+
+    cap = 8
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    keep = {v for v, d in deg.items() if d <= cap}
+    assert len(keep) < len(deg), "cap must actually drop a hub"
+    sub = {(a, b) for a, b in edges if a in keep and b in keep}
+    adj: dict[int, set] = {v: set() for v in keep}
+    for a, b in sub:
+        adj[a].add(b)
+        adj[b].add(a)
+    want: dict[int, int] = {}
+    for a, b in sub:
+        for c in adj[a] & adj[b]:
+            for node in (a, b, c):
+                want[node] = want.get(node, 0) + 1
+    want = {k: v // 3 for k, v in want.items() if v}
+    got = {
+        r.node: r.n_tri
+        for r in triangle_counts(df, max_degree=cap).collect()
+    }
+    assert got == want and got
+
+
 def test_hll_sketch_contract(spark, sf_dir):
     """Per-group estimates hit the sketch's rated error band, the
     merged row equals a direct global sketch (mergeability — the whole
@@ -142,6 +233,43 @@ def test_fuzzy_join_is_signature_equijoin(spark, sf_dir):
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
     assert "sig#" in plan
+
+
+def test_capped_linkage_plans_bound_the_hot_mass(spark, sf_dir, monkeypatch):
+    """The cap machinery must appear as hash anti/semi joins, never a
+    cartesian, and the hot-VALUE exclusion carries no broadcast HINT
+    (Catalyst may still pick broadcast from tiny-sf stats — that's
+    adaptive and correct; forcing it on the unbounded excluded mass
+    would not be). localCheckpoint (which would cut the lineage before
+    explain sees the exclusion joins) is stubbed to identity — the
+    PLAN is under test, not materialization. The triangles variant is
+    pinned on the operator directly: un-checkpointed, the full catalog
+    entry's plan nests the ed1 subtree thousands of times."""
+    # patch the CONCRETE DataFrame class (pyspark.sql.classic overrides
+    # the base's localCheckpoint, so patching pyspark.sql.DataFrame
+    # would be a no-op)
+    concrete = type(spark.range(1))
+    monkeypatch.setattr(
+        concrete, "localCheckpoint", lambda self, *a, **k: self
+    )
+    plan = plan_of(spark, sf_dir, "q_fuzzy_join_capped")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+    # no ResolvedHint-forced broadcast on the anti-joins: the only
+    # broadcast HINT in the capped path is the tiny hot block-key set
+    from kafka_s3_etl_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 12) for i in range(12)] + [(0, j) for j in range(2, 10)],
+        ["a", "b"],
+    )
+    plan2 = spark._jvm.PythonSQLUtils.explainString(
+        triangle_counts(edges, max_degree=4)._jdf.queryExecution(),
+        "formatted",
+    )
+    assert "CartesianProduct" not in plan2
+    assert "BroadcastHashJoin LeftAnti" in plan2  # hinted tiny hub set
+    assert "ShuffledHashJoin" in plan2  # wedge joins keep their hint
 
 
 def test_tpch_local_volume_broadcasts_all_dims(spark, sf_dir):

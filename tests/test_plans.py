@@ -12,6 +12,8 @@ that must survive a 1000-executor scale-up:
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from kafka_s3_etl_spark.plans.registry import all_queries
@@ -604,13 +606,18 @@ def test_tpch_disjunctive_or_stays_in_join_filter(spark, sf_dir):
 
 def test_heavy_hitters_arrow_only_and_broadcast_verify(spark, sf_dir):
     """Pass 1 is Arrow mapInPandas (never row-at-a-time Python); the
-    verify pass re-enters as a broadcast semi-join; the count agg keeps
-    its map-side partial."""
+    verify pass re-enters as a broadcast LEFT join whose conditional
+    group key folds n_total into the same aggregation (r6 advice: the
+    corpus is touched exactly TWICE — pinned by the scan count); the
+    count agg keeps its map-side partial."""
     plan = plan_of(spark, sf_dir, "q_heavy_hitters")
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
     assert "partial_count" in plan
+    # MG pass + verify pass, no 3rd scan (each node prints twice in
+    # formatted mode: once in the tree, once in the details)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
 
 
 def test_skyline_never_all_pairs(spark, sf_dir):

@@ -124,7 +124,7 @@ def test_pyds_pushdown_prunes_at_generation():
     from kafka_s3_etl_spark.sources.pyds import _RangeReader
 
     r = _RangeReader({"n": "1000", "partitions": "4"})
-    other = EqualTo(("id",), 5)
+    other = EqualTo(("val",), 5)  # unsupported column -> back to Spark
     unsupported = list(r.pushFilters([EqualTo(("bucket",), 3), other]))
     assert unsupported == [other]
     rows = []
@@ -148,6 +148,75 @@ def test_pyds_pushdown_conflicting_equalities_keeps_one():
     assert list(r.pushFilters([f3, f5])) == [f5]
     rows = [row for p in r.partitions() for b in r.read(p) for row in b.to_pylist()]
     assert all(row["bucket"] == 3 for row in rows)
+
+
+def _read_all(r):
+    return [row for p in r.partitions() for b in r.read(p) for row in b.to_pylist()]
+
+
+def test_pyds_pushdown_id_range_strides_at_generation():
+    """id range predicates must narrow GENERATION (the parquet min/max
+    pruning analogue): partitions wholly outside [lo, hi) emit nothing,
+    and the boundary partitions emit exactly the requested interval."""
+    from pyspark.sql.datasource import (
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    from kafka_s3_etl_spark.sources.pyds import _RangeReader
+
+    r = _RangeReader({"n": "1000", "partitions": "4"})
+    assert (
+        r.pushFilters([GreaterThan(("id",), 99), LessThanOrEqual(("id",), 700)])
+        == []
+    )
+    assert sorted(row["id"] for row in _read_all(r)) == list(range(100, 701))
+    # conjunction composes by intersection — a tighter second range wins
+    r2 = _RangeReader({"n": "1000", "partitions": "4"})
+    r2.pushFilters(
+        [
+            GreaterThanOrEqual(("id",), 100),
+            LessThan(("id",), 700),
+            GreaterThan(("id",), 199),
+            LessThan(("id",), 300),
+        ]
+    )
+    assert sorted(row["id"] for row in _read_all(r2)) == list(range(200, 300))
+    # contradictory ranges intersect to EMPTY, never to a wrong range
+    r3 = _RangeReader({"n": "1000", "partitions": "4"})
+    r3.pushFilters([GreaterThan(("id",), 500), LessThan(("id",), 100)])
+    assert _read_all(r3) == []
+
+
+def test_pyds_pushdown_id_in_and_composition_with_bucket():
+    """id IN (...) generates from the accepted set; composed with the
+    bucket equality both prune at generation."""
+    from pyspark.sql.datasource import EqualTo, In, LessThan
+
+    from kafka_s3_etl_spark.sources.pyds import _RangeReader
+
+    r = _RangeReader({"n": "1000", "partitions": "4"})
+    assert (
+        r.pushFilters(
+            [In(("id",), (3, 19, 35, 900, 901, 5000)), LessThan(("id",), 899)]
+        )
+        == []
+    )
+    assert sorted(row["id"] for row in _read_all(r)) == [3, 19, 35]
+    # In composed with bucket=3: only ids congruent 3 mod 16 survive
+    r2 = _RangeReader({"n": "1000", "partitions": "4"})
+    r2.pushFilters([In(("id",), (3, 19, 20, 21)), EqualTo(("bucket",), 3)])
+    assert sorted(row["id"] for row in _read_all(r2)) == [3, 19]
+    # two In lists intersect (AND semantics)
+    r3 = _RangeReader({"n": "1000", "partitions": "4"})
+    r3.pushFilters([In(("id",), (1, 2, 3)), In(("id",), (2, 3, 4))])
+    assert sorted(row["id"] for row in _read_all(r3)) == [2, 3]
+    # id equality is a one-point range
+    r4 = _RangeReader({"n": "1000", "partitions": "4"})
+    r4.pushFilters([EqualTo(("id",), 777)])
+    assert [row["id"] for row in _read_all(r4)] == [777]
 
 
 def test_pyds_jsonl_lines_parse_parity_with_json_dumps():

@@ -310,3 +310,81 @@ def test_stateful_aggregation_state_survives_restart(spark, tmp_path):
     assert {
         (r.g, r["count"]) for r in spark.table(second).collect()
     } == {(g, 75) for g in range(4)}  # 25 recovered + 50 new per group
+
+
+def test_admission_control_caps_every_microbatch(spark, sf_dir):
+    """maxFilesPerTrigger=2 over a 6-file backlog must drain as >= 3
+    bounded micro-batches — every batch's numInputRows capped by its
+    two largest files — while the final rollup equals the batch answer
+    exactly (AvailableNow honors source read limits)."""
+    from kafka_s3_etl_spark.plans.scaleops import (
+        _ADMISSION_SRC,
+        admission_controlled_counts,
+    )
+    from kafka_s3_etl_spark.sources.tables import load_table
+
+    progs: list = []
+    got = admission_controlled_counts(spark, sf_dir, progress_sink=progs)
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r.event_type, r.n, r.sum_id)
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("event_id").alias("sum_id"))
+        .collect()
+    }
+    assert {(r.event_type, r.n, r.sum_id) for r in got.collect()} == want
+
+    src = _ADMISSION_SRC[sf_dir]
+    per_file = sorted(
+        r.n
+        for r in spark.read.parquet(src)
+        .groupBy(F.input_file_name())
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(per_file) == 6
+    cap = per_file[-1] + per_file[-2]  # two largest files
+    fed = [p["numInputRows"] for p in progs if p["numInputRows"] > 0]
+    assert len(fed) >= 3
+    assert all(rows <= cap for rows in fed)
+    assert sum(fed) == ev.count()
+
+
+def test_gap_sessions_runs_on_rocksdb_state_store(spark):
+    """The 100 TB state-spill claim, exercised: the applyInPandasWithState
+    sessionizer runs on the RocksDB state-store provider (no protobuf
+    needed, unlike transformWithState) and the query's progress reports
+    RocksDB custom metrics from the state operator."""
+    import os
+
+    from kafka_s3_etl_spark.streaming.stateful import gap_sessions
+    from kafka_s3_etl_spark.streaming.tws import pinned_rocksdb_state_store
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    later = base + datetime.timedelta(hours=2)
+    src = scratch_dir("rocks_src")
+    schema = "user_id long, ts timestamp"
+    batch1 = [(1, base), (1, base + datetime.timedelta(minutes=1)), (2, base)]
+    batch2 = [(9, later)]  # watermark jumps 2h -> every open session times out
+    for i, rows in enumerate((batch1, batch2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    sessions = gap_sessions(stream)
+    progs: list = []
+    with pinned_rocksdb_state_store(sessions):
+        got = run_available_now(sessions, progress_sink=progs)
+    rows = {(r.user_id, r.n_events) for r in got.collect()}
+    assert (1, 2) in rows and (2, 1) in rows  # both base sessions closed
+    metrics = [
+        m
+        for p in progs
+        for op in p.get("stateOperators", [])
+        for m in op.get("customMetrics", {})
+    ]
+    assert any(m.lower().startswith("rocksdb") for m in metrics), metrics
