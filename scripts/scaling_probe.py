@@ -100,6 +100,11 @@ PROBE_QUERIES = [
     "q_tpch_dominant_supplier",
     "q_tpch_important_parts",
     "q_lateral_topn",
+    # round-7 additions: the bounded-output variants of the two
+    # output-growth-flagged linkage ops — the caps should hold their
+    # ratios at/below the data growth where the uncapped ops exceed it
+    "q_fuzzy_join_capped",
+    "q_graph_triangles_capped",
 ]
 
 
