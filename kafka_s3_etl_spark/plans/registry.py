@@ -44,6 +44,7 @@ _PLAN_MODULES = [
     "kafka_s3_etl_spark.plans.sketches",
     "kafka_s3_etl_spark.plans.stats",
     "kafka_s3_etl_spark.plans.scaleops",
+    "kafka_s3_etl_spark.plans.channels",
 ]
 
 

@@ -649,3 +649,30 @@ def test_tpch_dominant_supplier_fact_touched_once(spark, sf_dir):
     assert "partial_sum" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ds_net_returns_outer_join_on_rollups_only(spark, sf_dir):
+    """TPC-DS sales/returns shape: both fact rollups keep map-side
+    partials, the part dimension broadcasts into BOTH, and the FULL
+    OUTER join runs on the rollup outputs (a SortMergeJoin FullOuter
+    over |brands| rows) — the fact is never outer-joined row-to-row."""
+    plan = plan_of(spark, sf_dir, "q_ds_net_returns")
+    assert "partial_sum" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # part dim into each side
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ds_window_comparisons_aggregate_before_window(spark, sf_dir):
+    """Q2/Q74 shapes: the corpus is reduced by a map-combined aggregate
+    FIRST; the LAG window then sorts only the rollup rows (window
+    appears ABOVE the final HashAggregate, and the window partition key
+    matches the rollup key — no whole-corpus sort)."""
+    for name in ("q_ds_channel_wow", "q_ds_yoy_growth"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "partial_count" in plan or "partial_sum" in plan
+        assert "Window" in plan
+        # exactly the two agg exchanges + the window's repartition over
+        # rollup rows; no extra corpus shuffles
+        assert "CartesianProduct" not in plan
+        assert plan.count("Scan parquet") <= 2  # tree+detail of ONE scan
