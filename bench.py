@@ -147,6 +147,15 @@ HEADLINE = [
     "q_sql_udf",
     "q_lateral_topn",
     "q_pagination",
+    # round-7 additions: bounded-output linkage, range pushdown,
+    # TPC-DS-flavored shapes, admission-controlled streaming
+    "q_fuzzy_join_capped",
+    "q_graph_triangles_capped",
+    "x_python_pushdown_range",
+    "q_ds_net_returns",
+    "q_ds_channel_wow",
+    "q_ds_yoy_growth",
+    "s_admission_control",
     "s_kafka_to_s3",
     "s_session_timeout",
     "s_window_tumbling",
