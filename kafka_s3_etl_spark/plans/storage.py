@@ -1,0 +1,261 @@
+"""Storage-layout and piggybacked-metrics shapes (round 7, batch 7c):
+bucketed co-located joins, partition-pruned layouts, Observation
+metrics, and ignore-nulls window navigation.
+
+* x_bucketed_join — THE canonical 100 TB shuffle-elimination: both
+  fact tables written `bucketBy(8, join_key).sortBy(join_key)` (each
+  side pre-repartitioned by the same hash so every bucket is ONE file
+  and the sort metadata survives), then joined and re-aggregated on
+  the bucket key. The whole plan runs with ZERO hash-partitioning
+  exchanges — scan, sort-merge join, and the per-key rollup all reuse
+  the on-disk bucketing (pinned in tests/test_plans.py). On a real
+  cluster this is the nightly-join pattern: pay the layout once at
+  write time, join shuffle-free forever after.
+* x_partitioned_write — Hive-style partition layout + pruning: events
+  written `partitionBy(event_type)`, read back with an equality
+  filter; the scan's PartitionFilters prune whole directories before
+  any IO (the coarse sibling of parquet min/max pruning; pinned).
+* q_observed_metrics — the Observation API: data-quality counters
+  (row count, exact-cents total, status breakdown) collected DURING a
+  real pass over the table (a noop-sink write) — zero extra scans, the
+  100 TB way to audit a pipeline run. The metrics row is the result,
+  hash-checked against plain aggregate SQL.
+* q_window_first_last — ignore-nulls window navigation
+  (first_value/last_value/nth_value): last-known-good and
+  second-reading semantics over a deliberately nullable measure,
+  running and full frames, total-ordered by (ts, event_id).
+
+Exactness: money in BIGINT cents (house convention); the nav entry
+only SELECTS existing doubles (no float arithmetic), so values are
+bit-identical by construction.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_s3_etl_spark.plans.registry import register
+from kafka_s3_etl_spark.sources.tables import load_table
+
+_O_CENTS = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+_LI_CENTS = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+
+_N_BUCKETS = 8
+
+
+def _table_tag(sf_dir: str) -> str:
+    return re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize orders + lineitem as bucketed, bucket-sorted tables
+    (once per session+sf: the in-memory catalog entry is the cache
+    key). repartition by the SAME hash Spark's bucketing uses, so each
+    of the 8 buckets is exactly one file — multi-file buckets would
+    void the per-bucket sort metadata and re-insert Sort nodes."""
+    from kafka_s3_etl_spark.streaming.runner import scratch_dir
+
+    to = f"graft_bkt_orders_{_table_tag(sf_dir)}"
+    tl = f"graft_bkt_lineitem_{_table_tag(sf_dir)}"
+    if not spark.catalog.tableExists(to):
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .repartition(_N_BUCKETS, "o_orderkey")
+            .write.bucketBy(_N_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", scratch_dir("bkt_orders"))
+            .mode("overwrite")
+            .saveAsTable(to)
+        )
+    if not spark.catalog.tableExists(tl):
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_quantity", "l_extendedprice")
+            .repartition(_N_BUCKETS, "l_orderkey")
+            .write.bucketBy(_N_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", scratch_dir("bkt_lineitem"))
+            .mode("overwrite")
+            .saveAsTable(tl)
+        )
+    return to, tl
+
+
+@register(
+    "x_bucketed_join",
+    category="lakehouse",
+    cost=1,
+    doc=(
+        "Bucketed co-located join: orders and lineitem stored "
+        "bucketBy(8, key).sortBy(key) (one file per bucket), then "
+        "sort-merge joined and rolled up per order with ZERO "
+        "hash-partitioning exchanges — the pay-the-layout-once, "
+        "join-shuffle-free-forever pattern; plan pinned."
+    ),
+    oracle=f"""
+        SELECT o.o_orderkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM({_LI_CENTS}) AS DOUBLE) / 100 AS line_revenue
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey
+    """,
+)
+def x_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    to, tl = _bucketed_tables(spark, sf_dir)
+    o = spark.table(to)
+    li = spark.table(tl)
+    return (
+        # merge hint: at toy SF Spark would otherwise broadcast one
+        # side; the bucketed-SMJ shape is what this entry exists to pin
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            (F.sum(F.expr(_LI_CENTS)).cast("double") / 100).alias(
+                "line_revenue"
+            ),
+        )
+    )
+
+
+# partitioned events layout per sf_dir (testdata immutable)
+_PARTITIONED_CACHE: dict[str, str] = {}
+
+
+@register(
+    "x_partitioned_write",
+    category="lakehouse",
+    cost=1,
+    doc=(
+        "Hive-style partition pruning: events written "
+        "partitionBy(event_type), read back WHERE event_type='click' — "
+        "the scan's PartitionFilters eliminate the other four "
+        "directories before any IO (plan pinned); values and "
+        "microsecond timestamps round-trip exactly."
+    ),
+    oracle="""
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+               event_type
+        FROM events WHERE event_type = 'click'
+    """,
+)
+def x_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.streaming.runner import scratch_dir
+
+    if sf_dir not in _PARTITIONED_CACHE:
+        out = scratch_dir("events_parted")
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "value", "event_type"
+        ).write.partitionBy("event_type").mode("overwrite").parquet(out)
+        _PARTITIONED_CACHE[sf_dir] = out
+    return (
+        spark.read.parquet(_PARTITIONED_CACHE[sf_dir])
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+            "event_type",
+        )
+    )
+
+
+@register(
+    "q_observed_metrics",
+    category="quality",
+    cost=1,
+    doc=(
+        "Observation API: row count, exact-cents revenue total, and "
+        "open-status count collected as piggybacked metrics DURING one "
+        "real pass over orders (a noop-sink write) — zero extra "
+        "table scans for pipeline-run auditing. The metrics row is the "
+        "query result."
+    ),
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM({_O_CENTS}) AS BIGINT) AS total_cents,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_open
+        FROM orders
+    """,
+)
+def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = load_table(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr(_O_CENTS)).alias("total_cents"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)
+        ).alias("n_open"),
+    )
+    # the one real action the metrics ride on (a production pipeline
+    # would be writing its actual output here)
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["total_cents"], m["n_open"])],
+        "n_rows bigint, total_cents bigint, n_open bigint",
+    )
+
+
+@register(
+    "q_window_first_last",
+    category="window",
+    doc=(
+        "Ignore-nulls window navigation: last-known-good (running "
+        "first_value/last_value over a nullable measure) and the "
+        "second non-null reading (nth_value full-frame), total-ordered "
+        "by (ts, event_id) per user. Pure selection — no float "
+        "arithmetic, bit-identical by construction."
+    ),
+    oracle="""
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               first_value(v IGNORE NULLS) OVER w_run AS v_first_seen,
+               last_value(v IGNORE NULLS) OVER w_run AS v_last_good,
+               nth_value(v, 2 IGNORE NULLS) OVER w_full AS v_second
+        FROM (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN event_type <> 'error' THEN value END AS v
+          FROM events
+        )
+        WINDOW w_run AS (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ),
+        w_full AS (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    """,
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
+    )
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_full = base.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.first_value("v", ignoreNulls=True).over(w_run).alias("v_first_seen"),
+        F.last_value("v", ignoreNulls=True).over(w_run).alias("v_last_good"),
+        F.nth_value("v", 2, ignoreNulls=True).over(w_full).alias("v_second"),
+    )

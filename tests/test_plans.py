@@ -94,6 +94,7 @@ _EAGER = {n for n in _CAT if n.startswith("s_")} | {
     "q_resample_ffill",  # localCheckpoints the daily rollup at build
     "q_graph_pagerank",  # localCheckpoints every iteration at build
     "q_compact_files",  # writes + compacts its scratch table at build
+    "q_observed_metrics",  # runs its noop-sink pass at build (uncached)
 }
 
 
@@ -676,3 +677,32 @@ def test_ds_window_comparisons_aggregate_before_window(spark, sf_dir):
         # rollup rows; no extra corpus shuffles
         assert "CartesianProduct" not in plan
         assert plan.count("Scan parquet") <= 2  # tree+detail of ONE scan
+
+
+def test_bucketed_join_runs_with_zero_exchanges(spark, sf_dir):
+    """x_bucketed_join: both scans read the bucketed layout
+    (Bucketed: true, all 8 buckets selected), the sort-merge join and
+    the per-key rollup reuse the on-disk hash distribution, and NO
+    exchange of any kind appears — the pay-once layout, shuffle-free
+    join pattern that motivates bucketing at 100 TB."""
+    plan = plan_of(spark, sf_dir, "x_bucketed_join")
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+    # column pruning reaches the bucketed scans too
+    assert "o_orderstatus" not in plan
+
+
+def test_partitioned_write_prunes_directories(spark, sf_dir):
+    """x_partitioned_write: the event_type equality lands in
+    PartitionFilters (directory-level pruning before IO), and the
+    partition column is NOT read from the data files."""
+    plan = plan_of(spark, sf_dir, "x_partitioned_write")
+    assert re.search(
+        r"PartitionFilters: \[isnotnull\(event_type#\d+\), "
+        r"\(event_type#\d+ = click\)\]",
+        plan,
+    ), plan
+    assert "ReadSchema: struct<event_id:bigint,user_id:bigint," in plan
+    assert "event_type" not in plan.split("ReadSchema")[1].split("\n")[0]
