@@ -20,6 +20,18 @@ metrics, and ignore-nulls window navigation.
   real pass over the table (a noop-sink write) — zero extra scans, the
   100 TB way to audit a pipeline run. The metrics row is the result,
   hash-checked against plain aggregate SQL.
+* x_dpp_join — dynamic partition pruning: the partitioned fact joined
+  to a tiny static dimension filtered on a NON-key attribute; the
+  fact-side partition filter only exists at runtime
+  (dynamicpruningexpression from the broadcast dim, pinned). The
+  star-schema complement of x_partitioned_write's static pruning.
+* x_bloom_filter_join — runtime bloom-filter semi-join reduction: a
+  selective orders filter makes Catalyst inject
+  might_contain(xxhash64(l_orderkey)) into the lineitem scan so
+  non-joining probe rows die before the shuffle. The injection
+  heuristics assume cluster-scale sides, so the entry pins the
+  thresholds for ITS optimization only (session confs saved/restored
+  around a forced plan materialization; pinned by test).
 * q_window_first_last — ignore-nulls window navigation
   (first_value/last_value/nth_value): last-known-good and
   second-reading semantics over a deliberately nullable measure,
@@ -129,6 +141,20 @@ def x_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PARTITIONED_CACHE: dict[str, str] = {}
 
 
+def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per process+sf) the Hive-style
+    ``partitionBy(event_type)`` events layout both pruning entries read."""
+    from kafka_s3_etl_spark.streaming.runner import scratch_dir
+
+    if sf_dir not in _PARTITIONED_CACHE:
+        out = scratch_dir("events_parted")
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "value", "event_type"
+        ).write.partitionBy("event_type").mode("overwrite").parquet(out)
+        _PARTITIONED_CACHE[sf_dir] = out
+    return _PARTITIONED_CACHE[sf_dir]
+
+
 @register(
     "x_partitioned_write",
     category="lakehouse",
@@ -147,16 +173,8 @@ _PARTITIONED_CACHE: dict[str, str] = {}
     """,
 )
 def x_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kafka_s3_etl_spark.streaming.runner import scratch_dir
-
-    if sf_dir not in _PARTITIONED_CACHE:
-        out = scratch_dir("events_parted")
-        load_table(spark, sf_dir, "events").select(
-            "event_id", "user_id", "ts", "value", "event_type"
-        ).write.partitionBy("event_type").mode("overwrite").parquet(out)
-        _PARTITIONED_CACHE[sf_dir] = out
     return (
-        spark.read.parquet(_PARTITIONED_CACHE[sf_dir])
+        spark.read.parquet(_partitioned_events(spark, sf_dir))
         .filter(F.col("event_type") == "click")
         .select(
             "event_id",
@@ -166,6 +184,141 @@ def x_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
     )
+
+
+# The five event_type values are fixed by the testdata generator
+# (TESTDATA.md); the tier attribute is OUR dimension metadata, so the
+# paid/free/ops split is engine-side truth, not data-derived — the same
+# static dim appears as VALUES in the oracle SQL.
+_TYPE_TIERS = [
+    ("click", "paid"),
+    ("view", "free"),
+    ("purchase", "paid"),
+    ("signup", "free"),
+    ("error", "ops"),
+]
+_TIER_VALUES = ", ".join(f"('{t}', '{x}')" for t, x in _TYPE_TIERS)
+
+
+@register(
+    "x_dpp_join",
+    category="lakehouse",
+    cost=1,
+    doc=(
+        "Dynamic partition pruning: the partitioned events fact joined "
+        "to a tiny tier dimension filtered on a NON-key attribute "
+        "(tier='paid') — the partition filter on the fact cannot be "
+        "written statically, so Catalyst injects a "
+        "dynamicpruningexpression that prunes fact directories at "
+        "runtime from the broadcast dim (plan pinned). THE star-schema "
+        "scan-reduction pattern at 100 TB: only the partitions the dim "
+        "survivors name are ever read."
+    ),
+    oracle=f"""
+        SELECT e.event_type, d.tier,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS DOUBLE)
+                   / 100 AS total_value
+        FROM events e
+        JOIN (VALUES {_TIER_VALUES}) AS d(event_type, tier)
+          ON e.event_type = d.event_type
+        WHERE d.tier = 'paid'
+        GROUP BY e.event_type, d.tier
+    """,
+)
+def x_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = spark.read.parquet(_partitioned_events(spark, sf_dir))
+    dim = spark.createDataFrame(
+        _TYPE_TIERS, "event_type string, tier string"
+    ).filter(F.col("tier") == "paid")
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type", "tier")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).cast(
+                    "double"
+                )
+                / 100
+            ).alias("total_value"),
+        )
+    )
+
+
+# Runtime-filter confs the bloom entry pins for ITS plan only (saved and
+# restored around a forced optimization; see x_bloom_filter_join).
+_BLOOM_CONFS = {
+    # on by default in Spark 4, pinned anyway so the entry is explicit
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # the injection heuristics assume cluster-scale inputs: the probe
+    # side must look expensive enough to be worth filtering (10 GiB
+    # default) and the build side must not be broadcast-able (a
+    # broadcast hash join already prunes probe rows for free). At toy
+    # SF neither holds, so pin both to force the cluster-shape plan.
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@register(
+    "x_bloom_filter_join",
+    category="lakehouse",
+    cost=1,
+    doc=(
+        "Runtime bloom-filter join (semi-join reduction): a selective "
+        "filter on orders makes Catalyst inject a bloom filter built "
+        "from the filtered keys into the lineitem scan "
+        "(might_contain(xxhash64(l_orderkey)) — plan pinned), so probe "
+        "rows that cannot join die at the scan instead of riding the "
+        "shuffle. The 100 TB shuffle-starver for selective fact-fact "
+        "joins; results are conf-independent (session confs restored "
+        "after a forced optimization, pinned by test)."
+    ),
+    oracle=f"""
+        SELECT l.l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                   AS sum_qty,
+               CAST(SUM({_LI_CENTS}) AS DOUBLE) / 100 AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY l.l_linestatus
+    """,
+)
+def x_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+    df = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            (F.sum(F.expr(_LI_CENTS)).cast("double") / 100).alias("revenue"),
+        )
+    )
+    # Optimizer confs are read when the plan is optimized, which is
+    # normally at first action — AFTER this builder returns. Force the
+    # (lazy, cached) optimization now, under the pinned confs, then
+    # restore the session exactly: the returned DataFrame keeps the
+    # bloom-filtered plan, later catalog queries see a vanilla session.
+    saved = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return df
 
 
 @register(

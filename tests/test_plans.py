@@ -694,6 +694,46 @@ def test_bucketed_join_runs_with_zero_exchanges(spark, sf_dir):
     assert "o_orderstatus" not in plan
 
 
+def test_dpp_join_prunes_partitions_dynamically(spark, sf_dir):
+    """x_dpp_join: the dim filter is on tier (NOT the join key), so no
+    static partition filter is possible — the fact scan must carry a
+    dynamicpruningexpression fed from the broadcast dim, and only the
+    dim-surviving event_type directories are ever read."""
+    plan = plan_of(spark, sf_dir, "x_dpp_join")
+    assert re.search(
+        r"PartitionFilters: \[isnotnull\(event_type#\d+\), "
+        r"dynamicpruningexpression\(event_type#\d+ IN dynamicpruning#\d+\)\]",
+        plan,
+    ), plan
+    assert "BroadcastHashJoin" in plan
+    # the dim is a 5-row local relation — exactly ONE parquet scan
+    # (formatted plans print each scan twice: tree + detail)
+    assert plan.count("Scan parquet") <= 2
+
+
+def test_bloom_filter_join_injects_and_restores(spark, sf_dir):
+    """x_bloom_filter_join: the lineitem scan carries
+    might_contain(xxhash64(l_orderkey)) built from the filtered orders
+    keys, and the conf pinning is invisible outside the builder — the
+    session's broadcast threshold and bloom thresholds read back
+    unchanged after the build."""
+    before = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+        )
+    }
+    plan = plan_of(spark, sf_dir, "x_bloom_filter_join")
+    assert "might_contain" in plan
+    assert "xxhash64(l_orderkey" in plan
+    # the bloom build side is the SELECTIVE side: filter pushed to scan
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan
+    after = {k: spark.conf.get(k) for k in before}
+    assert after == before
+
+
 def test_partitioned_write_prunes_directories(spark, sf_dir):
     """x_partitioned_write: the event_type equality lands in
     PartitionFilters (directory-level pruning before IO), and the
