@@ -46,6 +46,7 @@ _PLAN_MODULES = [
     "kafka_s3_etl_spark.plans.scaleops",
     "kafka_s3_etl_spark.plans.channels",
     "kafka_s3_etl_spark.plans.storage",
+    "kafka_s3_etl_spark.plans.mlfeat",
 ]
 
 

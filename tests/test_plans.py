@@ -734,6 +734,27 @@ def test_bloom_filter_join_injects_and_restores(spark, sf_dir):
     assert after == before
 
 
+def test_feature_hash_is_map_only(spark, sf_dir):
+    """q_feature_hash: pure row-local JVM expressions — no exchange of
+    any kind, no Python eval; embarrassingly parallel at any scale."""
+    plan = plan_of(spark, sf_dir, "q_feature_hash")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "codegen id" in plan  # whole-stage codegen covers the plan
+
+
+def test_feature_scaling_single_shuffle(spark, sf_dir):
+    """q_feature_minmax / q_target_encode: the scaling stats ride ONE
+    hash-partitioning exchange on the group key (the window shuffle) —
+    no second scan, no join back."""
+    for name in ("q_feature_minmax", "q_target_encode"):
+        plan = plan_of(spark, sf_dir, name)
+        # formatted plans print each node twice (tree + detail)
+        assert plan.count("Exchange") == 2, name
+        assert "hashpartitioning(o_orderpriority" in plan, name
+        assert plan.count("Scan parquet") <= 2, name
+
+
 def test_partitioned_write_prunes_directories(spark, sf_dir):
     """x_partitioned_write: the event_type equality lands in
     PartitionFilters (directory-level pruning before IO), and the
