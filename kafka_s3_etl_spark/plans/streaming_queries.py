@@ -456,3 +456,30 @@ def s_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_s3_etl_spark.streaming.outer_join import left_outer_join_demo
 
     return left_outer_join_demo(spark, sf_dir)
+
+
+@register(
+    "s_stream_full_join",
+    category="streaming",
+    cost=3,
+    doc=(
+        "Stream-stream FULL OUTER join (completes the streaming join "
+        "matrix): purchases x following-hour events; unmatched "
+        "purchases emit (a_id, NULL) and unmatched follow-ups "
+        "(NULL, b_id), each only after the watermark proves no partner "
+        "can arrive. Same sentinel-driven eviction harness as the left "
+        "join; equals the batch FULL JOIN (streaming/outer_join.py)."
+    ),
+    oracle="""
+        SELECT e1.event_id AS a_id, e2.event_id AS b_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') e1
+        FULL JOIN events e2
+          ON e1.user_id = e2.user_id
+         AND e2.ts > e1.ts
+         AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+    """,
+)
+def s_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.streaming.outer_join import full_outer_join_demo
+
+    return full_outer_join_demo(spark, sf_dir)

@@ -1,11 +1,13 @@
-"""Stream-stream LEFT OUTER join demo (watermark-driven NULL emission).
+"""Stream-stream OUTER join demos (watermark-driven NULL emission):
+LEFT OUTER and FULL OUTER over the same time-bounded purchase/follow-up
+join.
 
 The inner half of a time-bounded stream-stream join emits rows as they
-match (batching-invariant); the OUTER half — "this purchase had no
-follow-up within the hour" — can only emit once the watermark proves no
-match can still arrive. That makes outer emission inherently
-watermark-driven, so the demo mirrors streaming/late.py's two-delivery
-harness:
+match (batching-invariant); the OUTER halves — "this purchase had no
+follow-up within the hour" and, full-outer only, "this event follows no
+purchase" — can only emit once the watermark proves no match can still
+arrive. That makes outer emission inherently watermark-driven, so the
+demo mirrors streaming/late.py's two-delivery harness:
 
 * delivery 1 — the real events (both join sides read the same files);
 * delivery 2 — one sentinel row 3 hours past max(ts), which advances
@@ -49,9 +51,13 @@ def _copy_part(src_dir: str, dest: str, mtime: float) -> None:
     os.utime(dest, (mtime, mtime))
 
 
-def _purchase_followups_left(left: DataFrame, right: DataFrame) -> DataFrame:
-    """Purchases LEFT-joined to any same-user event in the following
-    hour; unmatched purchases surface with b_id NULL after eviction."""
+def _purchase_followups(
+    left: DataFrame, right: DataFrame, how: str
+) -> DataFrame:
+    """Purchases OUTER-joined to any same-user event in the following
+    hour; unmatched rows surface with the other side NULL after the
+    watermark evicts them (b_id NULL for follow-up-less purchases and —
+    full outer only — a_id NULL for events following no purchase)."""
     l_side = (
         left.filter(F.col("event_type") == "purchase")
         .select(
@@ -71,11 +77,19 @@ def _purchase_followups_left(left: DataFrame, right: DataFrame) -> DataFrame:
         (F.col("l_user") == F.col("r_user"))
         & (F.col("r_ts") > F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 HOUR")),
-        "left_outer",
+        how,
     ).select("a_id", "b_id")
 
 
 def left_outer_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _outer_join_demo(spark, sf_dir, "left_outer")
+
+
+def full_outer_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _outer_join_demo(spark, sf_dir, "full_outer")
+
+
+def _outer_join_demo(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     if sf_dir not in _PART_CACHE:
         data_dir, sent_dir = scratch_dir("loj_data"), scratch_dir("loj_sent")
@@ -98,7 +112,7 @@ def left_outer_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     left = spark.readStream.schema(ev.schema).parquet(src_dir)
     right = spark.readStream.schema(ev.schema).parquet(src_dir)
-    joined = _purchase_followups_left(left, right)
+    joined = _purchase_followups(left, right, how)
     name = f"loj_{uuid.uuid4().hex[:10]}"
     with _pinned_stream_partitions(joined):
         q = (
@@ -114,13 +128,21 @@ def left_outer_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()  # sentinel pushes watermarks past all windows
         # Outer-NULL eviction may land in a trailing no-data micro-batch
         # after processAllAvailable returns. The sentinel watermark
-        # clears EVERY unmatched left row in that one batch, so the
-        # first NULL-match row appearing means eviction ran to
+        # clears EVERY unmatched row in that one batch, so the first
+        # NULL appearing on each outer side means eviction ran to
         # completion.
         for _ in range(120):
-            if spark.table(name).filter(F.col("b_id").isNull()).count() > 0:
+            out = spark.table(name)
+            done = out.filter(F.col("b_id").isNull()).count() > 0
+            if how == "full_outer":
+                done = done and out.filter(F.col("a_id").isNull()).count() > 0
+            if done:
                 break
             time.sleep(0.5)
     finally:
         q.stop()
-    return spark.table(name).filter(F.col("a_id") >= 0)
+    # Drop the sentinel's own rows on BOTH sides, keeping outer NULLs:
+    # the -1 left sentinel may emit (-1, NULL), the right copy (NULL, -1).
+    keep_a = F.col("a_id").isNull() | (F.col("a_id") >= 0)
+    keep_b = F.col("b_id").isNull() | (F.col("b_id") >= 0)
+    return spark.table(name).filter(keep_a & keep_b)

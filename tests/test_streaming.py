@@ -388,3 +388,27 @@ def test_gap_sessions_runs_on_rocksdb_state_store(spark):
         for m in op.get("customMetrics", {})
     ]
     assert any(m.lower().startswith("rocksdb") for m in metrics), metrics
+
+
+def test_full_outer_stream_join_emits_both_null_sides(spark, sf_dir):
+    """s_stream_full_join: after the sentinel advances both watermarks,
+    the engine must have evicted BOTH outer halves — follow-up-less
+    purchases as (a_id, NULL) and purchase-less follow-ups as
+    (NULL, b_id) — alongside the inner matches."""
+    from kafka_s3_etl_spark.streaming.outer_join import full_outer_join_demo
+
+    out = full_outer_join_demo(spark, sf_dir)
+    counts = out.agg(
+        F.sum(F.col("b_id").isNull().cast("int")).alias("left_only"),
+        F.sum(F.col("a_id").isNull().cast("int")).alias("right_only"),
+        F.sum(
+            (F.col("a_id").isNotNull() & F.col("b_id").isNotNull()).cast(
+                "int"
+            )
+        ).alias("matched"),
+    ).first()
+    assert counts.left_only > 0
+    assert counts.right_only > 0
+    assert counts.matched > 0
+    # no sentinel leakage on either side
+    assert out.filter((F.col("a_id") < 0) | (F.col("b_id") < 0)).count() == 0
