@@ -156,6 +156,19 @@ HEADLINE = [
     "q_ds_channel_wow",
     "q_ds_yoy_growth",
     "s_admission_control",
+    # round-7 storage/runtime batch: layout-paid joins + scan reduction
+    "x_bucketed_join",
+    "x_partitioned_write",
+    "x_dpp_join",
+    "x_bloom_filter_join",
+    "q_observed_metrics",
+    "q_window_first_last",
+    # round-7 feature-engineering batch
+    "q_feature_minmax",
+    "q_target_encode",
+    "q_feature_hash",
+    "q_quantile_bins",
+    "s_stream_full_join",
     "s_kafka_to_s3",
     "s_session_timeout",
     "s_window_tumbling",

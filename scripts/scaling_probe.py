@@ -105,6 +105,22 @@ PROBE_QUERIES = [
     # ratios at/below the data growth where the uncapped ops exceed it
     "q_fuzzy_join_capped",
     "q_graph_triangles_capped",
+    # round-7 storage/feature/streaming batches: layout-paid join,
+    # runtime scan reduction, windowed feature stats, full-outer stream
+    # join (all ride the scaled orders/lineitem/events facts; the
+    # layout writes happen once per scaled dir — min-of-2 runs times
+    # the steady-state read path)
+    "x_bucketed_join",
+    "x_partitioned_write",
+    "x_dpp_join",
+    "x_bloom_filter_join",
+    "q_observed_metrics",
+    "q_window_first_last",
+    "q_feature_minmax",
+    "q_target_encode",
+    "q_feature_hash",
+    "q_quantile_bins",
+    "s_stream_full_join",
 ]
 
 
