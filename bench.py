@@ -162,6 +162,7 @@ HEADLINE = [
     "x_dpp_join",
     "x_bloom_filter_join",
     "q_observed_metrics",
+    "x_schema_evolution",
     "q_window_first_last",
     # round-7 feature-engineering batch
     "q_feature_minmax",

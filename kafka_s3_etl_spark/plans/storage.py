@@ -32,6 +32,8 @@ metrics, and ignore-nulls window navigation.
   heuristics assume cluster-scale sides, so the entry pins the
   thresholds for ITS optimization only (session confs saved/restored
   around a forced plan materialization; pinned by test).
+* x_schema_evolution — mergeSchema over two file eras: append-only
+  column adds with NULL back-fill, no history rewrite.
 * q_window_first_last — ignore-nulls window navigation
   (first_value/last_value/nth_value): last-known-good and
   second-reading semantics over a deliberately nullable measure,
@@ -359,6 +361,52 @@ def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(m["n_rows"], m["total_cents"], m["n_open"])],
         "n_rows bigint, total_cents bigint, n_open bigint",
+    )
+
+
+# schema-evolved two-batch layout per sf_dir (testdata immutable)
+_EVOLVED_CACHE: dict[str, str] = {}
+
+
+@register(
+    "x_schema_evolution",
+    category="lakehouse",
+    cost=1,
+    doc=(
+        "Parquet schema evolution: an early-era file batch (orderkey, "
+        "totalprice) and a later one that added o_orderstatus live in "
+        "one dataset; mergeSchema=true unions the footers and "
+        "back-fills the missing column with NULL — the append-only "
+        "lakehouse contract that lets a 100 TB table add columns "
+        "without rewriting history. Values pass through untouched "
+        "(doubles bit-exact)."
+    ),
+    oracle="""
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END
+                   AS o_orderstatus
+        FROM orders
+    """,
+)
+def x_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.streaming.runner import scratch_dir
+
+    if sf_dir not in _EVOLVED_CACHE:
+        out = scratch_dir("evolved")
+        o = load_table(spark, sf_dir, "orders")
+        # era 1: the original two-column schema (even keys)
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(out + "/era=1")
+        # era 2: the widened schema (odd keys)
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        ).write.mode("overwrite").parquet(out + "/era=2")
+        _EVOLVED_CACHE[sf_dir] = out
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(_EVOLVED_CACHE[sf_dir])
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
     )
 
 
