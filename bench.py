@@ -155,6 +155,9 @@ HEADLINE = [
     "q_ds_net_returns",
     "q_ds_channel_wow",
     "q_ds_yoy_growth",
+    "q_ds_timeband_counts",
+    "q_ds_cume_share",
+    "q_ds_topk_rollup",
     "s_admission_control",
     # round-7 storage/runtime batch: layout-paid joins + scan reduction
     "x_bucketed_join",

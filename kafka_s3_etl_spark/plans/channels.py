@@ -203,3 +203,193 @@ def q_ds_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "growth"
         ),
     )
+
+
+@register(
+    "q_ds_timeband_counts",
+    category="olap",
+    doc=(
+        "TPC-DS Q88 shape: store traffic by time-of-day band. Q88 "
+        "writes 8 self-joined subqueries; here all bands are "
+        "conditional aggregates in ONE scan/pass (plan-pinned single "
+        "scan) — at 100 TB the difference between 1 and 8 reads of the "
+        "fact. Per event_type: counts in four 6-hour bands + exact "
+        "cents value per band."
+    ),
+    oracle="""
+        SELECT event_type,
+               CAST(SUM(CASE WHEN h BETWEEN 0 AND 5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_night,
+               CAST(SUM(CASE WHEN h BETWEEN 6 AND 11 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_morning,
+               CAST(SUM(CASE WHEN h BETWEEN 12 AND 17 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_afternoon,
+               CAST(SUM(CASE WHEN h BETWEEN 18 AND 23 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_evening,
+               CAST(SUM(CASE WHEN h BETWEEN 18 AND 23 THEN c ELSE 0 END)
+                    AS DOUBLE) / 100 AS evening_value
+        FROM (
+          SELECT event_type, CAST(hour(ts) AS INT) AS h,
+                 CAST(ROUND(value * 100) AS BIGINT) AS c
+          FROM events
+        )
+        GROUP BY event_type
+    """,
+)
+def q_ds_timeband_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").alias("h"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("c"),
+    )
+
+    def band(lo: int, hi: int, col=None):
+        cond = F.col("h").between(lo, hi)
+        return F.sum(F.when(cond, col if col is not None else 1).otherwise(0))
+
+    return ev.groupBy("event_type").agg(
+        band(0, 5).alias("n_night"),
+        band(6, 11).alias("n_morning"),
+        band(12, 17).alias("n_afternoon"),
+        band(18, 23).alias("n_evening"),
+        (band(18, 23, F.col("c")).cast("double") / 100).alias(
+            "evening_value"
+        ),
+    )
+
+
+@register(
+    "q_ds_cume_share",
+    category="olap",
+    doc=(
+        "TPC-DS Q51 shape: two channels' day-by-day CUMULATIVE totals "
+        "compared on a shared spine — clicks vs purchases, full outer "
+        "on day, missing days as 0, running exact-cents sums, emit the "
+        "days where the click channel's cumulative value leads. One "
+        "rollup per channel + one merge; the windows run over the "
+        "tiny day spine, never the fact."
+    ),
+    oracle="""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d, event_type,
+                 SUM(CAST(ROUND(value * 100) AS BIGINT)) AS c
+          FROM events
+          WHERE event_type IN ('click', 'purchase')
+          GROUP BY 1, 2
+        ), merged AS (
+          SELECT COALESCE(a.d, b.d) AS d,
+                 COALESCE(a.c, 0) AS click_c,
+                 COALESCE(b.c, 0) AS buy_c
+          FROM (SELECT d, c FROM daily WHERE event_type = 'click') a
+          FULL JOIN (SELECT d, c FROM daily WHERE event_type = 'purchase') b
+            ON a.d = b.d
+        )
+        SELECT d,
+               CAST(SUM(click_c) OVER w AS DOUBLE) / 100 AS cum_click,
+               CAST(SUM(buy_c) OVER w AS DOUBLE) / 100 AS cum_purchase
+        FROM merged
+        WINDOW w AS (ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        QUALIFY SUM(click_c) OVER w > SUM(buy_c) OVER w
+    """,
+)
+def q_ds_cume_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            F.to_date("ts").alias("d"),
+            "event_type",
+        )
+        .agg(F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("c"))
+    )
+    a = daily.filter(F.col("event_type") == "click").select("d", F.col("c").alias("click_c"))
+    b = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("d").alias("bd"), F.col("c").alias("buy_c")
+    )
+    merged = (
+        a.join(b, a.d == b.bd, "full_outer")
+        .select(
+            F.coalesce(a.d, F.col("bd")).alias("d"),
+            F.coalesce("click_c", F.lit(0)).alias("click_c"),
+            F.coalesce("buy_c", F.lit(0)).alias("buy_c"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = merged.select(
+        "d",
+        F.sum("click_c").over(w).alias("cc"),
+        F.sum("buy_c").over(w).alias("cb"),
+    )
+    return cum.filter(F.col("cc") > F.col("cb")).select(
+        "d",
+        (F.col("cc").cast("double") / 100).alias("cum_click"),
+        (F.col("cb").cast("double") / 100).alias("cum_purchase"),
+    )
+
+
+@register(
+    "q_ds_topk_rollup",
+    category="olap",
+    doc=(
+        "TPC-DS Q67 shape: rank WITHIN each rollup level — "
+        "ROLLUP(priority, status) exact-cents totals, then rank rows "
+        "inside their own grouping level (grand total, per-priority, "
+        "leaf) by total, keep the top 3 per level. The window runs "
+        "over the tiny rollup output, never the fact; NULL grouping "
+        "cells are disambiguated via GROUPING() on both engines."
+    ),
+    oracle="""
+        WITH r AS (
+          SELECT o_orderpriority, o_orderstatus,
+                 GROUPING(o_orderpriority) AS gp,
+                 GROUPING(o_orderstatus) AS gs,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+          FROM orders
+          GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        )
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(gp AS INT) AS gp, CAST(gs AS INT) AS gs,
+               CAST(c AS DOUBLE) / 100 AS total,
+               CAST(rnk AS INT) AS rnk
+        FROM (
+          SELECT *,
+                 row_number() OVER (
+                   PARTITION BY gp, gs
+                   ORDER BY c DESC, COALESCE(o_orderpriority, ''),
+                            COALESCE(o_orderstatus, '')
+                 ) AS rnk
+          FROM r
+        )
+        WHERE rnk <= 3
+    """,
+)
+def q_ds_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").cast("int").alias("gp"),
+            F.grouping("o_orderstatus").cast("int").alias("gs"),
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias(
+                "c"
+            ),
+        )
+    )
+    w = Window.partitionBy("gp", "gs").orderBy(
+        F.col("c").desc(),
+        F.coalesce("o_orderpriority", F.lit("")),
+        F.coalesce("o_orderstatus", F.lit("")),
+    )
+    return (
+        r.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "gp",
+            "gs",
+            (F.col("c").cast("double") / 100).alias("total"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

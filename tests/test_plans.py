@@ -767,3 +767,14 @@ def test_partitioned_write_prunes_directories(spark, sf_dir):
     ), plan
     assert "ReadSchema: struct<event_id:bigint,user_id:bigint," in plan
     assert "event_type" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_timeband_counts_single_scan(spark, sf_dir):
+    """q_ds_timeband_counts: all four time bands + the banded value sum
+    are conditional aggregates over ONE events read (Q88 writes 8
+    self-joined subqueries; at 100 TB that is 8 reads of the fact) —
+    and the partial-aggregate phase combines map-side."""
+    plan = plan_of(spark, sf_dir, "q_ds_timeband_counts")
+    assert plan.count("Scan parquet") <= 2  # tree + detail of ONE scan
+    assert "partial_" in plan
+    assert "Join" not in plan
