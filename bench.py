@@ -172,6 +172,9 @@ HEADLINE = [
     "q_target_encode",
     "q_feature_hash",
     "q_quantile_bins",
+    "q_join_nullsafe",
+    "q_not_in_null",
+    "q_array_algebra",
     "s_stream_full_join",
     "s_kafka_to_s3",
     "s_session_timeout",

@@ -778,3 +778,31 @@ def test_timeband_counts_single_scan(spark, sf_dir):
     assert plan.count("Scan parquet") <= 2  # tree + detail of ONE scan
     assert "partial_" in plan
     assert "Join" not in plan
+
+
+def test_nullsafe_join_stays_hash_join(spark, sf_dir):
+    """q_join_nullsafe: null-safe equality keys hash like equi-keys —
+    the join must be a broadcast hash join, never a nested loop over
+    the null group."""
+    plan = plan_of(spark, sf_dir, "q_join_nullsafe")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
+    """q_not_in_null: NOT IN over a nullable subquery column must
+    execute as a null-aware anti HASH join — Spark 4 prints the
+    isNullAwareAntiJoin flag as the trailing boolean on the simple-mode
+    BroadcastHashJoin line (and the null-aware OR-isnull condition is
+    absorbed into the join itself, not left as a filter)."""
+    plan = plan_of(spark, sf_dir, "q_not_in_null")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    df = _CAT["q_not_in_null"].fn(spark, sf_dir)
+    simple = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert re.search(
+        r"BroadcastHashJoin .*LeftAnti, BuildRight, true", simple
+    ), simple
