@@ -166,6 +166,7 @@ HEADLINE = [
     "x_bloom_filter_join",
     "q_observed_metrics",
     "x_schema_evolution",
+    "x_agg_pushdown",
     "q_window_first_last",
     # round-7 feature-engineering batch
     "q_feature_minmax",

@@ -364,6 +364,61 @@ def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DSv2 + footer-stats aggregation confs x_agg_pushdown pins for ITS
+# plan only (same save/force/restore pattern as x_bloom_filter_join)
+_AGG_PUSH_CONFS = {
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # aggregate pushdown is a DSv2 feature; parquet defaults to the v1
+    # path, so route it through v2 for this plan
+    "spark.sql.sources.useV1SourceList": "",
+}
+
+
+@register(
+    "x_agg_pushdown",
+    category="lakehouse",
+    cost=1,
+    doc=(
+        "Parquet footer aggregate pushdown: COUNT(*)/MIN/MAX answered "
+        "from row-group statistics (PushedAggregation on the DSv2 "
+        "scan, plan-pinned) — table-level audit numbers in metadata "
+        "time, no data pages read. At 100 TB this is the difference "
+        "between a footer sweep and a full-table scan for row counts "
+        "and key bounds. Timestamp MIN/MAX stays un-pushed (Spark "
+        "limitation), so the entry aggregates the long key and the "
+        "double measure, both stats-supported."
+    ),
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+               CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+        FROM orders
+    """,
+)
+def x_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    saved = {k: spark.conf.get(k) for k in _AGG_PUSH_CONFS}
+    for k, v in _AGG_PUSH_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        # the v1/v2 source choice is made when the read resolves, so
+        # both the read AND the forced optimization sit inside the
+        # pinned-conf window
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        df._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return df
+
+
 # schema-evolved two-batch layout per sf_dir (testdata immutable)
 _EVOLVED_CACHE: dict[str, str] = {}
 

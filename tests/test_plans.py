@@ -806,3 +806,23 @@ def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
     assert re.search(
         r"BroadcastHashJoin .*LeftAnti, BuildRight, true", simple
     ), simple
+
+
+def test_agg_pushdown_answers_from_footers(spark, sf_dir):
+    """x_agg_pushdown: COUNT/MIN/MAX land in the DSv2 scan's
+    PushedAggregation (row-group statistics, no data pages), and the
+    conf pinning is invisible outside the builder."""
+    before = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.parquet.aggregatePushdown",
+            "spark.sql.sources.useV1SourceList",
+        )
+    }
+    plan = plan_of(spark, sf_dir, "x_agg_pushdown")
+    assert re.search(
+        r"PushedAggregation: \[COUNT\(\*\), MIN\(o_orderkey\), "
+        r"MAX\(o_orderkey\), MIN\(o_totalprice\), MAX\(o_totalprice\)\]",
+        plan,
+    ), plan
+    assert {k: spark.conf.get(k) for k in before} == before
