@@ -121,6 +121,16 @@ PROBE_QUERIES = [
     "q_feature_hash",
     "q_quantile_bins",
     "s_stream_full_join",
+    # round-7 later batches: DS shapes over the scaled facts, SQL
+    # semantics corners, evolved/footer-stat layouts
+    "q_ds_timeband_counts",
+    "q_ds_cume_share",
+    "q_ds_topk_rollup",
+    "q_join_nullsafe",
+    "q_not_in_null",
+    "q_array_algebra",
+    "x_schema_evolution",
+    "x_agg_pushdown",
 ]
 
 
