@@ -167,6 +167,7 @@ HEADLINE = [
     "q_observed_metrics",
     "x_schema_evolution",
     "x_agg_pushdown",
+    "q_sketch_mergeability",
     "q_window_first_last",
     # round-7 feature-engineering batch
     "q_feature_minmax",

@@ -73,3 +73,36 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_2d(
         load_table(spark, sf_dir, "part"), "p_size", "p_retailprice", "p_partkey"
     )
+
+
+@register(
+    "q_sketch_mergeability",
+    category="sketch",
+    doc=(
+        "HLL sketch mergeability (Apache DataSketches, Spark 4 "
+        "built-ins): per-day partial user sketches union-merged to a "
+        "corpus estimate, beside the direct one-pass estimate and the "
+        "exact distinct count. Register-max union is associative and "
+        "deterministic, so merged == direct EXACTLY "
+        "(property-pinned) — the pre-aggregate-per-partition, "
+        "merge-later pattern that lets 100 TB distinct counts roll up "
+        "from shard summaries without re-touching data. Rows-only: no "
+        "DuckDB twin of this sketch."
+    ),
+)
+def q_sketch_mergeability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    daily = ev.groupBy("d").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.agg(
+        F.count("*").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est"),
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+            "direct_est"
+        ),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    return merged.join(F.broadcast(direct))

@@ -315,3 +315,16 @@ def test_pyds_stream_sink_replay_removes_stale_parts(tmp_path):
     parts = sorted(tmp_path.glob("part-b00007-*.jsonl"))
     assert len(parts) == 1
     assert parts[0].read_text() == '{"id": 1}\n{"id": 2}\n'
+
+
+def test_hll_union_of_partials_equals_direct_sketch(spark, sf_dir):
+    """q_sketch_mergeability: register-max union is associative — the
+    estimate from union-merged per-day sketches must EQUAL the direct
+    one-pass estimate (not merely approximate it), and both must sit
+    within the HLL error envelope of the exact count."""
+    from kafka_s3_etl_spark.plans.registry import all_queries
+
+    row = all_queries()["q_sketch_mergeability"].fn(spark, sf_dir).first()
+    assert row.n_days > 1  # the merge actually merged something
+    assert row.merged_est == row.direct_est
+    assert abs(row.direct_est - row.exact_users) <= 0.05 * row.exact_users
