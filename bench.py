@@ -168,6 +168,8 @@ HEADLINE = [
     "x_schema_evolution",
     "x_agg_pushdown",
     "q_sketch_mergeability",
+    "q_weighted_sample",
+    "q_contamination_rate",
     "q_window_first_last",
     # round-7 feature-engineering batch
     "q_feature_minmax",

@@ -48,6 +48,7 @@ _PLAN_MODULES = [
     "kafka_s3_etl_spark.plans.storage",
     "kafka_s3_etl_spark.plans.mlfeat",
     "kafka_s3_etl_spark.plans.semantics",
+    "kafka_s3_etl_spark.plans.curation",
 ]
 
 

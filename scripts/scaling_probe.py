@@ -131,6 +131,9 @@ PROBE_QUERIES = [
     "q_array_algebra",
     "x_schema_evolution",
     "x_agg_pushdown",
+    "q_sketch_mergeability",
+    "q_weighted_sample",
+    "q_contamination_rate",
 ]
 
 

@@ -826,3 +826,13 @@ def test_agg_pushdown_answers_from_footers(spark, sf_dir):
         plan,
     ), plan
     assert {k: spark.conf.get(k) for k in before} == before
+
+
+def test_contamination_rate_joins_on_hashes(spark, sf_dir):
+    """q_contamination_rate: the train-membership check is a semi join
+    on the 8-byte shingle hash (fixed-width shuffle key) — raw shingle
+    text never rides a join."""
+    plan = plan_of(spark, sf_dir, "q_contamination_rate")
+    assert "LeftSemi" in plan
+    assert "xxhash64(shingle" in plan
+    assert "CartesianProduct" not in plan
