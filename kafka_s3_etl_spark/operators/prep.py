@@ -30,12 +30,20 @@ TRAIN_BUCKETS = 90  # buckets [0, 90) -> train, rest -> val
 PACK_CAPACITY = 2048
 
 
+def md5_int32(col: Column) -> Column:
+    """THE house cross-engine hash: first 8 hex chars of md5 as a
+    64-bit-safe integer in [0, 2^32). md5 is bit-identical in Spark and
+    DuckDB (`CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)` on the
+    oracle side); xxhash64 would be faster but has no DuckDB twin.
+    Callers cast non-string inputs to string first. Single definition —
+    mlfeat/curation/text/prep all hash through here."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
 def _doc_bucket(doc_id: Column, buckets: int = SPLIT_BUCKETS) -> Column:
-    """Deterministic cross-engine bucket: first 8 hex chars of
-    md5(doc_id-as-string) as an int, mod buckets. md5 is bit-identical
-    in Spark and DuckDB, so the oracle recomputes the same split."""
-    h = F.conv(F.substring(F.md5(doc_id.cast("string")), 1, 8), 16, 10).cast("long")
-    return F.pmod(h, F.lit(buckets))
+    """Deterministic cross-engine bucket: md5_int32(doc_id-as-string)
+    mod buckets, so the oracle recomputes the same split."""
+    return F.pmod(md5_int32(doc_id.cast("string")), F.lit(buckets))
 
 
 def train_val_split(documents: DataFrame) -> DataFrame:

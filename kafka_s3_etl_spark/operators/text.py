@@ -118,10 +118,11 @@ ROLLHASH_MOD = 2**32
 
 
 def _word_hash(w: Column) -> Column:
-    """Cross-engine word hash: first 8 hex chars of md5, as an integer.
-    (xxhash64 would be faster but has no DuckDB twin; md5 exists and is
-    bit-identical in both engines.)"""
-    return F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    """Cross-engine word hash — the shared house md5 int
+    (operators/prep.py::md5_int32)."""
+    from kafka_s3_etl_spark.operators.prep import md5_int32
+
+    return md5_int32(w)
 
 
 def rolling_hash(documents: DataFrame) -> DataFrame:

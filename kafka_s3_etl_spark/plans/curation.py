@@ -49,10 +49,10 @@ from kafka_s3_etl_spark.sources.tables import load_table
     """,
 )
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.prep import md5_int32
+
     docs = load_table(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    h = md5_int32(F.col("doc_id").cast("string"))
     cap = F.least(F.lit(1000), F.length("text")).cast("long")
     return (
         docs.filter(h * 1000 < cap * F.lit(4294967296).cast("long"))

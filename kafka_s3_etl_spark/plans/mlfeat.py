@@ -13,7 +13,7 @@ and a trainer, expressed as pure JVM plans.
 * q_feature_hash — the hashing trick over categoricals: md5-derived
   bucket index + sign bit per feature and for the crossed feature,
   2^18-dim addressable space in O(1) memory. md5 is the house
-  cross-engine hash (operators/prep.py:35) — xxhash64 exists only in
+  cross-engine hash (operators/prep.py::md5_int32) — xxhash64 exists only in
   Spark, so portable feature hashing pins md5.
 * q_quantile_bins — equal-frequency (quartile) binning: ntile over a
   TOTAL order (cents, then unique key — ties broken identically in
@@ -30,16 +30,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_s3_etl_spark.operators.prep import md5_int32 as _SPARK_MD5_INT
 from kafka_s3_etl_spark.plans.registry import register
 from kafka_s3_etl_spark.sources.tables import load_table
 
 _O_CENTS = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
-
-# md5 -> 63-bit int, bit-identical in Spark and DuckDB (house pattern,
-# operators/prep.py::md5_bucket): first 8 hex chars as an integer.
-_SPARK_MD5_INT = (
-    lambda col: F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
-)
 
 
 def _duck_md5_int(expr: str) -> str:
