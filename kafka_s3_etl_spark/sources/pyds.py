@@ -256,8 +256,11 @@ def _jsonl_lines(batch) -> list:
     """Arrow-vectorized JSONL encoding of one RecordBatch: returns one
     JSON-object string per row, keys sorted (json.dumps sort_keys
     parity). All byte production is Arrow compute — casts for
-    numerics/bools (float64 -> string is shortest-round-trip, so every
-    double survives the write/readback exactly) and substring
+    numerics/bools (float64 -> string is shortest-round-trip, with a
+    ".0" restored on integral doubles so every double survives the
+    write/readback exactly AND schema-inferring readers still see a
+    double column — lexical form may differ from json.dumps for large
+    integral magnitudes, the parsed value never does) and substring
     replacements for JSON string escaping — never a per-row Python
     loop. Rows that genuinely need the slow path (control characters
     beyond \\n/\\r/\\t, non-finite floats) fall back to json.dumps for
@@ -277,6 +280,18 @@ def _jsonl_lines(batch) -> list:
             if not pc.all(pc.is_finite(arr)).as_py() and arr.null_count < len(arr):
                 raise _SlowPath()  # NaN/Inf: json.dumps semantics differ
             s = pc.cast(arr, pa.string())
+            # Arrow's shortest-round-trip cast prints integral doubles
+            # bare ("2", "-0") where json.dumps keeps the float marker
+            # ("2.0", "-0.0"); restore it so schema-inferring readers
+            # still see a double column (and -0.0 keeps its sign)
+            integral = pc.match_substring_regex(
+                pc.fill_null(s, "."), "^-?[0-9]+$"
+            )
+            s = pc.if_else(
+                integral,
+                pc.binary_join_element_wise(s, pa.scalar(".0"), pa.scalar("")),
+                s,
+            )
         elif pa.types.is_integer(t) or pa.types.is_boolean(t):
             s = pc.cast(arr, pa.string())
         elif pa.types.is_string(t) or pa.types.is_large_string(t):

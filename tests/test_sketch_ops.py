@@ -250,6 +250,15 @@ def test_pyds_jsonl_lines_parse_parity_with_json_dumps():
     assert [list(r) for r in rows] == [sorted(r) for r in rows]
     # 17-significant-digit float survived exactly
     assert rows[0]["val"] == 1 / 7.0
+    # integral doubles keep the float marker (Arrow's shortest cast
+    # prints "2"/"-0" bare; a schema-inferring reader would then see
+    # an integer column, and -0.0 would lose its sign entirely)
+    marker = _jsonl_lines(
+        pa.record_batch(
+            [pa.array([2.0, -0.0, None], type=pa.float64())], names=["v"]
+        )
+    )
+    assert marker == ['{"v": 2.0}', '{"v": -0.0}', '{"v": null}']
     # non-finite floats and exotic control chars take the slow path
     import pytest
 
