@@ -49,6 +49,8 @@ _PLAN_MODULES = [
     "kafka_s3_etl_spark.plans.mlfeat",
     "kafka_s3_etl_spark.plans.semantics",
     "kafka_s3_etl_spark.plans.curation",
+    "kafka_s3_etl_spark.plans.diststats",
+    "kafka_s3_etl_spark.plans.mleval",
 ]
 
 
