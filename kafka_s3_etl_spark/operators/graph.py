@@ -228,3 +228,83 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count("*").alias("n_tri"))
     )
+
+
+def kcore(edges: DataFrame, k: int = 2, max_iters: int = 50) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph in which
+    every node has degree >= k — the standard "dense backbone" filter a
+    curation pipeline runs on a near-dup graph before community-level
+    decisions (nodes outside the 2-core are leaves/isolated pairs that
+    pairwise merge handles fine; the core is where cluster resolution
+    is needed).
+
+    ``edges`` is (a, b) in any orientation (canonicalized here).
+    Returns (node, deg) for core members, with deg the node's degree
+    INSIDE the core subgraph.
+
+    Spark-first iterative shape (same Pregel-lite discipline as
+    ``pagerank``): classic peeling — repeatedly delete nodes of degree
+    < k — but executed a FULL LAYER per round rather than one node at a
+    time, so each round is one degree aggregation (shuffle on node id)
+    + two semi-joins, and the round count is the graph's "peeling
+    depth" (<= max coreness ladder length, in practice a handful —
+    NEVER the sequential algorithm's O(n) steps). ``localCheckpoint``
+    cuts the per-round lineage, and the loop stops at the fixpoint
+    (edge count unchanged). The result is identical to sequential
+    peeling because deleting any degree<k node never rescues another:
+    the k-core is unique, order-independent.
+
+    ``max_iters`` is a lineage/runaway backstop; hitting it raises
+    rather than silently returning a non-core (a too-shallow peel would
+    LOOK like a valid answer but contain degree<k nodes).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cur = (
+        edges.select(
+            F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+        )
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = cur.count()
+    for _ in range(max_iters):
+        deg = (
+            cur.select(F.col("x").alias("node"))
+            .unionAll(cur.select(F.col("y").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        nxt = (
+            cur.join(
+                keep.withColumnRenamed("node", "x").hint("shuffle_hash"),
+                "x",
+                "left_semi",
+            )
+            .join(
+                keep.withColumnRenamed("node", "y").hint("shuffle_hash"),
+                "y",
+                "left_semi",
+            )
+            .select("x", "y")
+            .localCheckpoint()
+        )
+        n_next = nxt.count()
+        if n_next == n_edges:
+            # Fixpoint: every remaining endpoint has degree >= k.
+            return (
+                cur.select(F.col("x").alias("node"))
+                .unionAll(cur.select(F.col("y").alias("node")))
+                .groupBy("node")
+                .agg(F.count("*").cast("bigint").alias("deg"))
+            )
+        cur, n_edges = nxt, n_next
+        if n_edges == 0:
+            return cur.select(
+                F.col("x").alias("node"), F.lit(0).cast("bigint").alias("deg")
+            )
+    raise RuntimeError(
+        f"kcore did not converge within {max_iters} peeling rounds"
+    )

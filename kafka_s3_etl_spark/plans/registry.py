@@ -51,6 +51,8 @@ _PLAN_MODULES = [
     "kafka_s3_etl_spark.plans.curation",
     "kafka_s3_etl_spark.plans.diststats",
     "kafka_s3_etl_spark.plans.mleval",
+    "kafka_s3_etl_spark.plans.tsdiag",
+    "kafka_s3_etl_spark.plans.graphops",
 ]
 
 

@@ -434,3 +434,43 @@ def test_entity_resolution_matches_union_find(spark, sf_dir):
         for n in members
     }
     assert got == expected
+
+
+def test_kcore_matches_sequential_peeling(spark):
+    """Layer-at-a-time distributed peeling == the sequential
+    one-node-at-a-time algorithm (the k-core is unique and
+    order-independent), on a seeded random graph with a dirty edge
+    list (duplicates, reversed orientations, self-loops)."""
+    from kafka_s3_etl_spark.operators.graph import kcore
+
+    rng = random.Random(33)
+    n = 45
+    edges = {
+        tuple(sorted(rng.sample(range(n), 2)))
+        for _ in range(140)
+    }
+    for k in (2, 3, 4):
+        adj = {i: set() for i in range(n)}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        # Sequential peel: pop ANY degree<k node, update, repeat.
+        changed = True
+        while changed:
+            changed = False
+            for node in list(adj):
+                if len(adj[node]) < k:
+                    for nb in adj.pop(node):
+                        adj[nb].discard(node)
+                    changed = True
+        expected = {node: len(nbs) for node, nbs in adj.items() if nbs}
+        rows = [(a, b) for a, b in edges]
+        rows += [(b, a) for a, b in list(edges)[:40]]
+        rows += [(i, i) for i in range(4)]
+        got = {
+            r.node: r.deg
+            for r in kcore(
+                spark.createDataFrame(rows, ["a", "b"]), k=k
+            ).collect()
+        }
+        assert got == expected, f"k={k}"
