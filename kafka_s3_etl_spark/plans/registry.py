@@ -53,6 +53,7 @@ _PLAN_MODULES = [
     "kafka_s3_etl_spark.plans.mleval",
     "kafka_s3_etl_spark.plans.tsdiag",
     "kafka_s3_etl_spark.plans.graphops",
+    "kafka_s3_etl_spark.plans.corpus",
 ]
 
 
