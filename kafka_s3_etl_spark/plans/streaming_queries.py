@@ -483,3 +483,43 @@ def s_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_s3_etl_spark.streaming.outer_join import full_outer_join_demo
 
     return full_outer_join_demo(spark, sf_dir)
+
+
+@register(
+    "s_stream_union",
+    category="streaming",
+    cost=3,
+    doc=(
+        "Multi-source streaming union: the events stream UNIONed with "
+        "the orders stream mapped onto a common (ts, src) schema, one "
+        "daily tumbling aggregation over the merged stream — the "
+        "fan-in topology (N topics -> one rollup) every multi-source "
+        "ingest runs; Spark plans one watermark/state pipeline over "
+        "both sources' micro-batches."
+    ),
+    oracle="""
+        SELECT make_timestamp(CAST(floor(epoch(ts)/86400)*86400*1000000
+                                   AS BIGINT)) AS ws,
+               src, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+          SELECT ts, 'events' AS src FROM events
+          UNION ALL
+          SELECT o_orderdate AS ts, 'orders' AS src FROM orders
+        ) GROUP BY 1, 2
+    """,
+)
+def s_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = stream_table(spark, sf_dir, "events").select(
+        "ts", F.lit("events").alias("src")
+    )
+    b = stream_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").alias("ts"), F.lit("orders").alias("src")
+    )
+    agg = (
+        a.unionByName(b)
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day"), "src")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.col("window.start").alias("ws"), "src", "n")
+    )
+    return run_available_now(agg, output_mode="complete")

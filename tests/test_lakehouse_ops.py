@@ -274,3 +274,60 @@ def test_merge_upsert_matches_dict_semantics(spark, target, source):
         k: (sd.get(k, v), "U" if k in sd else "K") for k, v in td.items()
     } | {k: (v, "I") for k, v in sd.items() if k not in td}
     assert got == exp
+
+
+def test_sorted_layout_files_disjoint_and_filter_pushed(spark, sf_dir):
+    """x_sorted_layout's scratch copy must deliver what the layout
+    promises: per-file ts (min, max) spans that never interleave (so
+    footer stats can skip whole files for a time-range read), and the
+    readback range filter reaching the scan as PushedFilters."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from kafka_s3_etl_spark.plans.layout import sorted_events_dir
+    from kafka_s3_etl_spark.plans.registry import all_queries
+
+    out = sorted_events_dir(spark, sf_dir)
+    spans = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.read_metadata(f)
+        lo = min(
+            md.row_group(i).column(1).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(1).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        assert md.schema.column(1).name == "ts"
+        spans.append((lo, hi))
+    assert len(spans) > 1
+    spans.sort()
+    for (_, prev_hi), (next_lo, _) in zip(spans, spans[1:]):
+        assert prev_hi <= next_lo, "file ts spans interleave"
+
+    q = all_queries()["x_sorted_layout"]
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        q.fn(spark, sf_dir)._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan
+
+
+def test_nested_pruning_readschema_is_two_leaves(spark, sf_dir):
+    """x_nested_pruning's scan must read ONLY the two touched struct
+    leaves — nested-schema pruning narrows ReadSchema to
+    payload.event_type + payload.user_id; the untouched value/props
+    leaves must not appear anywhere in the scan."""
+    from kafka_s3_etl_spark.plans.registry import all_queries
+
+    q = all_queries()["x_nested_pruning"]
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        q.fn(spark, sf_dir)._jdf.queryExecution(), "formatted"
+    )
+    assert (
+        "ReadSchema: struct<payload:struct<user_id:bigint,"
+        "event_type:string>>" in plan
+    )
+    assert "value" not in plan.split("ReadSchema")[1][:200]
+    assert "props" not in plan
