@@ -10,12 +10,18 @@ deletion-neighborhood blocking, oracle edges via DuckDB levenshtein):
   list — no joins at all.
 * q_jaccard_neighbors — common-neighbor (Jaccard) link prediction:
   score NON-adjacent pairs by |N(u) & N(v)| / |N(u) | N(v)|. Candidate
-  pairs come from the wedge join (same m^(3/2)-bounded shape as
-  triangle counting — only pairs with >= 1 common neighbor are ever
-  materialized, never the n^2 pair space); the union size is
+  pairs come from the wedge join (only pairs with >= 1 common neighbor
+  are ever materialized, never the n^2 pair space); the union size is
   deg(u)+deg(v)-common, so the score is one division of exact BIGINTs.
   On a linkage graph this surfaces "transitively confusable" name
-  pairs the pairwise matcher missed.
+  pairs the pairwise matcher missed. DEGREE-CAPPED (r7 verdict): a
+  hub of degree d pivots deg^2 wedge candidates, the exact shape whose
+  uncapped sibling measured 19.1x at 30x data (SCALE.md triangles
+  table), so nodes above MAX_DEGREE are dropped by broadcast anti-join
+  BEFORE the wedge join — the same knob as q_graph_triangles_capped —
+  and the scores are EXACT on the induced subgraph (degrees recomputed
+  after the drop, so every reported jaccard is the true jaccard of the
+  surviving graph). Wedge candidates are bounded by m*cap on any skew.
 * q_kcore — the 2-core membership + in-core degree
   (operators/graph.py::kcore): layer-at-a-time peeling, one degree agg
   + two semi-joins per round, rounds = peeling depth (not O(n)).
@@ -29,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_s3_etl_spark.operators.graph import kcore
+from kafka_s3_etl_spark.operators.graph import jaccard_neighbors, kcore
 from kafka_s3_etl_spark.operators.linkage import fuzzy_pairs_ed1
 from kafka_s3_etl_spark.plans.mining import _FUZZY_ORACLE_EDGES
 from kafka_s3_etl_spark.plans.registry import register
@@ -76,21 +82,43 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Degree cap for the wedge join (same knob/value as
+# q_graph_triangles_capped): wedge candidates <= m*cap on any skew.
+_JACCARD_MAX_DEGREE = 40
+
+
 @register(
     "q_jaccard_neighbors",
     category="graph",
     cost=1,
     doc=(
         "Common-neighbor Jaccard link prediction on the ed1 name "
-        "graph: wedge join materializes only pairs with >= 1 shared "
-        "neighbor, anti-join drops already-adjacent pairs, score = "
-        "common / (deg_u + deg_v - common) over exact BIGINTs."
+        "graph, degree-capped: hubs above max_degree drop by broadcast "
+        "anti-join BEFORE the wedge join (candidates <= m*cap on any "
+        "skew — the uncapped wedge measured 19.1x at 30x data), wedge "
+        "join materializes only pairs with >= 1 shared neighbor, "
+        "anti-join drops already-adjacent pairs, score = common / "
+        "(deg_u + deg_v - common) over exact BIGINTs — EXACT on the "
+        "induced subgraph of sub-cap nodes."
     ),
     oracle=_FUZZY_ORACLE_EDGES
+    + f"""
+        , pre AS (
+          SELECT node, COUNT(*) AS deg
+          FROM (SELECT a AS node FROM e
+                UNION ALL SELECT b AS node FROM e)
+          GROUP BY node
+        ), hubs AS (
+          SELECT node FROM pre WHERE deg > {_JACCARD_MAX_DEGREE}
+        ), e2 AS (
+          SELECT a, b FROM e
+          WHERE a NOT IN (SELECT node FROM hubs)
+            AND b NOT IN (SELECT node FROM hubs)
+        )"""
     + """
         , sym AS (
-          SELECT a AS u, b AS p FROM e
-          UNION ALL SELECT b AS u, a AS p FROM e
+          SELECT a AS u, b AS p FROM e2
+          UNION ALL SELECT b AS u, a AS p FROM e2
         ), cw AS (
           SELECT s1.u AS x, s2.u AS y, CAST(COUNT(*) AS BIGINT) AS n_common
           FROM sym s1 JOIN sym s2 ON s1.p = s2.p AND s1.u < s2.u
@@ -106,43 +134,12 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN deg dx ON dx.node = cw.x
         JOIN deg dy ON dy.node = cw.y
         WHERE NOT EXISTS (
-          SELECT 1 FROM e WHERE e.a = cw.x AND e.b = cw.y)
+          SELECT 1 FROM e2 WHERE e2.a = cw.x AND e2.b = cw.y)
     """,
 )
 def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _name_edges(spark, sf_dir)
-    sym = edges.select(
-        F.col("a").alias("u"), F.col("b").alias("p")
-    ).unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("p")))
-    s1 = sym.select(F.col("u").alias("x"), "p")
-    s2 = sym.select(F.col("u").alias("y"), "p")
-    # shuffle_hash: wedge output feeds unordered aggs/joins, the
-    # sort-merge sorts would be pure waste (same call as triangles).
-    cn = (
-        s1.join(s2.hint("shuffle_hash"), "p")
-        .filter(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count("*").cast("bigint").alias("n_common"))
-    )
-    nonadj = cn.join(
-        edges.hint("shuffle_hash"),
-        (cn.x == edges.a) & (cn.y == edges.b),
-        "left_anti",
-    )
-    deg = sym.groupBy("u").agg(F.count("*").cast("bigint").alias("deg"))
-    dx = deg.select(F.col("u").alias("x"), F.col("deg").alias("deg_x"))
-    dy = deg.select(F.col("u").alias("y"), F.col("deg").alias("deg_y"))
-    return (
-        nonadj.join(dx.hint("shuffle_hash"), "x")
-        .join(dy.hint("shuffle_hash"), "y")
-        .select(
-            F.col("x").alias("name_a"),
-            F.col("y").alias("name_b"),
-            "n_common",
-            F.expr(
-                "CAST(n_common AS DOUBLE) / (deg_x + deg_y - n_common)"
-            ).alias("jaccard"),
-        )
+    return jaccard_neighbors(
+        _name_edges(spark, sf_dir), max_degree=_JACCARD_MAX_DEGREE
     )
 
 

@@ -226,7 +226,11 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(acctbal > $50.00 * 100 cents): tp/fp/fn/tn as conditional "
         "BIGINT sums in ONE scan, then precision/recall/F1/accuracy as "
         "single divisions of exact integers (F1 via the 2tp/(2tp+fp+fn) "
-        "identity — one division, not a mean of two)."
+        "identity — one division, not a mean of two). Degenerate "
+        "denominators (a segment with zero predicted or zero actual "
+        "positives) are CASE-guarded to NULL on BOTH engines — Spark "
+        "yields NULL on x/0 but DuckDB's IEEE floats yield Inf/NaN, a "
+        "latent hash divergence without the guard (r7 advice)."
     ),
     oracle=_SCORED_SQL
     + """
@@ -243,9 +247,13 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM scored GROUP BY seg
         )
         SELECT seg AS c_mktsegment, tp, fp, fn, tn,
-               CAST(tp AS DOUBLE) / (tp + fp) AS precision,
-               CAST(tp AS DOUBLE) / (tp + fn) AS recall,
-               CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) AS f1,
+               CASE WHEN tp + fp > 0
+                    THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+               CASE WHEN tp + fn > 0
+                    THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+               CASE WHEN 2 * tp + fp + fn > 0
+                    THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn)
+                    END AS f1,
                CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS accuracy
         FROM s
     """,
@@ -271,9 +279,18 @@ def q_confusion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp",
         "fn",
         "tn",
-        F.expr("CAST(tp AS DOUBLE) / (tp + fp)").alias("precision"),
-        F.expr("CAST(tp AS DOUBLE) / (tp + fn)").alias("recall"),
-        F.expr("CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn)").alias("f1"),
+        F.expr(
+            "CASE WHEN tp + fp > 0"
+            " THEN CAST(tp AS DOUBLE) / (tp + fp) END"
+        ).alias("precision"),
+        F.expr(
+            "CASE WHEN tp + fn > 0"
+            " THEN CAST(tp AS DOUBLE) / (tp + fn) END"
+        ).alias("recall"),
+        F.expr(
+            "CASE WHEN 2 * tp + fp + fn > 0"
+            " THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END"
+        ).alias("f1"),
         F.expr("CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn)").alias(
             "accuracy"
         ),

@@ -240,11 +240,16 @@ def s_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_workers_can_import(spark)
     register_python_sources(spark)
+    ckpt = scratch_dir("pyds_ckpt")
     stream = (
         spark.readStream.format("graft_range")
         .option("n", 60_000)
         .option("step", 20_000)
         .option("partitions", 8)
+        # high-water-mark file beside the checkpoint: latestOffset can
+        # never regress across a restart, whatever call Spark makes
+        # first (see _RangeStreamReader docstring)
+        .option("cursor_path", f"{ckpt}/graft_range.cursor")
         .load()
     )
     agg = stream.groupBy("bucket").agg(
@@ -259,7 +264,7 @@ def s_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg.writeStream.outputMode("complete")
             .format("memory")
             .queryName(name)
-            .option("checkpointLocation", scratch_dir("pyds_ckpt"))
+            .option("checkpointLocation", ckpt)
             .start()
         )
     try:

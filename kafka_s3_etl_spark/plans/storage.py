@@ -404,8 +404,10 @@ def x_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # the v1/v2 source choice is made when the read resolves, so
         # both the read AND the forced optimization sit inside the
-        # pinned-conf window
-        df = spark.read.parquet(f"{sf_dir}/orders.parquet").agg(
+        # pinned-conf window; routed through the house loader so the
+        # footer-sniff/UTC/schema-pin canary contract covers this scan
+        # too (r7 advice — it was the only query-path direct read)
+        df = load_table(spark, sf_dir, "orders").agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.min("o_orderkey").alias("min_key"),
             F.max("o_orderkey").alias("max_key"),

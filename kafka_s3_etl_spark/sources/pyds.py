@@ -202,19 +202,52 @@ class _RangeStreamReader(DataSourceStreamReader):
     cursor below is only the driver-side ADVANCE state, and re-seats
     itself from the checkpointed offsets Spark hands back (see
     partitions) so a restart from an existing checkpoint resumes at the
-    committed position instead of replaying from 0."""
+    committed position instead of replaying from 0.
+
+    The partitions()/commit() re-seat alone does NOT cover one restart
+    ordering (r7 advice): after a CLEAN shutdown whose last batch was
+    fully committed, the restarted query's FIRST call can be
+    latestOffset() — nothing has handed the fresh reader the committed
+    position yet, so a memory-only cursor would emit an end offset
+    BEHIND the checkpointed start and the next forward batch would
+    replay already-written rows into append sinks. The ``cursor_path``
+    option closes that hole: when set, the high-water mark is persisted
+    (atomic tmp+rename) on every advance and re-read at construction,
+    so latestOffset() can never regress across restarts. The path must
+    be per-query (derive it from the checkpoint location, as
+    s_python_stream_source does) and on driver-durable storage; without
+    the option the reader keeps the weaker re-seat-only behavior and a
+    latestOffset-first restart replays at-least-once (never loses
+    rows — Spark still reads forward from the checkpointed start)."""
 
     def __init__(self, options: dict):
         self.n = int(options.get("n", 60_000))
         self.step = int(options.get("step", 20_000))
         self.num_parts = int(options.get("partitions", 8))
+        self._cursor_path = options.get("cursor_path")
         self._pos = 0
+        if self._cursor_path:
+            try:
+                with open(self._cursor_path) as fh:
+                    self._pos = int(fh.read().strip() or 0)
+            except (OSError, ValueError):
+                self._pos = 0  # absent/corrupt cursor = fresh start
+
+    def _advance_to(self, pos: int) -> None:
+        if pos <= self._pos:
+            return
+        self._pos = pos
+        if self._cursor_path:
+            tmp = f"{self._cursor_path}.tmp"
+            with open(tmp, "w") as fh:
+                fh.write(str(pos))
+            os.replace(tmp, self._cursor_path)
 
     def initialOffset(self) -> dict:
         return {"pos": 0}
 
     def latestOffset(self) -> dict:
-        self._pos = min(self._pos + self.step, self.n)
+        self._advance_to(min(self._pos + self.step, self.n))
         return {"pos": self._pos}
 
     def partitions(self, start: dict, end: dict):
@@ -224,7 +257,7 @@ class _RangeStreamReader(DataSourceStreamReader):
         # range here first — fold it into the cursor so the next
         # latestOffset() advances from the restored position, never
         # behind it (an end offset < start would be an invalid range).
-        self._pos = max(self._pos, e)
+        self._advance_to(e)
         bounds = [s + (e - s) * i // self.num_parts for i in range(self.num_parts + 1)]
         return [_Slice(a, b) for a, b in zip(bounds, bounds[1:]) if b > a]
 
@@ -244,7 +277,7 @@ class _RangeStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # Same re-seat as partitions(): an ack for offsets ahead of the
         # cursor means this is a restarted reader catching up.
-        self._pos = max(self._pos, int(end["pos"]))
+        self._advance_to(int(end["pos"]))
 
 
 @dataclass

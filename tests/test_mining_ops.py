@@ -474,3 +474,79 @@ def test_kcore_matches_sequential_peeling(spark):
             ).collect()
         }
         assert got == expected, f"k={k}"
+
+
+def test_jaccard_neighbors_capped_exact_on_induced_subgraph(spark):
+    """jaccard_neighbors max_degree semantics mirror triangle_counts:
+    generous cap == uncapped; tight cap == exact jaccard scores of the
+    subgraph induced by sub-cap nodes (degrees recomputed after the
+    hub drop). Brute-force reference over a seeded graph with a
+    planted hub."""
+    from kafka_s3_etl_spark.operators.graph import jaccard_neighbors
+
+    rng = random.Random(7)
+    n = 24
+    edges = {tuple(sorted(rng.sample(range(n), 2))) for _ in range(70)}
+    edges |= {(0, i) for i in range(1, n)}  # node 0 is a hub
+    df = spark.createDataFrame(sorted(edges), ["a", "b"])
+
+    def brute(sub_edges):
+        adj: dict[int, set] = {}
+        for a, b in sub_edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {}
+        for x, y in itertools.combinations(sorted(adj), 2):
+            if y in adj[x]:
+                continue
+            common = len(adj[x] & adj[y])
+            if common:
+                want[(x, y)] = (
+                    common,
+                    common / (len(adj[x]) + len(adj[y]) - common),
+                )
+        return want
+
+    uncapped = {
+        (r.name_a, r.name_b): (r.n_common, r.jaccard)
+        for r in jaccard_neighbors(df).collect()
+    }
+    assert uncapped == brute(edges)
+    generous = {
+        (r.name_a, r.name_b): (r.n_common, r.jaccard)
+        for r in jaccard_neighbors(df, max_degree=2 * n).collect()
+    }
+    assert generous == uncapped
+
+    cap = 6
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    keep = {v for v, d in deg.items() if d <= cap}
+    assert len(keep) < len(deg), "cap must actually drop a hub"
+    sub = {(a, b) for a, b in edges if a in keep and b in keep}
+    got = {
+        (r.name_a, r.name_b): (r.n_common, r.jaccard)
+        for r in jaccard_neighbors(df, max_degree=cap).collect()
+    }
+    assert got == brute(sub) and got
+
+
+def test_kcore_backstop_scales_with_peel_depth(spark):
+    """r7 advice: peeling depth is not bounded by a constant — a path
+    component peels one endpoint pair per round (~n/2 rounds for k=2),
+    so the old fixed max_iters=50 raised on a legitimate 110-node
+    chain. The default backstop now scales with the edge count
+    (depth <= m+1 always); an explicit too-small max_iters still
+    fails loudly rather than returning a shallow non-core."""
+    import pytest
+
+    from kafka_s3_etl_spark.operators.graph import kcore
+
+    chain = [(i, i + 1) for i in range(109)]  # 110 nodes, depth ~55
+    df = spark.createDataFrame(chain, ["a", "b"])
+    assert kcore(df, k=2).collect() == []  # a path has no 2-core
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(spark.createDataFrame(chain[:30], ["a", "b"]), k=2,
+              max_iters=3).collect()

@@ -337,3 +337,30 @@ def test_hll_union_of_partials_equals_direct_sketch(spark, sf_dir):
     assert row.n_days > 1  # the merge actually merged something
     assert row.merged_est == row.direct_est
     assert abs(row.direct_est - row.exact_users) <= 0.05 * row.exact_users
+
+
+def test_pyds_stream_reader_cursor_file_survives_latestoffset_first(
+    tmp_path,
+):
+    """r7 advice ordering: clean shutdown (fully committed), restart,
+    and the FIRST call on the fresh reader is latestOffset() — nothing
+    re-seats the memory cursor. The cursor_path high-water mark must
+    carry the position across the restart so latestOffset never
+    regresses; a corrupt/missing cursor file degrades to a fresh
+    start, never a crash."""
+    from kafka_s3_etl_spark.sources.pyds import _RangeStreamReader
+
+    cur = str(tmp_path / "c")
+    opts = {"n": "60000", "step": "20000", "cursor_path": cur}
+    r = _RangeStreamReader(opts)
+    assert r.latestOffset() == {"pos": 20_000}
+    r.commit({"pos": 20_000})
+    assert r.latestOffset() == {"pos": 40_000}
+    r.commit({"pos": 40_000})  # clean shutdown, all committed
+
+    r2 = _RangeStreamReader(opts)  # restart: latestOffset first
+    assert r2.latestOffset() == {"pos": 60_000}
+
+    (tmp_path / "c").write_text("not a number")
+    r3 = _RangeStreamReader(opts)
+    assert r3.latestOffset() == {"pos": 20_000}

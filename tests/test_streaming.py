@@ -412,3 +412,54 @@ def test_full_outer_stream_join_emits_both_null_sides(spark, sf_dir):
     assert counts.matched > 0
     # no sentinel leakage on either side
     assert out.filter((F.col("a_id") < 0) | (F.col("b_id") < 0)).count() == 0
+
+
+def test_pyds_stream_restart_from_checkpoint_no_dup_no_loss(spark):
+    """r7 advice: an ACTUAL restart of a graft_range streaming query —
+    not a simulated call order. Each run drains exactly one micro-batch
+    (trigger once) then shuts down cleanly with the batch fully
+    committed, so the next run's restarted reader sees the
+    latestOffset()-FIRST ordering the memory-only cursor could not
+    survive. With cursor_path set, the sink must end with every id in
+    [0, n) exactly once across the restarts."""
+    from kafka_s3_etl_spark.shiplib import ensure_workers_can_import
+    from kafka_s3_etl_spark.sources.pyds import register_python_sources
+    from kafka_s3_etl_spark.streaming.runner import (
+        _pinned_stream_partitions,
+    )
+
+    ensure_workers_can_import(spark)
+    register_python_sources(spark)
+    out = scratch_dir("pyds_restart_out")
+    ckpt = scratch_dir("pyds_restart_ckpt")
+    n, step = 6_000, 2_000
+
+    def run_once():
+        stream = (
+            spark.readStream.format("graft_range")
+            .option("n", n)
+            .option("step", step)
+            .option("partitions", 4)
+            .option("cursor_path", f"{ckpt}/graft_range.cursor")
+            .load()
+        )
+        with _pinned_stream_partitions(stream):
+            q = (
+                stream.select("id")
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(once=True)
+                .start()
+            )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    # 3 one-batch runs drain the 3-step log; a 4th run (no new input)
+    # must add nothing.
+    for _ in range(4):
+        run_once()
+    ids = [r.id for r in spark.read.parquet(out).collect()]
+    assert len(ids) == n, f"dup or lost rows: {len(ids)} != {n}"
+    assert sorted(ids) == list(range(n))
