@@ -5,7 +5,10 @@ the north-star pipeline (SURVEY section 5 engine strategy item 4)."""
 from __future__ import annotations
 
 import datetime
+import os
+import time
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from kafka_s3_etl_spark.streaming.jobs import session_counts
@@ -463,3 +466,196 @@ def test_pyds_stream_restart_from_checkpoint_no_dup_no_loss(spark):
     ids = [r.id for r in spark.read.parquet(out).collect()]
     assert len(ids) == n, f"dup or lost rows: {len(ids)} != {n}"
     assert sorted(ids) == list(range(n))
+
+
+def test_session_timeout_state_survives_restart(spark, sf_dir, tmp_path):
+    """r7 verdict #5: the sessionizer's OPEN-session state must survive
+    a clean stop/restart from the checkpoint. Run 1 delivers the real
+    events and stops — every user's last session exists only in the
+    state store. Run 2 restarts from the same checkpoint, delivers the
+    watermark-advancing sentinel, and the flushed session set must
+    equal the sequential-fold reference over ALL events — any state
+    lost in the restart would drop or corrupt exactly those open
+    sessions."""
+
+    from kafka_s3_etl_spark.sources.tables import load_table
+    from kafka_s3_etl_spark.streaming.runner import (
+        _pinned_stream_partitions,
+    )
+    from kafka_s3_etl_spark.streaming.stateful import gap_sessions
+
+    ev = load_table(spark, sf_dir, "events")
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    data_dir, sent_dir = str(tmp_path / "data"), str(tmp_path / "sent")
+    ev.coalesce(1).write.parquet(data_dir)
+    sentinel = ev.agg(
+        F.lit(-1).cast("bigint").alias("event_id"),
+        (F.max("ts") + F.expr("INTERVAL 3 HOURS")).alias("ts"),
+        F.lit(-1).cast("bigint").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).select(*ev.columns)
+    sentinel.coalesce(1).write.parquet(sent_dir)
+
+    import glob as _glob
+    import shutil as _shutil
+
+    def deliver(part_dir, name, mtime):
+        p = _glob.glob(f"{part_dir}/part-*.parquet")[0]
+        dest = str(src / name)
+        _shutil.copy(p, dest)
+        os.utime(dest, (mtime, mtime))
+
+    def start():
+        stream = spark.readStream.schema(ev.schema).parquet(str(src))
+        sessions = gap_sessions(stream)
+        with _pinned_stream_partitions(sessions):
+            return (
+                sessions.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+    now = time.time()
+    deliver(data_dir, "data.parquet", now - 100)
+    q = start()
+    q.processAllAvailable()
+    q.stop()  # open sessions now live ONLY in the checkpointed state
+
+    deliver(sent_dir, "sentinel.parquet", now)
+    q2 = start()
+    q2.processAllAvailable()
+    want = _sequential_sessions(ev)
+    try:
+        # timeouts fire in the no-data batch after the watermark jump
+        for _ in range(1200):
+            done = spark.read.parquet(out).filter("user_id >= 0").count()
+            if done == len(want):
+                break
+            time.sleep(0.05)
+    finally:
+        q2.stop()
+    got = {
+        (r.user_id, r.s_us, r.e_us, r.n_events)
+        for r in spark.read.parquet(out)
+        .filter("user_id >= 0")
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("s_us"),
+            F.unix_micros("session_end").alias("e_us"),
+            "n_events",
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def _sequential_sessions(ev, gap_us=600_000_000):
+    """Single-threaded 10-minute-gap session fold — the independent
+    reference both restart tests compare against."""
+    rows = (
+        ev.select("user_id", F.unix_micros("ts").alias("us"))
+        .orderBy("user_id", "us")
+        .collect()
+    )
+    want, cur = set(), None  # cur = [user, start, end, n]
+    for r in rows:
+        if cur is not None and (
+            r.user_id != cur[0] or r.us - cur[2] > gap_us
+        ):
+            want.add(tuple(cur))
+            cur = None
+        if cur is None:
+            cur = [r.user_id, r.us, r.us, 1]
+        else:
+            cur[2], cur[3] = r.us, cur[3] + 1
+    if cur is not None:
+        want.add(tuple(cur))
+    return want
+
+
+def test_stream_join_state_survives_restart(spark, sf_dir, tmp_path):
+    """r7 verdict #5: buffered stream-stream join state must survive a
+    stop/restart. The events are split in half by time; purchases from
+    the first half that match follow-ups from the second can only emit
+    in run 2 via state buffered during run 1 and restored from the
+    checkpoint. The final inner-join output must equal the batch join
+    over all events."""
+    from kafka_s3_etl_spark.sources.tables import load_table
+    from kafka_s3_etl_spark.streaming.outer_join import (
+        _purchase_followups,
+    )
+    from kafka_s3_etl_spark.streaming.runner import (
+        _pinned_stream_partitions,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    n_half = ev.count() // 2
+    ranked = ev.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.orderBy("ts", "event_id")
+        ),
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    h1, h2 = str(tmp_path / "h1"), str(tmp_path / "h2")
+    ranked.filter(F.col("_rn") <= n_half).drop("_rn").coalesce(1) \
+        .write.parquet(h1)
+    ranked.filter(F.col("_rn") > n_half).drop("_rn").coalesce(1) \
+        .write.parquet(h2)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    import glob as _glob
+    import shutil as _shutil
+
+    def deliver(part_dir, name, mtime):
+        p = _glob.glob(f"{part_dir}/part-*.parquet")[0]
+        dest = str(src / name)
+        _shutil.copy(p, dest)
+        os.utime(dest, (mtime, mtime))
+
+    def start():
+        stream = spark.readStream.schema(ev.schema).parquet(str(src))
+        joined = _purchase_followups(stream, stream, "inner").select(
+            "a_id", "b_id"
+        )
+        with _pinned_stream_partitions(joined):
+            return (
+                joined.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+    now = time.time()
+    deliver(h1, "h1.parquet", now - 100)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    n_run1 = spark.read.parquet(out).count()
+
+    deliver(h2, "h2.parquet", now)
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    want = {
+        (r.a_id, r.b_id)
+        for r in _purchase_followups(ev, ev, "inner")
+        .select("a_id", "b_id")
+        .collect()
+    }
+    got_rows = spark.read.parquet(out).collect()
+    got = {(r.a_id, r.b_id) for r in got_rows}
+    assert len(got_rows) == len(got), "restart duplicated join rows"
+    assert got == want
+    # the restart actually exercised buffered state: some matches must
+    # span the two deliveries
+    assert n_run1 < len(want), "split produced no cross-delivery matches"
