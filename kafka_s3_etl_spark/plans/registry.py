@@ -70,6 +70,13 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+# Capability-gated entries that could NOT register in this environment,
+# name -> human-readable reason (printed by the gate test, mirrored in
+# SURVEY section 2). An entry appears in exactly one of REGISTRY/GATED:
+# when the missing capability shows up, the registration self-enables
+# and the SURVEY totals tripwire prompts the docs update.
+GATED: dict[str, str] = {}
+
 
 def register(
     name: str,

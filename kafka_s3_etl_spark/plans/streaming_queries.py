@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_s3_etl_spark.plans.registry import register
+from kafka_s3_etl_spark.plans.registry import GATED, register
 from kafka_s3_etl_spark.plans.relational import FLAGSHIP_STATUS, FLAGSHIP_THRESHOLD
 from kafka_s3_etl_spark.streaming.jobs import (
     decode_orders_wire,
@@ -215,18 +215,9 @@ def s_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emitted.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
-@register(
-    "s_session_timeout",
-    category="streaming",
-    cost=3,
-    doc=(
-        "Timeout-driven stateful sessionizer (applyInPandasWithState + "
-        "EventTimeTimeout): sessions close exactly once when the "
-        "watermark passes their gap; a sentinel delivery flushes the "
-        "final sessions. Equals the batch gap-sessionizer minus the "
-        "session_id label."
-    ),
-    oracle="""
+# Shared by s_session_timeout and its transformWithStateInPandas
+# variant below: both sessionizers must emit the batch gap-session set.
+_SESSION_GAP_ORACLE = """
         WITH marked AS (
           SELECT user_id, ts,
                  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
@@ -247,7 +238,21 @@ def s_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                MIN(ts) AS session_start, MAX(ts) AS session_end,
                CAST(COUNT(*) AS BIGINT) AS n_events
         FROM numbered GROUP BY user_id, session_id
-    """,
+    """
+
+
+@register(
+    "s_session_timeout",
+    category="streaming",
+    cost=3,
+    doc=(
+        "Timeout-driven stateful sessionizer (applyInPandasWithState + "
+        "EventTimeTimeout): sessions close exactly once when the "
+        "watermark passes their gap; a sentinel delivery flushes the "
+        "final sessions. Equals the batch gap-sessionizer minus the "
+        "session_id label."
+    ),
+    oracle=_SESSION_GAP_ORACLE,
 )
 def s_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_s3_etl_spark.streaming.session_close import (
@@ -257,14 +262,59 @@ def s_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_timeout_demo(spark, sf_dir)
 
 
-# NOT registered: streaming/tws.py::gap_sessions_tws (the
-# transformWithStateInPandas variant of this sessionizer) is complete
-# and unit-tested, but the API's state-server protocol needs
-# google.protobuf, which this container lacks (and installs are
-# disallowed) — same environment-gated status as live Kafka/MinIO.
-# tests/test_tws_sessionizer.py::test_tws_sessionizer_live runs it
-# whenever protobuf appears; the processor's fold/timer logic is
-# covered offline against gap_sessions semantics via a mock handle.
+# Capability-gated registration (r7 verdict #6): streaming/tws.py::
+# gap_sessions_tws (the transformWithStateInPandas variant of this
+# sessionizer) is complete and unit-tested, but the API's state-server
+# protocol imports google.protobuf, which this container lacks (and
+# installs are disallowed) — same environment-gated status as live
+# Kafka/MinIO. The entry SELF-ENABLES the moment protobuf appears
+# (registry.GATED records the skip reason until then, and the SURVEY
+# totals tripwire will prompt the docs update when it flips);
+# tests/test_tws_sessionizer.py covers the fold/timer logic offline
+# against gap_sessions semantics via a mock handle either way.
+try:
+    import google.protobuf  # noqa: F401
+
+    _TWS_SKIP = None
+except ImportError:
+    _TWS_SKIP = (
+        "google.protobuf absent — transformWithStateInPandas's "
+        "state-server protocol cannot import (installs disallowed); "
+        "self-enables when the container gains protobuf"
+    )
+
+if _TWS_SKIP is None:
+
+    @register(
+        "s_session_timeout_tws",
+        category="streaming",
+        cost=3,
+        doc=(
+            "The same timeout-driven gap sessionizer on the Spark 4 "
+            "transformWithStateInPandas API (named ValueState, "
+            "explicit event-time timers, RocksDB state store) — must "
+            "emit the exact session set s_session_timeout does."
+        ),
+        oracle=_SESSION_GAP_ORACLE,
+    )
+    def s_session_timeout_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from kafka_s3_etl_spark.streaming.session_close import (
+            session_timeout_demo,
+        )
+        from kafka_s3_etl_spark.streaming.tws import (
+            gap_sessions_tws,
+            pinned_rocksdb_state_store,
+        )
+
+        return session_timeout_demo(
+            spark,
+            sf_dir,
+            sessionizer=gap_sessions_tws,
+            conf_ctx=pinned_rocksdb_state_store,
+        )
+
+else:
+    GATED["s_session_timeout_tws"] = _TWS_SKIP
 
 
 @register(

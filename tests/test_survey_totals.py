@@ -46,3 +46,28 @@ def test_driver_sweep_prefix_is_stable():
     want = list(json.load(open(path)).keys())
     got = list(all_queries().keys())[: len(want)]
     assert got == want, "driver sweep prefix drifted — check _PLAN_MODULES order"
+
+
+def test_capability_gated_entries_are_exclusive():
+    """Every capability-gated entry lives in exactly ONE of
+    REGISTRY/GATED (r7 verdict #6: the registration logic itself is
+    exercised in both environments; when the capability appears the
+    entry self-enables and the totals tripwire above prompts the docs
+    update). Prints each skip reason so a test run shows WHY an entry
+    is absent."""
+    from kafka_s3_etl_spark.plans.registry import GATED
+
+    qs = all_queries()
+    for name, reason in GATED.items():
+        assert name not in qs, f"{name} both registered and gated"
+        print(f"GATED {name}: {reason}")
+    try:
+        import google.protobuf  # noqa: F401
+
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
+    if have_protobuf:
+        assert "s_session_timeout_tws" in qs
+    else:
+        assert "s_session_timeout_tws" in GATED
