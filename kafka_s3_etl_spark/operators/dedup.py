@@ -511,3 +511,83 @@ def ngram_jaccard_consecutive(documents: DataFrame, n: int = SHINGLE_N) -> DataF
             ).alias("jaccard"),
         )
     )
+
+
+def decontaminate_bloom(
+    documents: DataFrame,
+    n: int = 8,
+    holdout_mod: int = 10,
+    m_bits: int = 1 << 22,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """``decontaminate`` with a Bloom-filter prefilter — the 100 TB
+    decontamination pattern (r7 verdict #7): the training split's
+    shingle set is summarized into an ``m_bits``-bit Bloom filter, the
+    (small) eval split probes the filter to drop shingles that
+    PROVABLY don't occur in training, and only the surviving
+    candidates pay the exact semi-join. Blooms have no false
+    negatives, so the output is IDENTICAL to ``decontaminate`` (same
+    oracle); false positives only waste verify work (~(1-e^{-kn/m})^k).
+
+    Spark-first build — Spark's bloom_filter_agg/might_contain are
+    Catalyst-internal (not SQL-registered), so the filter is a
+    BITMAP TABLE of ``m_bits/64`` (word, bits) rows built with one
+    map-side-combined bit_or aggregation (shuffle bounded by the
+    bitmap size per task, never the shingle count) and shipped as a
+    broadcast join — the same tiny-constant-table discipline as the
+    LSH sign table. Probe positions hash JVM-side (explode k seeds,
+    one xxhash64 per row — never inside a HOF lambda); a shingle is a
+    candidate iff ALL k probed bits are set. Two corpus passes total
+    (bitmap build + exact verify), the same two-pass discipline as
+    ``operators/sketch.py::heavy_hitters``.
+    """
+    hashed = shingle_hashes(documents, n)
+    train = hashed.filter(F.col("doc_id") % holdout_mod != 0).select("h")
+    ev = (
+        hashed.filter(F.col("doc_id") % holdout_mod == 0)
+        .select("doc_id", "h")
+        .distinct()
+    )
+    n_words = m_bits // 64
+    bitmap = (
+        train.select(F.explode(F.expr(f"sequence(0, {k_hashes - 1})")).alias("i"), "h")
+        .select(F.expr(f"pmod(xxhash64(h, i), {m_bits})").alias("pos"))
+        .select(
+            F.expr("pos DIV 64").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    assert n_words * 64 == m_bits, "m_bits must be a multiple of 64"
+    candidates = (
+        ev.select("doc_id", "h", F.explode(F.expr(f"sequence(0, {k_hashes - 1})")).alias("i"))
+        .select("doc_id", "h", F.expr(f"pmod(xxhash64(h, i), {m_bits})").alias("pos"))
+        .select(
+            "doc_id",
+            "h",
+            F.expr("pos DIV 64").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        # inner join: a missing bitmap word means zero bits set there —
+        # the filter below would drop the row anyway
+        .join(F.broadcast(bitmap), "word")
+        .filter(F.expr("(bits & mask) = mask"))
+        .groupBy("doc_id", "h")
+        .agg(F.count("*").alias("n_hit"))
+        .filter(F.col("n_hit") == k_hashes)  # all k bits set
+        .select("doc_id", "h")
+    )
+    flagged = (
+        candidates.join(train, "h", "left_semi")  # exact verify
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    eval_docs = documents.filter(
+        F.col("doc_id") % holdout_mod == 0
+    ).select("doc_id")
+    return eval_docs.join(flagged, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+    )

@@ -150,3 +150,74 @@ def skyline_2d(df: DataFrame, x: str, y: str, *keep: str) -> DataFrame:
         (df[x] == frontier[x]) & (df[y] == frontier["_sky_y"]),
         "left_semi",
     ).select(x, y, *keep)
+
+
+def countmin_sketch(
+    items: DataFrame, col: str, depth: int = 4, width: int = 8192
+) -> DataFrame:
+    """Count-Min sketch of a column's frequency vector as a DataFrame
+    of ``(r, pos, c)`` counter cells — the ONE-PASS bounded-state
+    regime Misra-Gries' two-pass exact pattern can't serve (r7 verdict
+    #7): one corpus pass, per-task state bounded by depth*width
+    counters via the map-side combine, and the result is a mergeable
+    summary (counters are sums, so sketches of shards union-combine by
+    addition into exactly the single-pass global sketch).
+
+    Each row increments ``depth`` counters at
+    ``pmod(xxhash64(item, r), width)`` for r in [0, depth). Estimates
+    read ``min`` over the item's depth cells — always >= the true
+    count (counters only ever add), within eps*n (eps = e/width) with
+    probability 1 - e^-depth. All JVM expressions: the explode feeds a
+    hash aggregate whose partial rows are bounded by the sketch size,
+    independent of the item domain."""
+    return (
+        items.select(
+            F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("r"),
+            F.col(col),
+        )
+        .select("r", F.expr(f"pmod(xxhash64({col}, r), {width})").alias("pos"))
+        .groupBy("r", "pos")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+def countmin_topk(
+    items: DataFrame,
+    col: str,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 8192,
+) -> DataFrame:
+    """Approximate top-k items by Count-Min estimated count (the
+    sketch+heap one-pass pattern): build ``countmin_sketch`` over the
+    corpus, probe it with the distinct-item dimension via a broadcast
+    join (the sketch is depth*width rows — tiny and constant), take
+    ``min`` over each item's depth cells, and keep the k largest
+    estimates under the (est DESC, item) total order (deterministic
+    tie-break; TakeOrdered, never a global sort).
+
+    Returns (item-col, est_count). est_count >= the item's true count
+    always; the top-k set can differ from the exact top-k only where
+    true counts are within the sketch's eps*n error band —
+    property-tested in tests/test_sketch_ops.py. Rows-only by design
+    (estimates are sketch-valued); the EXACT alternative is
+    ``heavy_hitters``."""
+    cm = countmin_sketch(items, col, depth=depth, width=width)
+    return (
+        items.select(col)
+        .distinct()
+        .select(
+            F.col(col),
+            F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("r"),
+        )
+        .select(
+            col, "r", F.expr(f"pmod(xxhash64({col}, r), {width})").alias("pos")
+        )
+        # inner join is total: every existing item incremented its own
+        # depth cells, so all its (r, pos) rows exist in the sketch
+        .join(F.broadcast(cm), ["r", "pos"])
+        .groupBy(col)
+        .agg(F.min("c").alias("est_count"))
+        .orderBy(F.col("est_count").desc(), F.col(col))
+        .limit(k)
+    )

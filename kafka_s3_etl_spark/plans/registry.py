@@ -55,6 +55,7 @@ _PLAN_MODULES = [
     "kafka_s3_etl_spark.plans.graphops",
     "kafka_s3_etl_spark.plans.corpus",
     "kafka_s3_etl_spark.plans.layout",
+    "kafka_s3_etl_spark.plans.bounded",
 ]
 
 

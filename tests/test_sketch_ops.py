@@ -364,3 +364,88 @@ def test_pyds_stream_reader_cursor_file_survives_latestoffset_first(
     (tmp_path / "c").write_text("not a number")
     r3 = _RangeStreamReader(opts)
     assert r3.latestOffset() == {"pos": 20_000}
+
+
+def test_countmin_overestimates_and_merges(spark):
+    """Count-Min contracts: (1) est >= true count for EVERY item
+    (counters only add); (2) sketches of shards union-merge by
+    addition into exactly the single-pass global sketch; (3) on a
+    skewed domain the estimated top-k contains the true heavy items
+    whose counts clear the eps*n error band."""
+    import random as _random
+
+    from kafka_s3_etl_spark.operators.sketch import (
+        countmin_sketch,
+        countmin_topk,
+    )
+
+    rng = _random.Random(11)
+    # zipf-ish: token_i has weight ~ 1/(i+1)
+    vals = [f"tok{i}" for i in range(200) for _ in range(200 // (i + 1))]
+    rng.shuffle(vals)
+    df = spark.createDataFrame([(v,) for v in vals], ["token"])
+    true = {}
+    for v in vals:
+        true[v] = true.get(v, 0) + 1
+
+    depth, width = 4, 512
+    est = {
+        r.token: r.est_count
+        for r in countmin_topk(
+            df, "token", k=len(true), depth=depth, width=width
+        ).collect()
+    }
+    assert set(est) == set(true)
+    assert all(est[t] >= c for t, c in true.items())
+    # heavy items separated by more than the rated error band must rank
+    # into the estimated top-k
+    import math
+
+    eps_n = math.e / width * len(vals)
+    top5 = sorted(true, key=lambda t: (-true[t], t))[:5]
+    est_top = sorted(est, key=lambda t: (-est[t], t))
+    for t in top5:
+        if true[t] > true[est_top[19]] + eps_n:
+            assert t in est_top[:20]
+
+    # mergeability: per-half sketches summed == global sketch
+    mid = len(vals) // 2
+    half1 = spark.createDataFrame([(v,) for v in vals[:mid]], ["token"])
+    half2 = spark.createDataFrame([(v,) for v in vals[mid:]], ["token"])
+    full = {
+        (r.r, r.pos): r.c
+        for r in countmin_sketch(df, "token", depth, width).collect()
+    }
+    merged: dict = {}
+    for half in (half1, half2):
+        for r in countmin_sketch(half, "token", depth, width).collect():
+            merged[(r.r, r.pos)] = merged.get((r.r, r.pos), 0) + r.c
+    assert merged == full
+
+
+def test_decontaminate_bloom_equals_exact(spark, sf_dir):
+    """The bloom prefilter has no false negatives and the survivors are
+    exact-verified, so the flagged set must equal decontaminate's —
+    including with a tiny bitmap where false positives are common
+    (they only waste verify work, never change the answer)."""
+    from kafka_s3_etl_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+    from kafka_s3_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    want = {
+        (r.doc_id, r.contaminated) for r in decontaminate(docs).collect()
+    }
+    got = {
+        (r.doc_id, r.contaminated)
+        for r in decontaminate_bloom(docs).collect()
+    }
+    assert got == want
+    # tiny bitmap -> high fp rate; result must be unchanged
+    tiny = {
+        (r.doc_id, r.contaminated)
+        for r in decontaminate_bloom(docs, m_bits=1 << 10, k_hashes=2).collect()
+    }
+    assert tiny == want
