@@ -188,6 +188,30 @@ HEADLINE = [
     "s_enrich_static",
     "s_chained_windows",
     "s_cdc_upsert",
+    # round-8 additions: the post-batch-7 entries the r7 verdict flagged
+    # as bench-uncovered, plus batch 9
+    "q_gini",
+    "q_pareto_cutoff",
+    "q_herfindahl",
+    "q_ks_test",
+    "q_auc",
+    "q_decile_lift",
+    "q_confusion_prf",
+    "q_autocorr",
+    "q_cusum",
+    "q_hourly_seasonality",
+    "q_degree_distribution",
+    "q_jaccard_neighbors",
+    "q_kcore",
+    "q_source_overlap",
+    "q_phrase_density",
+    "x_sorted_layout",
+    "x_nested_pruning",
+    "s_stream_union",
+    "q_decontaminate_bloom",
+    "q_approx_topk",
+    "q_percentile_disc",
+    "q_median_exact",
 ]
 
 

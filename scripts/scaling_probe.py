@@ -134,6 +134,32 @@ PROBE_QUERIES = [
     "q_sketch_mergeability",
     "q_weighted_sample",
     "q_contamination_rate",
+    # round-8 additions: the post-batch-7 entries the r7 verdict flagged
+    # as probe-uncovered (graph trio rides the scaled customer linkage
+    # graph, corpus pair the twinned documents, stats/mleval/tsdiag the
+    # scaled orders/customer/events facts) plus batch 9
+    "q_degree_distribution",
+    "q_jaccard_neighbors",
+    "q_kcore",
+    "q_source_overlap",
+    "q_phrase_density",
+    "q_gini",
+    "q_pareto_cutoff",
+    "q_herfindahl",
+    "q_ks_test",
+    "q_auc",
+    "q_decile_lift",
+    "q_confusion_prf",
+    "q_autocorr",
+    "q_cusum",
+    "q_hourly_seasonality",
+    "x_sorted_layout",
+    "x_nested_pruning",
+    "s_stream_union",
+    "q_decontaminate_bloom",
+    "q_approx_topk",
+    "q_percentile_disc",
+    "q_median_exact",
 ]
 
 
