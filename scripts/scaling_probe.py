@@ -160,6 +160,13 @@ PROBE_QUERIES = [
     "q_approx_topk",
     "q_percentile_disc",
     "q_median_exact",
+    # round-8 batch 10
+    "q_benford_law",
+    "q_weighted_percentile",
+    "q_assoc_rules",
+    "q_skew_diagnostic",
+    "q_ds_exists_matrix",
+    "q_simjoin_prefix",
 ]
 
 

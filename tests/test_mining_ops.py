@@ -550,3 +550,44 @@ def test_kcore_backstop_scales_with_peel_depth(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         kcore(spark.createDataFrame(chain[:30], ["a", "b"]), k=2,
               max_iters=3).collect()
+
+
+def test_set_similarity_join_complete_vs_brute_force(spark):
+    """Prefix-filtering completeness: every pair with word-set Jaccard
+    >= t must be returned, at several thresholds, on random texts with
+    planted near-duplicates (the theorem's edge cases are docs whose
+    prefix is a single token and exact twins)."""
+    from kafka_s3_etl_spark.operators.dedup import set_similarity_join
+
+    rng = random.Random(21)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = []
+    for i in range(40):
+        n = rng.randint(3, 20)
+        docs.append((i, " ".join(rng.sample(vocab, n))))
+    # planted: exact twin and one-token-off near-dup
+    docs.append((100, docs[0][1]))
+    docs.append((101, docs[1][1] + " extra_token"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    sets = {d: frozenset(t.split(" ")) for d, t in docs}
+    for t in (0.5, 0.8, 1.0):
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            # integer cross-multiply, same rounding as the operator
+            if inter and 1000 * inter >= int(round(t * 1000)) * union:
+                want[(a, b)] = (len(sets[a]), len(sets[b]), inter)
+        got = {
+            (r.doc_a, r.doc_b): (r.n_a, r.n_b, r.n_common)
+            for r in set_similarity_join(df, threshold=t).collect()
+        }
+        assert got == want, f"t={t}"
+    assert (0, 100) in {
+        (a, b)
+        for (a, b) in (
+            (r.doc_a, r.doc_b)
+            for r in set_similarity_join(df, threshold=1.0).collect()
+        )
+    }
