@@ -223,6 +223,11 @@ HEADLINE = [
     "q_doc_keyterms",
     "q_trend_decompose",
     "q_outlier_iqr",
+    # round-8 batch 12
+    "q_cuped",
+    "q_histogram_log_bins",
+    "q_survival_curve",
+    "q_cohort_ltv",
 ]
 
 

@@ -58,6 +58,7 @@ _PLAN_MODULES = [
     "kafka_s3_etl_spark.plans.bounded",
     "kafka_s3_etl_spark.plans.diagnostics",
     "kafka_s3_etl_spark.plans.signals",
+    "kafka_s3_etl_spark.plans.experiments",
 ]
 
 

@@ -172,6 +172,11 @@ PROBE_QUERIES = [
     "q_doc_keyterms",
     "q_trend_decompose",
     "q_outlier_iqr",
+    # round-8 batch 12
+    "q_cuped",
+    "q_histogram_log_bins",
+    "q_survival_curve",
+    "q_cohort_ltv",
 ]
 
 
