@@ -836,3 +836,59 @@ def test_contamination_rate_joins_on_hashes(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "xxhash64(shingle" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_decontaminate_broadcasts_bitmap(spark, sf_dir):
+    """q_decontaminate_bloom: the (word, bits) bitmap is built by a
+    bit_or aggregation and shipped as a BROADCAST join (the whole
+    point — eval shingles die against the broadcast before any big
+    shuffle), and the exact verify semi-join survives downstream."""
+    plan = plan_of(spark, sf_dir, "q_decontaminate_bloom")
+    assert "bit_or" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simjoin_prefix_plan_shape(spark, sf_dir):
+    """q_simjoin_prefix: the prefix wedge and verify joins are hinted
+    shuffled-hash equi joins — never a nested loop over the pair
+    space, and the sort-merge sorts the unordered output would waste
+    are absent."""
+    plan = plan_of(spark, sf_dir, "q_simjoin_prefix")
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_codebook_and_lut_broadcast(spark, sf_dir):
+    """q_sim_pq: the codebook (encode) and ADC LUT (scan) both ride
+    broadcast joins — the corpus is never shuffled to meet them — and
+    nothing falls back to row-at-a-time Python."""
+    plan = plan_of(spark, sf_dir, "q_sim_pq")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_jaccard_cap_is_broadcast_anti_join(spark, sf_dir, monkeypatch):
+    """q_jaccard_neighbors: the max_degree hub exclusion must be a
+    BROADCAST anti join (the hub set is <= 2m/cap nodes by
+    construction) in front of the wedge join. localCheckpoint (which
+    cuts the lineage before explain sees the exclusion) is stubbed to
+    identity — the PLAN is under test, not materialization."""
+    concrete = type(spark.range(1))
+    monkeypatch.setattr(
+        concrete, "localCheckpoint", lambda self, *a, **k: self
+    )
+    plan = plan_of(spark, sf_dir, "q_jaccard_neighbors")
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "ShuffledHashJoin" in plan  # wedge + adjacency keep hints
+
+
+def test_countmin_topk_broadcasts_sketch(spark, sf_dir):
+    """q_approx_topk: the depth*width counter table is broadcast to
+    the distinct-token probe, and the top-k is TakeOrdered — never a
+    global sort of the estimates."""
+    plan = plan_of(spark, sf_dir, "q_approx_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
