@@ -228,6 +228,13 @@ HEADLINE = [
     "q_histogram_log_bins",
     "q_survival_curve",
     "q_cohort_ltv",
+    # round-8 batch 13
+    "q_fk_orphans",
+    "q_corr_matrix",
+    "q_changepoint",
+    "q_rfm_scores",
+    "q_kfold_assign",
+    "q_label_propagation",
 ]
 
 

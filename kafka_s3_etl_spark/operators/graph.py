@@ -413,3 +413,74 @@ def kcore(
     raise RuntimeError(
         f"kcore did not converge within {max_iters} peeling rounds"
     )
+
+
+def label_propagation(
+    pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007), made DETERMINISTIC: every node simultaneously adopts
+    the most frequent label in N(v) + {v} (the self-vote damps
+    oscillation), ties broken by the SMALLEST label — a total order, so
+    the result is a pure function of the graph, independent of
+    partitioning or schedule. The classic async formulation visits
+    nodes in random order; that irreproducibility is exactly what a
+    cross-engine/correctness-gated pipeline cannot have.
+
+    ``pairs`` is (a, b) undirected in any orientation. Returns
+    (node, community) with community = the converged label (a member's
+    node id). Iterates to the fixpoint (no label changed) with
+    ``max_iters`` as a wall-clock bound: synchronous mode-updates can
+    2-cycle on symmetric graphs, so unlike ``kcore`` hitting the cap is
+    NOT a logic bug — the cap is the documented cycle-breaker and the
+    current labeling (still deterministic) is returned.
+
+    Spark-first iterative shape (Pregel-lite, same discipline as
+    ``pagerank``/``kcore``): per round one join (edges x labels, both
+    partitioned on node id) + two map-side-combinable aggregations
+    (vote count, then per-node arg-min-of-(-count, label) via the
+    min(struct) house pattern); ``localCheckpoint`` cuts lineage. A
+    100 TB edge list runs each round at the cost of one hash join +
+    two hash aggs; rounds are typically << 10 on real graphs.
+    """
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        votes = edges.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "lbl")
+        # Self-vote: a node's own current label counts once.
+        votes = votes.unionByName(labels.select("node", "lbl"))
+        counted = votes.groupBy("node", "lbl").agg(
+            F.count("*").alias("n")
+        )
+        nxt = (
+            counted.groupBy("node")
+            .agg(F.min(F.struct((-F.col("n")).alias("neg"), "lbl")).alias("s"))
+            .select("node", F.col("s.lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+        )
+        labels = nxt
+        if changed.isEmpty():
+            break
+    return labels.select("node", F.col("lbl").alias("community"))

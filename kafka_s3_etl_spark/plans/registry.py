@@ -59,6 +59,7 @@ _PLAN_MODULES = [
     "kafka_s3_etl_spark.plans.diagnostics",
     "kafka_s3_etl_spark.plans.signals",
     "kafka_s3_etl_spark.plans.experiments",
+    "kafka_s3_etl_spark.plans.integrity",
 ]
 
 

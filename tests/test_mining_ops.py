@@ -591,3 +591,70 @@ def test_set_similarity_join_complete_vs_brute_force(spark):
             for r in set_similarity_join(df, threshold=1.0).collect()
         )
     }
+
+
+def _lpa_reference(edges, max_iters=20):
+    """Sequential mirror of operators/graph.py::label_propagation's
+    exact rule: SYNCHRONOUS update to the most frequent label among
+    neighbors + self, min-label tie-break, stop at fixpoint or
+    max_iters."""
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(max_iters):
+        new = {}
+        for n in adj:
+            votes: dict[int, int] = {labels[n]: 1}
+            for nb in adj[n]:
+                votes[labels[nb]] = votes.get(labels[nb], 0) + 1
+            new[n] = min(votes, key=lambda l: (-votes[l], l))
+        if new == labels:
+            break
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_sequential_reference(spark):
+    """Distributed synchronous LPA == the sequential same-rule
+    implementation (determinism is the operator's contract: the
+    min-label tie-break makes each round a pure function of the
+    previous labeling). Seeded random graph of two planted dense
+    clusters + a bridge, with a dirty edge list (duplicates, reversed
+    orientations, self-loops)."""
+    from kafka_s3_etl_spark.operators.graph import label_propagation
+
+    rng = random.Random(11)
+    cluster_a = list(range(0, 12))
+    cluster_b = list(range(20, 34))
+    edges = set()
+    for cl in (cluster_a, cluster_b):
+        for _ in range(4 * len(cl)):
+            edges.add(tuple(sorted(rng.sample(cl, 2))))
+    edges.add((11, 20))  # one bridge
+    edges |= {tuple(sorted(rng.sample(range(34), 2))) for _ in range(8)}
+
+    expected = _lpa_reference(edges)
+    rows = [(a, b) for a, b in edges]
+    rows += [(b, a) for a, b in list(edges)[:15]]  # reversed dups
+    rows += [(5, 5), (21, 21)]  # self-loops
+    got = {
+        r.node: r.community
+        for r in label_propagation(
+            spark.createDataFrame(rows, ["a", "b"])
+        ).collect()
+    }
+    assert got == expected
+    # Sanity: the planted clusters resolve to few communities and the
+    # labeling is idempotent across a re-run (pure function of graph).
+    assert len(set(got.values())) <= 6
+    again = {
+        r.node: r.community
+        for r in label_propagation(
+            spark.createDataFrame(rows, ["a", "b"])
+        ).collect()
+    }
+    assert again == got

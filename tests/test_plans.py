@@ -892,3 +892,32 @@ def test_countmin_topk_broadcasts_sketch(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_approx_topk")
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_fk_orphans_broadcasts_dimension_parents(spark, sf_dir):
+    """q_fk_orphans: six of the seven FK parents are dimensions and
+    must broadcast; the fact-sized parent (orders) must NOT force a
+    broadcast of a fact table. Child keys roll up (HashAggregate)
+    before any join, and the scan never feeds a row-level join."""
+    plan = plan_of(spark, sf_dir, "q_fk_orphans")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_rfm_windows_are_segment_partitioned(spark, sf_dir):
+    """q_rfm_scores: every NTILE window partitions by market segment —
+    no global (empty-partition-spec) window sort of the customer
+    rollup survives into the plan."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "q_rfm_scores")
+    assert "ntile(4)" in plan
+    # A window with an empty partition spec prints as
+    # "windowspecdefinition(<order>..." with no partition columns
+    # before the first ORDER-BY column; every spec here must lead
+    # with the c_mktsegment partition column.
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the plan"
+    for spec in specs:
+        assert spec.lstrip().startswith("c_mktsegment"), spec
