@@ -412,10 +412,19 @@ def _regressions(
     if prev is None:
         return {}, {}
     label, old = prev
+    # now > 1.0s: a query that still finishes under a second cannot be
+    # a meaningful regression at sf0.1 — measured: back-to-back idle
+    # runs flap different sub-second entries past 1.5x (0.47->0.82,
+    # 0.60->0.94) from codegen/GC jitter alone, and each flap vanished
+    # on the next run. Real regressions on fast queries surface once
+    # they cost real time.
     flagged = {
         name: {"prev": old[name], "now": now, "vs": label}
         for name, now in timings.items()
-        if name in old and now > 1.5 * old[name] and now - old[name] > 0.3
+        if name in old
+        and now > 1.5 * old[name]
+        and now - old[name] > 0.3
+        and now > 1.0
     }
     explained = {
         name: {**rec, "why": KNOWN_SLOWER[name]}

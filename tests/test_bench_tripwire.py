@@ -30,7 +30,8 @@ def test_regressions_flags_only_real_slowdowns():
     doubled = {k: v * 2 for k, v in sample.items()}
     flagged, explained = bench._regressions(doubled)
     both = {**flagged, **explained}
-    expect = {k for k, v in sample.items() if v > 0.3}  # 2x & >0.3s abs
+    # 2x & >0.3s abs & lands above the 1.0s sub-second noise floor
+    expect = {k for k, v in sample.items() if v > 0.3 and 2 * v > 1.0}
     assert set(both) == expect
     for k, rec in both.items():
         assert rec["prev"] == sample[k] and rec["now"] == doubled[k]
