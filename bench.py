@@ -235,6 +235,12 @@ HEADLINE = [
     "q_rfm_scores",
     "q_kfold_assign",
     "q_label_propagation",
+    # round-8 batch 14
+    "q_diff_in_diff",
+    "q_bootstrap_ci",
+    "q_percentile_cont",
+    "q_incremental_agg_merge",
+    "q_markov_stationary",
 ]
 
 

@@ -60,6 +60,7 @@ _PLAN_MODULES = [
     "kafka_s3_etl_spark.plans.signals",
     "kafka_s3_etl_spark.plans.experiments",
     "kafka_s3_etl_spark.plans.integrity",
+    "kafka_s3_etl_spark.plans.inference",
 ]
 
 

@@ -177,6 +177,21 @@ PROBE_QUERIES = [
     "q_histogram_log_bins",
     "q_survival_curve",
     "q_cohort_ltv",
+    # round-8 batch 13 (fk audit rides the scaled orders/lineitem
+    # facts; LPA the regenerated-name linkage graph)
+    "q_fk_orphans",
+    "q_corr_matrix",
+    "q_changepoint",
+    "q_rfm_scores",
+    "q_kfold_assign",
+    "q_label_propagation",
+    # round-8 batch 14 (bootstrap explodes the scaled orders fact x100;
+    # markov rides the scaled per-user event timelines)
+    "q_diff_in_diff",
+    "q_bootstrap_ci",
+    "q_percentile_cont",
+    "q_incremental_agg_merge",
+    "q_markov_stationary",
 ]
 
 

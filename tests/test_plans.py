@@ -921,3 +921,46 @@ def test_rfm_windows_are_segment_partitioned(spark, sf_dir):
     assert specs, "expected window specs in the plan"
     for spec in specs:
         assert spec.lstrip().startswith("c_mktsegment"), spec
+
+
+def test_bootstrap_ci_is_one_replicated_scan(spark, sf_dir):
+    """q_bootstrap_ci: the Poisson bootstrap must NOT plan B
+    resampling passes — the replicate axis comes from one Generate
+    (explode) over a single orders scan, the per-replicate sums keep
+    their map-side partial phase, and the weight CASE stays JVM."""
+    plan = plan_of(spark, sf_dir, "q_bootstrap_ci")
+    assert plan.count("Generate") >= 1
+    # reps scan + point-estimate scan; never one per replicate.
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert "partial_sum" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_incremental_merge_scans_facts_once(spark, sf_dir):
+    """q_incremental_agg_merge: the daily->monthly merge is two
+    stacked HashAggregates over ONE events scan (the partials are the
+    only input to the merge step, exactly the nightly-rollup shape)."""
+    plan = plan_of(spark, sf_dir, "q_incremental_agg_merge")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert plan.count("HashAggregate") >= 4  # partial+final, twice
+    assert "BatchEvalPython" not in plan
+
+
+def test_diff_in_diff_single_scan_two_level_agg(spark, sf_dir):
+    """q_diff_in_diff: one events scan feeds the per-user rollup; the
+    four cohort-period cells collapse in a second (global) aggregate —
+    no self-join of pre vs post periods."""
+    plan = plan_of(spark, sf_dir, "q_diff_in_diff")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+    assert "partial_sum" in plan
+
+
+def test_percentile_cont_windows_stay_partitioned(spark, sf_dir):
+    """q_percentile_cont: every window spec partitions by priority —
+    no global-sort (empty partition spec) window survives."""
+    plan = plan_of(spark, sf_dir, "q_percentile_cont")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the plan"
+    for spec in specs:
+        assert spec.lstrip().startswith("o_orderpriority"), spec
