@@ -241,6 +241,11 @@ HEADLINE = [
     "q_percentile_cont",
     "q_incremental_agg_merge",
     "q_markov_stationary",
+    # round-8 batch 15
+    "q_chi_square",
+    "q_permutation_test",
+    "q_calibration_bins",
+    "q_gap_fill_interpolate",
 ]
 
 

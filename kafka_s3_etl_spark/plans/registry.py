@@ -61,6 +61,7 @@ _PLAN_MODULES = [
     "kafka_s3_etl_spark.plans.experiments",
     "kafka_s3_etl_spark.plans.integrity",
     "kafka_s3_etl_spark.plans.inference",
+    "kafka_s3_etl_spark.plans.hypothesis",
 ]
 
 

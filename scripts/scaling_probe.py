@@ -192,6 +192,12 @@ PROBE_QUERIES = [
     "q_percentile_cont",
     "q_incremental_agg_merge",
     "q_markov_stationary",
+    # round-8 batch 15 (permutation explodes the scaled user rollup
+    # x200; gap-fill rides the scaled per-user daily grids)
+    "q_chi_square",
+    "q_permutation_test",
+    "q_calibration_bins",
+    "q_gap_fill_interpolate",
 ]
 
 

@@ -964,3 +964,32 @@ def test_percentile_cont_windows_stay_partitioned(spark, sf_dir):
     assert specs, "expected window specs in the plan"
     for spec in specs:
         assert spec.lstrip().startswith("o_orderpriority"), spec
+
+
+def test_permutation_test_is_one_rollup_explode(spark, sf_dir):
+    """q_permutation_test: all B replicates come from one explode of
+    the per-user rollup (one events scan feeds both the replicate path
+    and the observed statistic), the observed side joins as a 1-row
+    broadcast, and the md5 pseudo-cohorts stay JVM."""
+    plan = plan_of(spark, sf_dir, "q_permutation_test")
+    assert plan.count("Generate") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row constant join
+    assert "BatchEvalPython" not in plan
+
+
+def test_chi_square_windows_run_over_rollup(spark, sf_dir):
+    """q_chi_square: the contingency rollup is map-side combined
+    (partial_count before the exchange) and the row/col/grand totals
+    are windows over the k x 2 rollup — one fact scan total."""
+    plan = plan_of(spark, sf_dir, "q_chi_square")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "partial_count" in plan
+
+
+def test_gap_fill_interpolate_has_no_grid_join(spark, sf_dir):
+    """q_gap_fill_interpolate: the dense grid comes from a sequence
+    explode of observation pairs, never a calendar-spine join — no
+    Join operator anywhere in the plan."""
+    plan = plan_of(spark, sf_dir, "q_gap_fill_interpolate")
+    assert "Join" not in plan
+    assert plan.count("Generate") >= 1
