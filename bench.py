@@ -246,6 +246,8 @@ HEADLINE = [
     "q_permutation_test",
     "q_calibration_bins",
     "q_gap_fill_interpolate",
+    # round-8 batch 16
+    "q_decile_lift_scalable",
 ]
 
 

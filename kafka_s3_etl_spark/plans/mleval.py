@@ -143,19 +143,9 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_decile_lift",
-    category="mleval",
-    cost=1,
-    doc=(
-        "Decile lift + cumulative gains over the global score order "
-        "(NTILE(10) on the (cents DESC, custkey) total order): "
-        "per-decile conversion, lift vs base rate as cross-multiplied "
-        "exact integers, running positive capture — three divisions, "
-        "all over BIGINTs."
-    ),
-    oracle=_SCORED_SQL
-    + """
+# Shared by q_decile_lift and plans/ranks.py::q_decile_lift_scalable —
+# the scalable twin must hash-match this exact oracle.
+_DECILE_BODY = """
         , d AS (
           SELECT CAST(NTILE(10) OVER (ORDER BY c DESC, k) AS INTEGER)
                      AS decile,
@@ -178,7 +168,22 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / (CAST(n AS DOUBLE) * CAST(pp AS DOUBLE)) AS lift,
                CAST(cum_pos AS DOUBLE) / pp AS cum_capture
         FROM t
-    """,
+    """
+
+
+@register(
+    "q_decile_lift",
+    category="mleval",
+    cost=1,
+    doc=(
+        "Decile lift + cumulative gains over the global score order "
+        "(NTILE(10) on the (cents DESC, custkey) total order): "
+        "per-decile conversion, lift vs base rate as cross-multiplied "
+        "exact integers, running positive capture — three divisions, "
+        "all over BIGINTs. See q_decile_lift_scalable for the same "
+        "result without the single-task global window sort."
+    ),
+    oracle=_SCORED_SQL + _DECILE_BODY,
 )
 def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _scored(spark, sf_dir).select(
@@ -188,6 +193,12 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("decile"),
         "y",
     )
+    return _lift_from_deciles(d)
+
+
+def _lift_from_deciles(d: DataFrame) -> DataFrame:
+    """(decile, y) -> the lift/gains table; shared with the scalable
+    twin so both entries aggregate identically."""
     s = d.groupBy("decile").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("n_pos"),

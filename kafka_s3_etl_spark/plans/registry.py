@@ -62,6 +62,7 @@ _PLAN_MODULES = [
     "kafka_s3_etl_spark.plans.integrity",
     "kafka_s3_etl_spark.plans.inference",
     "kafka_s3_etl_spark.plans.hypothesis",
+    "kafka_s3_etl_spark.plans.ranks",
 ]
 
 

@@ -198,6 +198,8 @@ PROBE_QUERIES = [
     "q_permutation_test",
     "q_calibration_bins",
     "q_gap_fill_interpolate",
+    # round-8 batch 16 (vs q_decile_lift above: same oracle, no global sort)
+    "q_decile_lift_scalable",
 ]
 
 

@@ -993,3 +993,26 @@ def test_gap_fill_interpolate_has_no_grid_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_gap_fill_interpolate")
     assert "Join" not in plan
     assert plan.count("Generate") >= 1
+
+
+def test_scalable_decile_lift_has_no_global_data_sort(spark, sf_dir):
+    """q_decile_lift_scalable: the scored frame is ranked via
+    per-bucket windows (specs lead with __bucket) plus ONE
+    empty-partition-spec prefix window over the bucket ROLLUP; the
+    post-decile gains windows run over the 10-row decile rollup. No
+    window spec over the data may have an empty partition spec, and
+    the offsets come back as a broadcast join."""
+    plan = plan_of(spark, sf_dir, "q_decile_lift_scalable")
+    assert "BroadcastHashJoin" in plan
+    specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+    assert "__bucket" in specs
+    # A window spec's first token is its partition column, else its
+    # first ORDER BY column, else the bare frame (unordered OVER () —
+    # no sort at all). The ONLY ordered specs allowed are the
+    # __bucket-partitioned local rank, the __bucket-ordered prefix sum
+    # over the bucket ROLLUP, and the decile-ordered cum window over
+    # the 10-row rollup. The data's (c DESC, k) order must never
+    # appear globally — that's the single-task sort this entry exists
+    # to remove.
+    for s in specs:
+        assert s in {"__bucket", "decile", "specifiedwindowframe"}, s
