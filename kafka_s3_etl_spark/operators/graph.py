@@ -439,18 +439,41 @@ def label_propagation(
     ``pagerank``/``kcore``): per round one join (edges x labels, both
     partitioned on node id) + two map-side-combinable aggregations
     (vote count, then per-node arg-min-of-(-count, label) via the
-    min(struct) house pattern); ``localCheckpoint`` cuts lineage. A
-    100 TB edge list runs each round at the cost of one hash join +
-    two hash aggs; rounds are typically << 10 on real graphs.
+    min(struct) house pattern); ``localCheckpoint`` cuts lineage.
+
+    FRONTIER-PRUNED: a synchronous update can only flip v's label if
+    some u in N(v) + {v} changed last round, so each round re-votes
+    ONLY the changed nodes' neighborhoods and keeps every other label
+    as-is — the result is bit-identical to the full sweep (same pure
+    function of the graph), but late rounds cost O(frontier-adjacent
+    edges) instead of O(E). Measured on the sf0.1 ed1-name graph the
+    frontier collapses 15k -> 6k -> 99 -> 0; without pruning rounds 3
+    and 4 each paid the full 525k-edge join for <=99 updates.
+
+    Self-loops are merged into the edge set once at setup, which makes
+    the self-vote a plain neighbor vote AND puts every changed node in
+    its own neighborhood (so `affected` is one semi-join). The label
+    merge each round is a LEFT JOIN + coalesce, never a union:
+    localCheckpoint of a plan containing a Union over already-
+    checkpointed branches trips Spark's LogicalRDD constraint rewrite
+    (NoSuchElementException in UnionBase.rewriteConstraints), so
+    in-loop plans that get checkpointed must stay union-free.
     """
     if max_iters < 1:
         raise ValueError(f"max_iters must be >= 1, got {max_iters}")
-    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    edges = (
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    sym = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
         )
         .filter(F.col("src") != F.col("dst"))
+    )
+    # (v, v) self-loops: one vote for a node's own current label, and
+    # frontier membership implies affected membership.
+    edges = (
+        sym.unionByName(
+            sym.select("src", F.col("src").alias("dst")).distinct()
+        )
         .distinct()
         .localCheckpoint()
     )
@@ -460,27 +483,67 @@ def label_propagation(
         .select("node", F.col("node").alias("lbl"))
         .localCheckpoint()
     )
-    for _ in range(max_iters):
-        votes = edges.join(
+    n_nodes = labels.count()  # bounded: one integer for the prune gate
+    frontier = labels.select("node")  # round 0: every node votes
+    fr_n = n_nodes
+    for i in range(max_iters):
+        # Pruning pays only once the frontier is small: while most
+        # nodes are still changing, `affected` IS the graph and the
+        # extra semi-joins are pure overhead (measured: the ungated
+        # version was 1.3x SLOWER at 10x because rounds 1-2 churn
+        # nearly every node).
+        full_round = i == 0 or fr_n * 4 > n_nodes
+        if full_round:
+            aff_edges = edges
+        else:
+            affected = (
+                edges.join(
+                    frontier.withColumnRenamed("node", "src"), "src", "semi"
+                )
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .localCheckpoint()
+            )
+            aff_edges = edges.join(
+                affected.withColumnRenamed("node", "dst"), "dst", "semi"
+            )
+        votes = aff_edges.join(
             labels.withColumnRenamed("node", "src"), "src"
         ).select(F.col("dst").alias("node"), "lbl")
-        # Self-vote: a node's own current label counts once.
-        votes = votes.unionByName(labels.select("node", "lbl"))
         counted = votes.groupBy("node", "lbl").agg(
             F.count("*").alias("n")
         )
-        nxt = (
+        nxt_aff = (
             counted.groupBy("node")
             .agg(F.min(F.struct((-F.col("n")).alias("neg"), "lbl")).alias("s"))
-            .select("node", F.col("s.lbl").alias("lbl"))
-            .localCheckpoint()
+            .select("node", F.col("s.lbl").alias("new_lbl"))
         )
-        changed = (
-            nxt.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-        )
-        labels = nxt
-        if changed.isEmpty():
+        if full_round:
+            # Self-loops guarantee every node re-voted: replace labels
+            # outright (the old full-sweep shape, no merge join).
+            nxt = nxt_aff.withColumnRenamed(
+                "new_lbl", "lbl"
+            ).localCheckpoint()
+            frontier = (
+                nxt.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.lbl") != F.col("o.lbl"))
+                .select("node")
+            )
+            labels = nxt
+        else:
+            j = labels.join(nxt_aff, "node", "left").localCheckpoint()
+            frontier = j.filter(
+                F.col("new_lbl").isNotNull()
+                & (F.col("new_lbl") != F.col("lbl"))
+            ).select("node")
+            labels = j.select(
+                "node", F.coalesce("new_lbl", "lbl").alias("lbl")
+            )
+        # The gate only needs "zero / small / big": a limit-bounded
+        # count stops scanning once the frontier is provably big
+        # instead of materializing the exact count every round.
+        fr_n = frontier.limit(n_nodes // 4 + 1).count()
+        if fr_n == 0:
             break
     return labels.select("node", F.col("lbl").alias("community"))
