@@ -248,6 +248,10 @@ HEADLINE = [
     "q_gap_fill_interpolate",
     # round-8 batch 16
     "q_decile_lift_scalable",
+    # round-8 batch 17
+    "q_filter_funnel",
+    "q_dedup_survivorship",
+    "q_token_fertility",
 ]
 
 

@@ -63,6 +63,7 @@ _PLAN_MODULES = [
     "kafka_s3_etl_spark.plans.inference",
     "kafka_s3_etl_spark.plans.hypothesis",
     "kafka_s3_etl_spark.plans.ranks",
+    "kafka_s3_etl_spark.plans.curation_audit",
 ]
 
 

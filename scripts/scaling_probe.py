@@ -200,6 +200,10 @@ PROBE_QUERIES = [
     "q_gap_fill_interpolate",
     # round-8 batch 16 (vs q_decile_lift above: same oracle, no global sort)
     "q_decile_lift_scalable",
+    # round-8 batch 17 (all ride the 10x twinned documents corpus)
+    "q_filter_funnel",
+    "q_dedup_survivorship",
+    "q_token_fertility",
 ]
 
 

@@ -1016,3 +1016,33 @@ def test_scalable_decile_lift_has_no_global_data_sort(spark, sf_dir):
     # to remove.
     for s in specs:
         assert s in {"__bucket", "decile", "specifiedwindowframe"}, s
+
+
+def test_filter_funnel_is_one_scan_explode_agg(spark, sf_dir):
+    """q_filter_funnel: per-doc word stats come from explode + map-side
+    agg over ONE documents scan; stage math is integer flags on the
+    one-row collapse — no per-row division, no Python."""
+    plan = plan_of(spark, sf_dir, "q_filter_funnel")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert plan.count("Generate") >= 1  # the word explode + stack
+    assert "BatchEvalPython" not in plan
+
+
+def test_dedup_survivorship_joins_on_hash(spark, sf_dir):
+    """q_dedup_survivorship: the docs-keepers join key is md5(text) —
+    the raw text column must never appear as a join key (hash keys
+    shuffle 32 bytes, documents shuffle kilobytes)."""
+    plan = plan_of(spark, sf_dir, "q_dedup_survivorship")
+    assert "md5" in plan
+    keys = re.findall(r"(?:Left|Right) keys \[\d+\]: \[([^\]]*)\]", plan)
+    assert keys, plan[:500]
+    for cond in keys:
+        assert "text" not in cond, cond
+        assert cond.startswith("h#") or "md5" in cond, cond
+
+
+def test_token_fertility_single_scan_partial_agg(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_token_fertility")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "partial_sum" in plan
+    assert "BatchEvalPython" not in plan
