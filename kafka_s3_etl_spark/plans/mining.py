@@ -777,14 +777,39 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_entity_resolution",
     category="linkage",
     cost=2,
-    oracle=None,  # iterative CC; union-find property test instead
+    # Iterative CC, but the ed1 graph is deterministic on both engines,
+    # so the fixpoint has an exact DuckDB oracle: a recursive-CTE
+    # min-label transitive closure. State (node, lbl) keeps only labels
+    # below the node; the component minimum seeds itself and every
+    # intermediate on a path from the minimum is >= it, so the minimum
+    # reaches every member — states are bounded by n x cluster size.
+    # (Upgraded from rows-only in round 8; the union-find property test
+    # remains as the independent reference.)
+    oracle=_FUZZY_ORACLE_EDGES.replace("WITH cn", "WITH RECURSIVE cn", 1)
+    + """
+        , sym AS (
+          SELECT a AS src, b AS dst FROM e
+          UNION ALL
+          SELECT b AS src, a AS dst FROM e
+        ),
+        reach AS (
+          SELECT c_name AS node, c_name AS lbl FROM cn
+          UNION
+          SELECT s.dst AS node, r.lbl
+          FROM reach r JOIN sym s ON r.node = s.src
+          WHERE r.lbl < s.dst
+        )
+        SELECT node AS c_name, MIN(lbl) AS canonical,
+               node = MIN(lbl) AS is_canonical
+        FROM reach GROUP BY node
+    """,
     doc=(
         "End-to-end entity resolution: edit-distance-1 linkage pairs "
         "-> connected components (min-label propagation, string labels "
         "— the component minimum IS the canonical spelling) -> "
-        "(name, canonical, is_canonical). Rows-only: iterative "
-        "algorithm; tests pin exact equality with a union-find over "
-        "the same pairs."
+        "(name, canonical, is_canonical). Oracle: recursive-CTE "
+        "min-label closure over the same deterministic ed1 graph; a "
+        "union-find property test is the second independent reference."
     ),
 )
 def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
