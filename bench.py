@@ -252,6 +252,9 @@ HEADLINE = [
     "q_filter_funnel",
     "q_dedup_survivorship",
     "q_token_fertility",
+    # round-8 batch 18
+    "q_attribution_position",
+    "q_ar_aging",
 ]
 
 

@@ -204,6 +204,10 @@ PROBE_QUERIES = [
     "q_filter_funnel",
     "q_dedup_survivorship",
     "q_token_fertility",
+    # round-8 batch 18 (attribution rides the scaled user timelines;
+    # aging the scaled orders/customer facts)
+    "q_attribution_position",
+    "q_ar_aging",
 ]
 
 

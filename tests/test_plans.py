@@ -1046,3 +1046,23 @@ def test_token_fertility_single_scan_partial_agg(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "partial_sum" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_position_attribution_shares_user_partitioning(spark, sf_dir):
+    """q_attribution_position: touches and conversions roll up
+    map-side and join on user_id (no cartesian, no Python); the
+    ledger never window-sorts the raw fact."""
+    plan = plan_of(spark, sf_dir, "q_attribution_position")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_" in plan
+
+
+def test_ar_aging_broadcasts_dim_and_reference(spark, sf_dir):
+    """q_ar_aging: the customer dim joins broadcast and the max-date
+    reference arrives as a 1-row broadcast constant join; the status
+    filter reaches the orders scan."""
+    plan = plan_of(spark, sf_dir, "q_ar_aging")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Not(EqualTo(o_orderstatus,F))" in plan  # pushed filter
+    assert "BatchEvalPython" not in plan

@@ -423,3 +423,49 @@ def test_markov_stationary_is_fixpoint_and_matches_counts(spark):
     v = np.real(vecs[:, np.argmin(np.abs(vals - 1.0))])
     v = v / v.sum()
     assert np.allclose(pi, v, atol=1e-8)
+
+
+def test_position_attribution_conserves_value(spark):
+    """U-shaped credit must sum to each user's conversion value exactly
+    (k=1, k=2 and k>=3 paths all represented), and first/last touches
+    of long paths must carry 40% each."""
+    from kafka_s3_etl_spark.plans.registry import all_queries
+
+    rows = []
+    eid = 0
+    # user 1: single touch + purchase; user 2: two touches; user 3:
+    # five touches across three channels; user 4: touches, no purchase.
+    script = {
+        1: [("view", 0)] + [("purchase", 700)],
+        2: [("view", 0), ("cart", 0), ("purchase", 900)],
+        3: [("view", 0), ("view", 0), ("cart", 0), ("click", 0),
+            ("view", 0), ("purchase", 1000)],
+        4: [("view", 0), ("cart", 0)],
+    }
+    for uid, evs in script.items():
+        for i, (et, val) in enumerate(evs):
+            rows.append((eid, uid, et, float(val), f"2024-01-01 00:{i:02d}:00"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string,"
+        " value double, ts_s string"
+    ).selectExpr("event_id", "user_id", "event_type", "value",
+                 "CAST(ts_s AS TIMESTAMP) AS ts")
+
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = all_queries()["q_attribution_position"].fn(spark, d).collect()
+
+    by_user: dict[int, float] = {}
+    for r in out:
+        by_user[r.user_id] = by_user.get(r.user_id, 0.0) + r.credit_cents
+    assert by_user[1] == 700 * 100
+    assert by_user[2] == 900 * 100
+    assert abs(by_user[3] - 1000 * 100) < 1e-6
+    assert by_user[4] == 0.0
+    # user 3 path view,view,cart,click,view: first AND last are 'view',
+    # middles are (view, cart, click) -> view credit = 40% + 40% + 1/3
+    # of the 20% middle pool
+    view3 = [r for r in out if r.user_id == 3 and r.channel == "view"][0]
+    assert abs(view3.credit_cents - 100000 * (0.8 + 0.2 * 1 / 3)) < 1e-6
