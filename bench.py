@@ -255,6 +255,9 @@ HEADLINE = [
     # round-8 batch 18
     "q_attribution_position",
     "q_ar_aging",
+    # round-8 batch 19
+    "q_asof_join_forward",
+    "q_asof_join_tolerance",
 ]
 
 

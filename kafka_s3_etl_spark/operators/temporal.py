@@ -36,8 +36,12 @@ def asof_join(
     right_ts: str,
     payload: list[str],
     prefix: str = "last_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: latest right payload with right_ts <= left_ts.
+    """Left as-of join: latest right payload with right_ts <= left_ts
+    (``direction="backward"``, the default), or the EARLIEST right
+    payload with right_ts >= left_ts (``direction="forward"`` — the
+    mirrored window frame over the same single-shuffle union merge).
 
     Returns all left columns plus ``prefix + right_ts`` and
     ``prefix + c`` for each payload column (NULL when no right row
@@ -54,36 +58,42 @@ def asof_join(
     """
     from pyspark.sql import types as T
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    backward = direction == "backward"
     left_cols = left.columns
     out_cols = [right_ts] + payload
     row_type = T.StructType(
         [T.StructField(c, right.schema[c].dataType) for c in out_cols]
     )
+    # Boundary-inclusive in both directions: right rows sort BEFORE
+    # left rows at equal ts for backward (_side right 0 < left 1, so
+    # the preceding frame sees them), AFTER for forward (right 1 >
+    # left 0, so the following frame sees them).
+    l_mark, r_mark = (1, 0) if backward else (0, 1)
     l_side = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_side"),
+        F.lit(l_mark).alias("_side"),
         *left_cols,
         F.lit(None).cast(row_type).alias("_r"),
     )
     r_side = right.select(
         F.col(right_key).alias("_k"),
         F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_side"),
+        F.lit(r_mark).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
         F.struct(*[F.col(c) for c in out_cols]).alias("_r"),
     )
-    # One timeline per key: right rows sort before left rows at equal ts
-    # (_side 0 < 1), which makes the join boundary-inclusive.
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    merged = l_side.unionByName(r_side).withColumn(
-        "_last_r", F.last("_r", ignorenulls=True).over(w)
-    )
-    return merged.filter(F.col("_side") == 1).select(
+    w = Window.partitionBy("_k").orderBy("_ts", "_side")
+    if backward:
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = F.last("_r", ignorenulls=True)
+    else:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = F.first("_r", ignorenulls=True)
+    merged = l_side.unionByName(r_side).withColumn("_last_r", pick.over(w))
+    return merged.filter(F.col("_side") == l_mark).select(
         *left_cols,
         *[F.col(f"_last_r.{c}").alias(f"{prefix}{c}") for c in out_cols],
     )

@@ -1,0 +1,114 @@
+"""As-of join matrix completion (round 8, batch 19): pandas
+merge_asof's two remaining knobs — direction and tolerance — on the
+same single-shuffle union-merge operator (operators/temporal.py::
+asof_join; reference semantics: kdb aj / pandas merge_asof).
+
+* q_asof_join_forward — earliest right row with right_ts >= left_ts:
+  the mirrored window frame (first(ignorenulls) over currentRow..
+  unboundedFollowing, right rows sorted AFTER left at equal ts for
+  boundary inclusion). Still one shuffle, no pair fan-out; DuckDB's
+  native ASOF >= is the oracle.
+* q_asof_join_tolerance — backward as-of where the match must fall
+  within a 7-day tolerance (merge_asof(tolerance=...)): the latest
+  prior row IS the closest, so the tolerance is a post-mask on the
+  matched struct — zero extra shuffle; the oracle CASE-masks DuckDB's
+  ASOF result identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_s3_etl_spark.operators.temporal import asof_join
+from kafka_s3_etl_spark.plans.registry import register
+from kafka_s3_etl_spark.sources.tables import load_table
+
+
+@register(
+    "q_asof_join_forward",
+    category="temporal",
+    cost=1,
+    doc=(
+        "Forward as-of join (merge_asof direction='forward'): per "
+        "order, the EARLIEST event of the matching user at or after "
+        "the order date — mirrored union-merge window, one shuffle, "
+        "no pair fan-out."
+    ),
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+               e.ts AS next_ts, e.event_type AS next_event_type
+        FROM orders o
+        ASOF LEFT JOIN events e
+          ON o.o_custkey = e.user_id AND e.ts >= o.o_orderdate
+    """,
+)
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    events = load_table(spark, sf_dir, "events")
+    return asof_join(
+        orders,
+        events,
+        key="o_custkey",
+        right_key="user_id",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        payload=["event_type"],
+        prefix="next_",
+        direction="forward",
+    )
+
+
+@register(
+    "q_asof_join_tolerance",
+    category="temporal",
+    cost=1,
+    doc=(
+        "Backward as-of join with a 7-day tolerance (merge_asof "
+        "tolerance semantics): the latest prior row is the closest, so "
+        "the tolerance is a post-mask on the matched struct — zero "
+        "extra shuffle over the plain as-of."
+    ),
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CASE WHEN last_ts >= CAST(o_orderdate AS TIMESTAMP)
+                                    - INTERVAL 7 DAY
+                    THEN last_ts END AS last_ts,
+               CASE WHEN last_ts >= CAST(o_orderdate AS TIMESTAMP)
+                                    - INTERVAL 7 DAY
+                    THEN last_event_type END AS last_event_type
+        FROM (
+          SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+                 e.ts AS last_ts, e.event_type AS last_event_type
+          FROM orders o
+          ASOF LEFT JOIN events e
+            ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+        )
+    """,
+)
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    events = load_table(spark, sf_dir, "events")
+    matched = asof_join(
+        orders,
+        events,
+        key="o_custkey",
+        right_key="user_id",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        payload=["event_type"],
+    )
+    in_tol = F.col("last_ts") >= F.expr(
+        "CAST(o_orderdate AS TIMESTAMP) - INTERVAL 7 DAYS"
+    )
+    return matched.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.when(in_tol, F.col("last_ts")).alias("last_ts"),
+        F.when(in_tol, F.col("last_event_type")).alias("last_event_type"),
+    )

@@ -65,6 +65,7 @@ _PLAN_MODULES = [
     "kafka_s3_etl_spark.plans.ranks",
     "kafka_s3_etl_spark.plans.curation_audit",
     "kafka_s3_etl_spark.plans.revenue_ops",
+    "kafka_s3_etl_spark.plans.asof_ext",
 ]
 
 

@@ -208,6 +208,9 @@ PROBE_QUERIES = [
     # aging the scaled orders/customer facts)
     "q_attribution_position",
     "q_ar_aging",
+    # round-8 batch 19 (same union-merge timeline as q_asof_join)
+    "q_asof_join_forward",
+    "q_asof_join_tolerance",
 ]
 
 

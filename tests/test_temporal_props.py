@@ -469,3 +469,47 @@ def test_position_attribution_conserves_value(spark):
     # of the 20% middle pool
     view3 = [r for r in out if r.user_id == 3 and r.channel == "view"][0]
     assert abs(view3.credit_cents - 100000 * (0.8 + 0.2 * 1 / 3)) < 1e-6
+
+
+@given(left=left_rows, right=right_rows)
+@_SETTINGS
+def test_asof_join_forward_matches_pandas(spark, left, right):
+    """direction='forward' contract vs pandas merge_asof: earliest
+    right row at or after each left ts, per key — including boundary
+    ties and keys with no following row."""
+    ldf = spark.createDataFrame(
+        [(k, i, _ts(s)) for i, (k, s) in enumerate(left)],
+        "k long, lid long, lts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, i + 1000, _ts(s)) for i, (k, s) in enumerate(right)],
+        "rk long, rid long, rts timestamp",
+    ) if right else spark.createDataFrame([], "rk long, rid long, rts timestamp")
+
+    got = {
+        (r.lid): (r.next_rid)
+        for r in asof_join(
+            ldf, rdf, key="k", right_key="rk", left_ts="lts", right_ts="rts",
+            payload=["rid"], prefix="next_", direction="forward",
+        ).collect()
+    }
+
+    if not right:
+        want = {i: None for i in range(len(left))}
+    else:
+        lp = pd.DataFrame(
+            [(k, i, _ts(s)) for i, (k, s) in enumerate(left)],
+            columns=["k", "lid", "lts"],
+        ).sort_values("lts", kind="stable")
+        rp = pd.DataFrame(
+            [(k, i + 1000, _ts(s)) for i, (k, s) in enumerate(right)],
+            columns=["k", "rid", "rts"],
+        ).sort_values("rts", kind="stable")
+        merged = pd.merge_asof(
+            lp, rp, left_on="lts", right_on="rts", by="k", direction="forward"
+        )
+        want = {
+            int(row.lid): (None if pd.isna(row.rid) else int(row.rid))
+            for row in merged.itertuples()
+        }
+    assert got == want
