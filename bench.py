@@ -258,6 +258,9 @@ HEADLINE = [
     # round-8 batch 19
     "q_asof_join_forward",
     "q_asof_join_tolerance",
+    # round-8 batch 20
+    "q_rolling_median",
+    "q_rolling_corr",
 ]
 
 

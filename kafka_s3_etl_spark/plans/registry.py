@@ -66,6 +66,7 @@ _PLAN_MODULES = [
     "kafka_s3_etl_spark.plans.curation_audit",
     "kafka_s3_etl_spark.plans.revenue_ops",
     "kafka_s3_etl_spark.plans.asof_ext",
+    "kafka_s3_etl_spark.plans.rolling",
 ]
 
 

@@ -211,6 +211,9 @@ PROBE_QUERIES = [
     # round-8 batch 19 (same union-merge timeline as q_asof_join)
     "q_asof_join_forward",
     "q_asof_join_tolerance",
+    # round-8 batch 20 (windows over the scaled daily rollup)
+    "q_rolling_median",
+    "q_rolling_corr",
 ]
 
 

@@ -1066,3 +1066,16 @@ def test_ar_aging_broadcasts_dim_and_reference(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "Not(EqualTo(o_orderstatus,F))" in plan  # pushed filter
     assert "BatchEvalPython" not in plan
+
+
+def test_rolling_stats_window_over_rollup_only(spark, sf_dir):
+    """q_rolling_median / q_rolling_corr: the rolling frames run over
+    the (priority, day) ROLLUP (aggregate below the window in the
+    plan), partitioned by priority — never a window over the raw
+    orders fact, never unpartitioned."""
+    for name in ("q_rolling_median", "q_rolling_corr"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "partial_" in plan, name
+        specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+        assert specs and all(s.startswith("pri") for s in specs), (name, specs)
+        assert "BatchEvalPython" not in plan, name
