@@ -195,7 +195,6 @@ HEADLINE = [
     "q_herfindahl",
     "q_ks_test",
     "q_auc",
-    "q_decile_lift",
     "q_confusion_prf",
     "q_autocorr",
     "q_cusum",
@@ -261,6 +260,13 @@ HEADLINE = [
     # round-8 batch 20
     "q_rolling_median",
     "q_rolling_corr",
+    # round-9: scale-hardened twins + ANN dedup upgrade. q_decile_lift
+    # (naive NTILE twin) dropped from the headline — its scalable
+    # hash-matched sibling q_decile_lift_scalable represents the shape.
+    "q_dedup_embedding",
+    "q_interval_overlap_scalable",
+    "q_label_propagation_capped",
+    "q_kcore_peeled",
 ]
 
 

@@ -416,7 +416,7 @@ def kcore(
 
 
 def label_propagation(
-    pairs: DataFrame, max_iters: int = 20
+    pairs: DataFrame, max_iters: int = 20, max_degree: int | None = None
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007), made DETERMINISTIC: every node simultaneously adopts
@@ -450,6 +450,16 @@ def label_propagation(
     frontier collapses 15k -> 6k -> 99 -> 0; without pruning rounds 3
     and 4 each paid the full 525k-edge join for <=99 updates.
 
+    ``max_degree`` is the same bounded-cost knob as ``triangle_counts``
+    / ``jaccard_neighbors``: the r8 30x probe measured 8.2x on a
+    superlinearly-grown graph because hub neighborhoods dominate every
+    vote join. When set, nodes above the cap are REMOVED by broadcast
+    anti-join before symmetrization and the propagation is EXACT on the
+    induced subgraph (property-tested: capped == uncapped run on the
+    pre-stripped graph). Per-round join output is then bounded by
+    m*cap regardless of skew; the hub set is tiny by construction
+    (<= 2m/cap nodes), so the exclusion joins broadcast.
+
     Self-loops are merged into the edge set once at setup, which makes
     the self-vote a plain neighbor vote AND puts every changed node in
     its own neighborhood (so `affected` is one semi-join). The label
@@ -461,6 +471,35 @@ def label_propagation(
     """
     if max_iters < 1:
         raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+    if max_degree is not None:
+        canon = (
+            pairs.select(
+                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        pre_deg = (
+            canon.select(F.col("a").alias("node"))
+            .unionAll(canon.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        hubs = pre_deg.filter(F.col("deg") > max_degree).select("node")
+        pairs = (
+            canon.join(
+                F.broadcast(hubs.withColumnRenamed("node", "a")),
+                "a",
+                "left_anti",
+            )
+            .join(
+                F.broadcast(hubs.withColumnRenamed("node", "b")),
+                "b",
+                "left_anti",
+            )
+            .select("a", "b")
+        )
     sym = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(

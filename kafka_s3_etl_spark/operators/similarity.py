@@ -383,8 +383,10 @@ def ivf_topk(
 
 
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Cosine near-dup pairs among consecutive vec_ids (the verification
-    stage shape; generalizes by swapping the pair source to LSH)."""
+    """Cosine near-dup pairs among consecutive vec_ids — the
+    verification-stage MATH only, kept as the property-test fixture for
+    the real operator (``embedding_near_dups_ann``), whose candidate
+    source is LSH buckets instead of id adjacency."""
     base = with_norm(embeddings)
     a, b = base.alias("a"), base.alias("b")
     return (
@@ -395,6 +397,98 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95) -> DataF
             (
                 _dot(F.col("a.embedding"), F.col("b.embedding"))
                 / (F.col("a.norm") * F.col("b.norm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dups_ann(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    planes: int = 6,
+    tables: int = ANN_TABLES,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs with a REAL ANN candidate source:
+    sign-random-projection LSH buckets (the ``ann_lsh_topk`` machinery —
+    same ``_sign_table`` broadcast, same ``_bucket_bits`` fold), then an
+    exact-cosine verify of the candidate pairs only.
+
+    This is the operator a 100 TB embedding dedup actually runs — the
+    consecutive-id variant (``embedding_near_dups``) checks only
+    adjacent rows and would miss every non-adjacent duplicate:
+
+    1. bucket: one corpus pass fans each vector to its ``tables`` rows
+       (broadcast cross join against the 8-row sign table) and computes
+       the P-bit bucket — map-only JVM expressions, no Python.
+    2. candidates: self-join the SLIM (vec_id, table_id, bucket)
+       projection on (table_id, bucket) with vec_a < vec_b, then
+       DISTINCT on the id pair — embeddings never ride through the
+       self-join or the distinct, only 8-byte ids do. The join is an
+       equi shuffle on bucket; ``shuffle_hash`` because nothing
+       downstream wants the sort order.
+    3. verify: join the raw vectors back by id (twice) and keep pairs
+       with exact double cosine >= threshold.
+
+    Recall is the LSH OR-amplification 1-(1-c^P)^T with c = 1-theta/pi:
+    for true near-dups (cosine -> 1) it approaches 1 (0.95 -> ~99.7% at
+    P=6, T=8); pairs far below the threshold rarely even become
+    candidates — which is the point. Exactness of the verify stage and
+    recall on planted duplicates are property-tested
+    (tests/test_llm_ops.py).
+
+    Returns (vec_a, vec_b, cosine) with vec_a < vec_b, deduplicated
+    across hash tables. Deterministic: the hyperplanes are the seeded
+    ``_plane_signs`` matrix, so the candidate set is a pure function of
+    the corpus and (planes, tables).
+    """
+    spark = embeddings.sparkSession
+    dim_row = embeddings.select(F.size("embedding")).first()
+    if dim_row is None:
+        raise ValueError(
+            "embedding_near_dups_ann: embeddings corpus is empty"
+        )
+    dim = dim_row[0]
+    sign_df = _sign_table(spark, tables, planes, dim)
+    buckets = embeddings.crossJoin(F.broadcast(sign_df)).select(
+        "vec_id",
+        "table_id",
+        _bucket_bits(F.col("embedding"), planes).alias("bucket"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    base = with_norm(embeddings)
+    ea = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("norm").alias("n_a"),
+    )
+    eb = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("norm").alias("n_b"),
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                _dot(F.col("e_a"), F.col("e_b"))
+                / (F.col("n_a") * F.col("n_b"))
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)

@@ -411,20 +411,9 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_interval_overlap",
-    category="temporal",
-    cost=1,
-    doc=(
-        "Peak concurrency over sessionized intervals (+1 at start, -1 "
-        "just past end) with a RANGE-frame running sum, so coincident "
-        "boundary points collapse into one frame and the answer is "
-        "batching-order independent. The final global sweep sorts only "
-        "2 rows per session (two integers each), not events; at 100 TB "
-        "the same sweep runs as range-partitioned partial sums plus a "
-        "tiny per-partition offset pass."
-    ),
-    oracle="""
+# Shared by q_interval_overlap and its scalable twin (plans/scalewin.py)
+# — both must produce the identical answer.
+INTERVAL_OVERLAP_ORACLE = """
         WITH marked AS (
           SELECT user_id, ts,
                  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
@@ -461,7 +450,25 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT (MAX(struct_pack(c := c, nt := -t))).c AS max_concurrent,
                -(MAX(struct_pack(c := c, nt := -t))).nt AS at_epoch_us
         FROM run
-    """,
+    """
+
+
+@register(
+    "q_interval_overlap",
+    category="temporal",
+    cost=1,
+    doc=(
+        "Peak concurrency over sessionized intervals (+1 at start, -1 "
+        "just past end) with a RANGE-frame running sum, so coincident "
+        "boundary points collapse into one frame and the answer is "
+        "batching-order independent. ORACLE-PARITY TWIN, not the "
+        "headline shape: the final sweep is a global single-partition "
+        "window over 2 rows per session — fine here, O(sessions) "
+        "through one task at scale. q_interval_overlap_scalable "
+        "(plans/scalewin.py) hash-matches this oracle with the "
+        "distributed two-phase prefix sum and is the shape to copy."
+    ),
+    oracle=INTERVAL_OVERLAP_ORACLE,
 )
 def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = sessionize(load_table(spark, sf_dir, "events"))

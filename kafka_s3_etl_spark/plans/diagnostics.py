@@ -317,10 +317,16 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Pre-shuffle key-skew profile of events.user_id: per-key "
         "counts rolled up to n_keys / n_rows / max / p50 / p99 "
-        "(discrete rank math over the tiny key rollup) / top-key "
-        "share / max-to-median ratio — the numbers salting and "
-        "degree-cap knobs are chosen from; windows never touch the "
-        "fact."
+        "(discrete rank math) / top-key share / max-to-median ratio "
+        "— the numbers salting and degree-cap knobs are chosen from. "
+        "Scale shape (r9): the per-key counts roll up AGAIN into a "
+        "value histogram (one row per distinct count), so the only "
+        "window in the plan is the prefix sum over that tiny "
+        "histogram — the percentile positions need the VALUE at a "
+        "global rank, and within a run of equal counts every "
+        "position holds the same value, so no per-row row_number "
+        "(r8's unpartitioned O(n_keys) single-task sort) is needed "
+        "at all."
     ),
     oracle="""
         WITH k AS (
@@ -353,29 +359,39 @@ def q_skew_diagnostic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
-    w_all = Window.partitionBy()
-    s = k.select(
-        "cnt",
-        F.row_number()
-        .over(Window.orderBy("cnt", "user_id"))
-        .alias("rn"),
-        F.count("*").over(w_all).alias("nk"),
-        F.sum("cnt").over(w_all).alias("nr"),
+    # Value histogram: one row per DISTINCT per-key count — bounded by
+    # max(cnt), not by n_keys, and map-side combinable. The prefix-sum
+    # and total windows below run over THIS rollup only.
+    h = k.groupBy("cnt").agg(F.count("*").cast("bigint").alias("nv"))
+    w_cum = Window.orderBy("cnt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
+    w_all = Window.partitionBy()
+    s = h.select(
+        "cnt",
+        "nv",
+        F.sum("nv").over(w_cum).alias("cum"),
+        F.sum("nv").over(w_all).alias("nk"),
+    )
+    # The cnt value at global ascending position pos is the smallest
+    # cnt whose cumulative count reaches pos (tie order within equal
+    # counts cannot change the value).
     return s.agg(
         F.max("nk").cast("bigint").alias("n_keys"),
-        F.max("nr").cast("bigint").alias("n_rows"),
+        F.sum(F.expr("cnt * nv")).cast("bigint").alias("n_rows"),
         F.max("cnt").alias("max_cnt"),
-        F.max(F.expr("CASE WHEN rn = (nk + 1) DIV 2 THEN cnt END"))
+        F.min(F.expr("CASE WHEN cum >= (nk + 1) DIV 2 THEN cnt END"))
         .cast("bigint")
         .alias("p50_cnt"),
-        F.max(F.expr("CASE WHEN rn = (99 * nk + 99) DIV 100 THEN cnt END"))
+        F.min(F.expr("CASE WHEN cum >= (99 * nk + 99) DIV 100 THEN cnt END"))
         .cast("bigint")
         .alias("p99_cnt"),
-        F.expr("CAST(MAX(cnt) AS DOUBLE) / MAX(nr)").alias("top_share"),
+        F.expr(
+            "CAST(MAX(cnt) AS DOUBLE) / SUM(cnt * nv)"
+        ).alias("top_share"),
         F.expr(
             "CAST(MAX(cnt) AS DOUBLE)"
-            " / MAX(CASE WHEN rn = (nk + 1) DIV 2 THEN cnt END)"
+            " / MIN(CASE WHEN cum >= (nk + 1) DIV 2 THEN cnt END)"
         ).alias("skew_ratio"),
     )
 

@@ -527,3 +527,33 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy("community").agg(
         F.count("*").cast("bigint").alias("n_members")
     )
+
+
+@register(
+    "q_label_propagation_capped",
+    category="graph",
+    cost=2,
+    doc=(
+        "Bounded-cost twin of q_label_propagation: nodes whose ed1-"
+        "graph degree exceeds 40 are pre-stripped by broadcast anti-"
+        "join and the deterministic synchronous LPA runs EXACTLY on "
+        "the induced subgraph (operators/graph.py::label_propagation "
+        "max_degree — the triangle_counts/jaccard_neighbors knob). "
+        "Per-round vote-join output is bounded by m*cap regardless of "
+        "skew, so the r8 probe's 8.2x superlinear growth on hub-dense "
+        "graphs has a linear-cost fallback. Rows-only (iterative) + "
+        "exactness-on-induced-subgraph property test "
+        "(tests/test_mining_ops.py)."
+    ),
+)
+def q_label_propagation_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.graph import label_propagation
+    from kafka_s3_etl_spark.operators.linkage import fuzzy_pairs_ed1
+
+    edges = fuzzy_pairs_ed1(
+        load_table(spark, sf_dir, "customer"), col="c_name"
+    ).select("a", "b")
+    labels = label_propagation(edges, max_degree=40)
+    return labels.groupBy("community").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )

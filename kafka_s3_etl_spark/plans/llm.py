@@ -26,7 +26,7 @@ from kafka_s3_etl_spark.operators.multimodal import (
 from kafka_s3_etl_spark.operators.similarity import (
     ann_lsh_topk,
     brute_force_topk,
-    embedding_near_dups,
+    embedding_near_dups_ann,
     ivf_topk,
 )
 from kafka_s3_etl_spark.operators.text import (
@@ -123,28 +123,79 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_consecutive(load_table(spark, sf_dir, "documents"))
 
 
+# The ANN dedup's LSH layout is pinned so the oracle can replay it:
+# the hyperplane sign matrix is the seeded `_plane_signs` constant,
+# rendered into the oracle SQL as 48 DOUBLE[] literals (+-1.0 is
+# exactly representable, and DuckDB's list_dot_product sums left to
+# right exactly like Spark's aggregate() fold — verified bit-exact
+# over all 24k (vector, table, plane) projections at sf0.01).
+_ANN_DEDUP_PLANES = 6
+_ANN_DEDUP_TABLES = 8
+_ANN_DEDUP_DIM = 64  # pinned to the testdata corpus; canary-checked
+
+
+def _ann_dedup_oracle(threshold: float) -> str:
+    from kafka_s3_etl_spark.operators.similarity import _plane_signs
+
+    signs = _plane_signs(_ANN_DEDUP_TABLES, _ANN_DEDUP_PLANES, _ANN_DEDUP_DIM)
+    rows = ", ".join(
+        f"({t}, {1 << p}, ["
+        + ",".join(str(int(v)) for v in signs[t][p])
+        + "]::DOUBLE[])"
+        for t in range(_ANN_DEDUP_TABLES)
+        for p in range(_ANN_DEDUP_PLANES)
+    )
+    return f"""
+        WITH signs(table_id, bit, s) AS (VALUES {rows}),
+        base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        b AS (
+          SELECT vec_id, table_id,
+                 CAST(SUM(CASE WHEN list_dot_product(e, s) > 0
+                               THEN bit ELSE 0 END) AS BIGINT) AS bucket
+          FROM base, signs GROUP BY vec_id, table_id
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+          FROM b a JOIN b b2
+            ON b2.table_id = a.table_id AND b2.bucket = a.bucket
+               AND b2.vec_id > a.vec_id
+        )
+        SELECT c.vec_a, c.vec_b
+        FROM cand c
+        JOIN base ea ON ea.vec_id = c.vec_a
+        JOIN base eb ON eb.vec_id = c.vec_b
+        WHERE list_cosine_similarity(ea.e, eb.e) >= {threshold}
+    """
+
+
 @register(
     "q_dedup_embedding",
     category="dedup",
     doc=(
-        "Embedding-cosine near-dup pairs. Threshold 0.2 is matched to the "
-        "synthetic corpus (near-random vectors, consecutive-pair cosine "
-        "~N(0, 1/sqrt(d)), max ~0.47) so the check is non-vacuous. Output "
-        "is the pair ids only — both sides compute cosine in double with "
-        "the same association order, so the >= threshold membership is "
-        "hash-stable; the float value itself is not emitted (per-row "
-        "float rounding is the one thing the oracle hash cannot absorb)."
+        "Embedding near-dup pairs with a REAL ANN candidate source: "
+        "sign-LSH buckets (6 planes x 8 tables, the ann_lsh_topk "
+        "machinery) generate candidate pairs, exact double cosine "
+        "verifies them — the operator a 100 TB embedding dedup runs, "
+        "replacing the earlier consecutive-id verification toy. "
+        "Threshold 0.2 is matched to the synthetic corpus (near-random "
+        "vectors, pairwise cosine ~N(0, 1/sqrt(d))) so the output is "
+        "non-vacuous; output is the pair ids only — both sides compute "
+        "every projection and cosine in double with the same "
+        "association order (DuckDB list_dot_product == Spark aggregate "
+        "fold, verified bit-exact), so bucket bits and threshold "
+        "membership are hash-stable while the float itself stays out "
+        "of the hash."
     ),
-    oracle="""
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
-        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                     CAST(b.embedding AS DOUBLE[])) >= 0.2
-    """,
+    oracle=_ann_dedup_oracle(0.2),
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_near_dups(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.2
+    return embedding_near_dups_ann(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.2,
+        planes=_ANN_DEDUP_PLANES,
+        tables=_ANN_DEDUP_TABLES,
     ).select("vec_a", "vec_b")
 
 

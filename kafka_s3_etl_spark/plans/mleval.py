@@ -180,8 +180,11 @@ _DECILE_BODY = """
         "(NTILE(10) on the (cents DESC, custkey) total order): "
         "per-decile conversion, lift vs base rate as cross-multiplied "
         "exact integers, running positive capture — three divisions, "
-        "all over BIGINTs. See q_decile_lift_scalable for the same "
-        "result without the single-task global window sort."
+        "all over BIGINTs. ORACLE-PARITY TWIN, not the headline shape "
+        "(excluded from bench.py HEADLINE): the NTILE window is an "
+        "unpartitioned single-task sort of the scored frame — "
+        "q_decile_lift_scalable hash-matches this oracle via the "
+        "bucketed two-phase rank and is the shape to run at scale."
     ),
     oracle=_SCORED_SQL + _DECILE_BODY,
 )

@@ -32,6 +32,7 @@ from kafka_s3_etl_spark.operators.similarity import (
     ann_lsh_topk,
     brute_force_topk,
     embedding_near_dups,
+    embedding_near_dups_ann,
     ivf_topk,
 )
 
@@ -171,6 +172,63 @@ def test_embedding_near_dups_threshold(vecs):
     assert (4, 5) not in pairs  # cosine ~-1
     for r in got:
         assert r.cosine >= 0.9 - 1e-9
+
+
+def test_embedding_near_dups_ann_recall_on_planted_dups(spark):
+    """The ANN dedup must recover (almost) every PLANTED near-dup pair:
+    64-dim random base vectors plus, for every 4th vector, a slightly
+    perturbed twin (cosine ~0.995). Brute-force all-pairs at the same
+    threshold is the truth set; sign-LSH OR-amplification at 6 planes x
+    8 tables puts expected recall ~0.997 per pair, so >= 0.9 overall is
+    a stable floor. Precision must be exact: the verify stage filters
+    candidates by true cosine."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(60, 64))
+    rows = []
+    vid = 0
+    for i in range(60):
+        v = base[i] / np.linalg.norm(base[i])
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+        if i % 4 == 0:
+            twin = v + rng.normal(scale=0.02, size=64)
+            twin = twin / np.linalg.norm(twin)
+            rows.append((vid, [float(x) for x in twin]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    emb = {r[0]: r[1] for r in rows}
+    truth = {
+        (a, b)
+        for a in emb
+        for b in emb
+        if a < b and _cosine(emb[a], emb[b]) >= 0.9
+    }
+    assert len(truth) >= 15  # the planted twins are in the truth set
+
+    got = embedding_near_dups_ann(df, threshold=0.9).collect()
+    found = {(r.vec_a, r.vec_b) for r in got}
+    # precision is exact by construction of the verify stage
+    for r in got:
+        assert r.vec_a < r.vec_b
+        # abs=1e-6: the stored embeddings are float32
+        assert r.cosine == pytest.approx(
+            _cosine(emb[r.vec_a], emb[r.vec_b]), abs=1e-6
+        )
+        assert r.cosine >= 0.9 - 1e-12
+    assert len(found & truth) / len(truth) >= 0.9
+
+
+def test_embedding_near_dups_ann_finds_nonadjacent_pairs(vecs):
+    """The whole point of the ANN candidate source: duplicates whose
+    vec_ids are NOT adjacent are still found (0, 4) — the consecutive-id
+    variant structurally cannot emit that pair."""
+    got = embedding_near_dups_ann(vecs, threshold=0.9, planes=2, tables=8)
+    pairs = {(r.vec_a, r.vec_b) for r in got.collect()}
+    assert (0, 4) in pairs  # cosine ~0.99995, ids 4 apart
+    assert all(a < b for a, b in pairs)
 
 
 # ------------------------------------------------------------- multimodal

@@ -658,3 +658,51 @@ def test_label_propagation_matches_sequential_reference(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_label_propagation_capped_exact_on_induced_subgraph(spark):
+    """max_degree semantics mirror triangle_counts/jaccard_neighbors:
+    a generous cap changes nothing; a tight cap equals the uncapped
+    run on the graph with hub nodes (degree > cap) pre-stripped."""
+    from kafka_s3_etl_spark.operators.graph import label_propagation
+
+    rng = random.Random(13)
+    edges = set()
+    # two planted clusters ...
+    for cl in (list(range(0, 8)), list(range(10, 18))):
+        for _ in range(3 * len(cl)):
+            edges.add(tuple(sorted(rng.sample(cl, 2))))
+    # ... plus one hub wired to everything (degree 17, way above cap)
+    hub = 99
+    edges |= {(n, hub) for n in range(18)}
+    df = spark.createDataFrame(sorted(edges), ["a", "b"])
+
+    uncapped = {
+        r.node: r.community for r in label_propagation(df).collect()
+    }
+    generous = {
+        r.node: r.community
+        for r in label_propagation(df, max_degree=100).collect()
+    }
+    assert generous == uncapped
+
+    cap = 10
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    survivors = {n for n, d in deg.items() if d <= cap}
+    stripped = [(a, b) for a, b in sorted(edges) if a in survivors and b in survivors]
+    assert hub not in survivors and stripped  # the cap actually bites
+    expected = {
+        r.node: r.community
+        for r in label_propagation(
+            spark.createDataFrame(stripped, ["a", "b"])
+        ).collect()
+    }
+    capped = {
+        r.node: r.community
+        for r in label_propagation(df, max_degree=cap).collect()
+    }
+    assert capped == expected
+    assert hub not in capped

@@ -1018,6 +1018,39 @@ def test_scalable_decile_lift_has_no_global_data_sort(spark, sf_dir):
         assert s in {"__bucket", "decile", "specifiedwindowframe"}, s
 
 
+def test_scalable_interval_overlap_has_no_global_data_sort(spark, sf_dir):
+    """q_interval_overlap_scalable: the running concurrency sum splits
+    into a bucket-partitioned local window plus ONE empty-partition
+    prefix window over the 4096-row bucket rollup, offsets broadcast
+    back. The single-task RANGE window over all boundary points (the
+    original q_interval_overlap sweep) must not appear: every ordered
+    window spec leads with `bucket` (local run + rollup prefix sum) or
+    `user_id` (sessionize's per-user boundary windows, partitioned)."""
+    plan = plan_of(spark, sf_dir, "q_interval_overlap_scalable")
+    assert "BroadcastHashJoin" in plan
+    specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+    assert specs, "expected window specs in the plan"
+    assert "bucket" in specs
+    for s in specs:
+        assert s in {"bucket", "user_id", "specifiedwindowframe"}, s
+
+
+def test_skew_diagnostic_windows_touch_only_value_histogram(spark, sf_dir):
+    """q_skew_diagnostic (r9 rewrite): the only window input is the
+    value HISTOGRAM (one row per distinct per-key count) — the r8
+    unpartitioned row_number over the O(n_keys) key rollup is gone.
+    Every window spec's first column must be `cnt` (the histogram
+    prefix sum) or a bare frame; `user_id` (the key rollup's sort
+    tiebreak) must appear in no window spec, and two aggregations
+    (keys, then histogram) must precede the windows."""
+    plan = plan_of(spark, sf_dir, "q_skew_diagnostic")
+    specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+    assert specs, "expected window specs in the plan"
+    for s in specs:
+        assert s in {"cnt", "specifiedwindowframe"}, s
+    assert "row_number" not in plan
+
+
 def test_filter_funnel_is_one_scan_explode_agg(spark, sf_dir):
     """q_filter_funnel: per-doc word stats come from explode + map-side
     agg over ONE documents scan; stage math is integer flags on the

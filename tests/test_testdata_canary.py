@@ -77,6 +77,24 @@ def test_file_schema_pinned(sf_dir, table):
     )
 
 
+def test_embedding_dim_canary(sf_dir):
+    """q_dedup_embedding's oracle bakes the LSH hyperplane matrix for
+    dim=64 into its SQL (plans/llm.py::_ANN_DEDUP_DIM); a dim drift must
+    fail HERE, not as a list_dot_product length error in the driver."""
+    import duckdb
+
+    (dims,) = duckdb.sql(
+        f"SELECT COUNT(DISTINCT len(embedding)) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()
+    (dim,) = duckdb.sql(
+        f"SELECT MAX(len(embedding)) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()
+    assert (dims, dim) == (1, 64), (
+        f"embeddings dim drifted (distinct lens={dims}, max={dim}); "
+        "re-pin plans/llm.py::_ANN_DEDUP_DIM and this canary deliberately"
+    )
+
+
 def test_events_timeline_canary(spark, sf_dir):
     """min/max(ts) must be 2024 — 1970 means a precision mix-up."""
     lo, hi = (
