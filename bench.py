@@ -267,6 +267,12 @@ HEADLINE = [
     "q_interval_overlap_scalable",
     "q_label_propagation_capped",
     "q_kcore_peeled",
+    # round-9 batch 22 (q_containment_join stays correctness-tier: the
+    # exact containment join's candidate set is intrinsically dense on
+    # this corpus — see its doc)
+    "q_decile_transition",
+    "q_mixture_weights",
+    "q_length_buckets",
 ]
 
 

@@ -726,3 +726,106 @@ def set_similarity_join(
             ).alias("jaccard"),
         )
     )
+
+
+def containment_join(
+    documents: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """Directional set-CONTAINMENT join (the overlap/containment member
+    of the PPJoin family — cf. Xiao et al. WWW'08's generalization to
+    overlap constraints): every ORDERED pair (a, b), a != b, with
+    |tokens(a) & tokens(b)| / |tokens(a)| >= ``threshold`` — i.e. doc a
+    is (mostly) a subset of doc b. The dedup case Jaccard misses: a
+    quote, excerpt, or template instance sits INSIDE a larger document,
+    so the union is dominated by b and Jaccard is tiny while
+    containment is ~1.
+
+    Prefix filtering is asymmetric for containment: the CONTAINED side
+    needs overlap >= ceil(t*|a|), so a's rare-first prefix of length
+    |a| - ceil(t*|a|) + 1 must hit b (pigeonhole — if every shared
+    token sat in a's suffix, the overlap would fall short); the
+    container side has no such bound, so the candidate join is
+    prefix(a) x ALL-tokens(b), pruned by the size filter
+    |b| >= ceil(t*|a|) (the overlap cannot exceed |b|). Hot tokens
+    still only generate candidates against rare-first PREFIXES, which
+    is what keeps the join off the n^2 cliff; like
+    ``set_similarity_join``, run it on an exact-deduped corpus — all
+    all-pairs output is multiplicative under duplication.
+
+    Verify is exact: intersection counted by equi-join, threshold as
+    the integer cross-multiply ``den*o >= num*|a|``, containment the
+    single terminal division (bit-exact on both engines).
+
+    Returns (doc_a, doc_b, n_a, n_b, n_common, containment) with doc_a
+    the contained side; both directions of a pair can appear.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    num = int(round(threshold * 1000))
+    den = 1000
+    toks = (
+        documents.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    df_rank = toks.groupBy("token").agg(F.count("*").alias("df"))
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    w = Window.partitionBy("doc_id").orderBy("df", "token")
+    ranked = (
+        toks.join(df_rank, "token")
+        .join(sizes, "doc_id")
+        .select("doc_id", "token", "n_tok", F.row_number().over(w).alias("r"))
+    )
+    prefix = ranked.filter(
+        F.col("r")
+        <= F.col("n_tok")
+        - F.expr(f"({num} * n_tok + {den} - 1) DIV {den}")
+        + 1
+    )
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"),
+        "token",
+        F.col("n_tok").alias("n_a"),
+    )
+    tb = toks.join(sizes, "doc_id").select(
+        F.col("doc_id").alias("doc_b"),
+        "token",
+        F.col("n_tok").alias("n_b"),
+    )
+    cand = (
+        pa.join(tb.hint("shuffle_hash"), "token")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        # size filter: overlap <= |b|, so t*|a| <= |b| or the pair dies
+        .filter(F.expr(f"{den} * n_b >= {num} * n_a"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
+    tb2 = toks.select(F.col("doc_id").alias("doc_b"), "token")
+    inter = (
+        cand.join(ta.hint("shuffle_hash"), "doc_a")
+        .join(tb2.hint("shuffle_hash"), ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.expr(f"{den} * n_common >= {num} * n_a"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            "n_common",
+            F.expr("CAST(n_common AS DOUBLE) / n_a").alias("containment"),
+        )
+    )

@@ -47,35 +47,49 @@ def bucketed_global_row_number(
     descending: bool = True,
     rn_col: str = "rn",
     n_col: str = "n",
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
-    """Append exact global ``rn`` (ROW_NUMBER over the
-    (value [DESC], tiebreak ASC) total order) and total count ``n``
-    without a global sort. ``value`` must be an integer column with
+    """Append exact ``rn`` (ROW_NUMBER over the (value [DESC],
+    tiebreak ASC) total order) and group count ``n`` without a
+    single-task sort. ``value`` must be an integer column with
     ``value + shift >= 0`` (Spark DIV truncates toward zero while an
-    oracle's // floors; non-negative operands make them agree)."""
+    oracle's // floors; non-negative operands make them agree).
+
+    ``partition_by`` generalizes the rank to PER-GROUP total orders
+    (ROW_NUMBER ... OVER (PARTITION BY groups ORDER BY ...)): bucket
+    counts, the prefix sum, and the local windows all carry the group
+    columns, so even a LOW-cardinality partition column (e.g. 2
+    periods, each holding half the corpus) never funnels a group
+    through one task — the naive partitioned window would."""
+    parts = list(partition_by or [])
     b = df.withColumn(
         "__bucket", F.expr(f"CAST(({value} + {shift}) DIV {width} AS BIGINT)")
     )
-    counts = b.groupBy("__bucket").agg(F.count("*").alias("__cnt"))
+    counts = b.groupBy(*parts, "__bucket").agg(F.count("*").alias("__cnt"))
     order = (
         F.col("__bucket").desc() if descending else F.col("__bucket").asc()
     )
     # Prefix-sum + total over the BUCKET ROLLUP only (a few thousand
-    # rows) — the lone empty-partition-spec window in the plan.
-    w_off = Window.orderBy(order).rowsBetween(
+    # rows per group) — the lone data-independent-size window in the
+    # plan (empty partition spec when partition_by is unset).
+    w_off = Window.partitionBy(*parts).orderBy(order).rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = counts.select(
+        *parts,
         "__bucket",
         F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
         .cast("bigint")
         .alias("__off"),
-        F.sum("__cnt").over(Window.partitionBy()).cast("bigint").alias(n_col),
+        F.sum("__cnt")
+        .over(Window.partitionBy(*parts))
+        .cast("bigint")
+        .alias(n_col),
     )
     v_order = F.col(value).desc() if descending else F.col(value).asc()
-    w_local = Window.partitionBy("__bucket").orderBy(v_order, tiebreak)
+    w_local = Window.partitionBy(*parts, "__bucket").orderBy(v_order, tiebreak)
     return (
-        b.join(F.broadcast(offsets), "__bucket")
+        b.join(F.broadcast(offsets), [*parts, "__bucket"])
         .withColumn(
             rn_col,
             (F.col("__off") + F.row_number().over(w_local)).cast("bigint"),

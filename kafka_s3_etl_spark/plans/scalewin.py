@@ -199,3 +199,285 @@ def q_kcore_peeled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a").alias("c_name"), F.lit(0).cast("bigint").alias("deg")
         ).limit(0)
     return kcore(canon, k=min_deg + 2).withColumnRenamed("node", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Batch 22: training-corpus composition + containment dedup + partitioned
+# two-phase ranks.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_containment_join",
+    category="dedup",
+    cost=2,
+    doc=(
+        "Directional set-CONTAINMENT dedup (overlap member of the "
+        "PPJoin family) over the exact-deduped corpus: for every doc "
+        "whose word set sits >= 90% inside some other doc — the "
+        "quote/excerpt/template-instance case Jaccard misses (union "
+        "dominated by the container) — emit its BEST container "
+        "(argmax shared tokens; exact-integer order since |a| is "
+        "fixed per contained doc). Asymmetric prefix filter: the "
+        "contained side joins only its rare-first prefix, the "
+        "container side full tokens with the |b| >= ceil(t*|a|) size "
+        "prune; exact integer cross-multiply verify. The top-1 "
+        "rollup bounds OUTPUT by n (the all-pairs emission is "
+        "quadratic under template clusters — measured 8.3M directional "
+        "pairs at sf0.1); candidate-set cost remains the intrinsic "
+        "price of an exact containment join on a dense corpus, which "
+        "is why this entry is correctness-tier (cost=2), not headline."
+    ),
+    oracle="""
+        WITH uniq AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id)
+                       AS rn
+            FROM documents) WHERE rn = 1
+        ), toks AS (
+          SELECT DISTINCT doc_id, s AS token FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS s
+            FROM uniq)
+          WHERE s != ''
+        ), sz AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM toks GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM toks a JOIN toks b
+            ON b.token = a.token AND b.doc_id != a.doc_id
+          GROUP BY 1, 2
+        ), hits AS (
+          SELECT i.doc_a, i.doc_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+                 CAST(i.n_common AS DOUBLE) / sa.n AS containment
+          FROM inter i
+          JOIN sz sa ON sa.doc_id = i.doc_a
+          JOIN sz sb ON sb.doc_id = i.doc_b
+          WHERE 1000 * i.n_common >= 900 * sa.n
+        )
+        SELECT doc_a, doc_b, n_a, n_b, n_common, containment FROM (
+          SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY doc_a ORDER BY n_common DESC, doc_b
+          ) AS brn FROM hits
+        ) WHERE brn = 1
+    """,
+)
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.dedup import containment_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    # exact-dedup first (keep-lowest-id per text, fingerprint-keyed so
+    # the shuffle moves 8 bytes, not bodies — the q_simjoin_prefix
+    # prefix; the oracle partitions on raw text, identical to ~1e-19)
+    w = Window.partitionBy(F.xxhash64("text")).orderBy("doc_id")
+    uniq = (
+        docs.select("doc_id", "text")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    pairs = containment_join(uniq, threshold=0.9)
+    # Best container per contained doc: |a| is constant within the
+    # partition, so argmax containment == argmax n_common — pure
+    # integer ordering, no float in the sort key.
+    w_best = Window.partitionBy("doc_a").orderBy(
+        F.col("n_common").desc(), "doc_b"
+    )
+    return (
+        pairs.withColumn("brn", F.row_number().over(w_best))
+        .filter(F.col("brn") == 1)
+        .drop("brn")
+    )
+
+
+@register(
+    "q_decile_transition",
+    category="mleval",
+    cost=1,
+    doc=(
+        "Customer spend-decile TRANSITION matrix between the two "
+        "halves of the order timeline — the rank-migration mart every "
+        "retention team builds. Per-period deciles come from the "
+        "PARTITIONED bucketed two-phase rank (operators/ranks.py "
+        "partition_by, new r9): even with only 2 period groups each "
+        "holding half the corpus, no group funnels through one sort "
+        "task — the naive PARTITION BY period NTILE would. Hash-"
+        "matched against DuckDB's native partitioned NTILE."
+    ),
+    oracle="""
+        WITH s AS (
+          SELECT o_custkey AS k,
+                 CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                      THEN 0 ELSE 1 END AS period,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+          FROM orders GROUP BY 1, 2
+        ), d AS (
+          SELECT k, period,
+                 CAST(NTILE(10) OVER (
+                     PARTITION BY period ORDER BY c DESC, k
+                 ) AS INTEGER) AS decile
+          FROM s
+        )
+        SELECT a.decile AS decile_pre, b.decile AS decile_post,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM d a JOIN d b ON b.k = a.k AND a.period = 0 AND b.period = 1
+        GROUP BY 1, 2
+    """,
+)
+def q_decile_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.ranks import (
+        bucketed_global_row_number,
+        ntile_expr,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    s = (
+        orders.select(
+            F.col("o_custkey").alias("k"),
+            F.expr(
+                "CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'"
+                " THEN 0 ELSE 1 END"
+            ).alias("period"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("v"),
+        )
+        .groupBy("k", "period")
+        .agg(F.sum("v").alias("c"))
+    )
+    bounds = s.agg(F.min("c").alias("lo"), F.max("c").alias("hi")).first()
+    if bounds is None or bounds.lo is None:
+        return s.select(
+            F.lit(None).cast("int").alias("decile_pre"),
+            F.lit(None).cast("int").alias("decile_post"),
+            F.lit(None).cast("bigint").alias("n_customers"),
+        ).limit(0)
+    width = max(1, (bounds.hi - bounds.lo) // 4096 + 1)
+    ranked = bucketed_global_row_number(
+        s,
+        "c",
+        "k",
+        shift=-bounds.lo,
+        width=width,
+        descending=True,
+        partition_by=["period"],
+    )
+    d = ranked.select(
+        "k", "period", F.expr(ntile_expr(10)).alias("decile")
+    )
+    a = d.filter(F.col("period") == 0).select(
+        "k", F.col("decile").alias("decile_pre")
+    )
+    b = d.filter(F.col("period") == 1).select(
+        "k", F.col("decile").alias("decile_post")
+    )
+    return (
+        a.join(b, "k")
+        .groupBy("decile_pre", "decile_post")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+    )
+
+
+@register(
+    "q_mixture_weights",
+    category="prep",
+    cost=0,
+    doc=(
+        "Temperature-sampled corpus mixture (T=2, the multilingual-"
+        "training standard: weight_i ~ n_i^(1/2)) with EXACT integer "
+        "arithmetic: num_i = floor(sqrt(n_i * 10^4)) (sqrt of an exact "
+        "integer is IEEE correctly-rounded on both engines, floor "
+        "bit-exact), denominator the exact BIGINT sum, share and "
+        "per-doc sampling rate each ONE division of exact integer "
+        "products — no cross-row float sum ever enters the hash."
+    ),
+    oracle="""
+        WITH l AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY lang
+        ), w AS (
+          SELECT lang, n_docs,
+                 CAST(FLOOR(SQRT(n_docs * 10000)) AS BIGINT) AS num
+          FROM l
+        ), t AS (
+          SELECT lang, n_docs, num,
+                 SUM(num) OVER () AS den, SUM(n_docs) OVER () AS total
+          FROM w
+        )
+        SELECT lang, n_docs,
+               CAST(num AS DOUBLE) / den AS mix_share,
+               CAST(num * total AS DOUBLE) / (den * n_docs)
+                   AS sampling_rate
+        FROM t
+    """,
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    w = l.select(
+        "lang",
+        "n_docs",
+        F.expr("CAST(FLOOR(SQRT(n_docs * 10000)) AS BIGINT)").alias("num"),
+    )
+    w_all = Window.partitionBy()
+    t = w.select(
+        "lang",
+        "n_docs",
+        "num",
+        F.sum("num").over(w_all).alias("den"),
+        F.sum("n_docs").over(w_all).alias("total"),
+    )
+    return t.select(
+        "lang",
+        "n_docs",
+        F.expr("CAST(num AS DOUBLE) / den").alias("mix_share"),
+        F.expr(
+            "CAST(num * total AS DOUBLE) / (den * n_docs)"
+        ).alias("sampling_rate"),
+    )
+
+
+@register(
+    "q_length_buckets",
+    category="prep",
+    cost=0,
+    doc=(
+        "Length-bucketed batching manifest: documents grouped into "
+        "decimal-magnitude word-count buckets (digit count of n_words "
+        "— an exact integer-string projection both engines share, no "
+        "float log), per bucket the doc count, total words, and the "
+        "number of 8192-word training batches (ceil via integer DIV) "
+        "— the manifest a length-bucketed dataloader packs from. One "
+        "scan, map-side combinable."
+    ),
+    oracle="""
+        WITH d AS (
+          SELECT CAST(LENGTH(CAST(len(string_split(text, ' ')) AS VARCHAR))
+                      AS INTEGER) AS bucket,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+          FROM documents
+        )
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS total_words,
+               CAST((SUM(n_words) + 8191) // 8192 AS BIGINT) AS n_batches
+        FROM d GROUP BY bucket
+    """,
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        F.expr(
+            "CAST(LENGTH(CAST(size(split(text, ' ')) AS STRING)) AS INT)"
+        ).alias("bucket"),
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_words"),
+    )
+    return d.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.expr("CAST((SUM(n_words) + 8191) DIV 8192 AS BIGINT)").alias(
+            "n_batches"
+        ),
+    )

@@ -54,6 +54,30 @@ def test_bucketed_rank_ascending(spark):
     assert all(r.rn == r.rn_ref for r in j)
 
 
+def test_bucketed_rank_partitioned_equals_partitioned_row_number(spark):
+    """partition_by groups: per-group rank and per-group n must equal
+    ROW_NUMBER/COUNT OVER (PARTITION BY g ...) — including groups of
+    wildly different sizes and values colliding across groups."""
+    rng = random.Random(21)
+    rows = []
+    for i in range(400):
+        g = 0 if i < 350 else 1  # skewed group sizes
+        rows.append((i, g, rng.choice([rng.randint(-50, 50), 7, 7])))
+    df = spark.createDataFrame(rows, "k long, g int, c long")
+    got = bucketed_global_row_number(
+        df, "c", "k", shift=50, width=16, descending=True,
+        partition_by=["g"],
+    )
+    w = Window.partitionBy("g").orderBy(F.col("c").desc(), "k")
+    want = df.withColumn("rn_ref", F.row_number().over(w)).withColumn(
+        "n_ref", F.count("*").over(Window.partitionBy("g"))
+    )
+    j = got.join(want, ["k", "g", "c"]).collect()
+    assert len(j) == 400
+    assert all(r.rn == r.rn_ref for r in j)
+    assert all(r.n == r.n_ref for r in j)
+
+
 def test_ntile_closed_form_matches_spark_ntile(spark):
     for n, parts in [(1, 10), (7, 10), (10, 10), (23, 10), (100, 7),
                      (13, 4), (4, 4), (3, 4)]:
