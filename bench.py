@@ -273,6 +273,11 @@ HEADLINE = [
     "q_decile_transition",
     "q_mixture_weights",
     "q_length_buckets",
+    # round-9 batch 23
+    "q_melt",
+    "q_kmv_sketch",
+    "q_interval_join",
+    "q_ann_recall",
 ]
 
 

@@ -1,0 +1,377 @@
+"""Round-9 batch 23: reshaping surface (unpivot/melt), mergeable
+distinct sketches, interval joins, and retrieval-quality evaluation.
+
+Each entry keeps the house discipline: JVM expressions only, exact
+integers wherever a value enters the hash, floats only as a single
+terminal division of exact operands, windows only over rollups or
+properly partitioned frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kafka_s3_etl_spark.operators.prep import md5_int32
+from kafka_s3_etl_spark.operators.temporal import sessionize
+from kafka_s3_etl_spark.plans.registry import register
+from kafka_s3_etl_spark.sources.tables import load_table
+
+
+@register(
+    "q_melt",
+    category="relational",
+    cost=0,
+    doc=(
+        "Wide-to-long reshape via the native DataFrame.unpivot (Spark "
+        "3.4+ melt): per-nation customer metrics (count, balance "
+        "cents, negative-balance count — all exact BIGINTs) unpivoted "
+        "to (nation, metric, value) rows, vs DuckDB's UNPIVOT. "
+        "Map-only after one rollup; value columns share one type so "
+        "no implicit cast enters the hash."
+    ),
+    oracle="""
+        WITH wide AS (
+          SELECT c_nationkey,
+                 CAST(COUNT(*) AS BIGINT) AS n_customers,
+                 CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                      AS BIGINT) AS balance_cents,
+                 CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_negative
+          FROM customer GROUP BY c_nationkey
+        )
+        SELECT c_nationkey, metric, value
+        FROM (UNPIVOT wide ON n_customers, balance_cents, n_negative
+              INTO NAME metric VALUE value)
+    """,
+)
+def q_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum(F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("balance_cents"),
+            F.sum(F.expr("CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_negative"),
+        )
+    )
+    return wide.unpivot(
+        ids=["c_nationkey"],
+        values=["n_customers", "balance_cents", "n_negative"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+_KMV_K = 64
+
+
+@register(
+    "q_kmv_sketch",
+    category="sketch",
+    cost=0,
+    doc=(
+        "KMV (k-minimum-values) distinct-count sketch per event type — "
+        "the mergeable bottom-k sibling of HLL that, unlike HLL, has "
+        "an exact cross-engine replay: hash users with the house "
+        "md5_int32 (bit-identical in DuckDB), take the k-th smallest "
+        "DISTINCT hash h_k via the PARTITIONED bucketed two-phase "
+        "rank (operators/ranks.py — no per-type single-task sort; "
+        "merging sketches = re-taking bottom-k of a union), estimate "
+        "(k-1) * 2^32 / h_k as ONE division of exact BIGINTs, and "
+        "emit the exact distinct-hash count beside it so the error is "
+        "auditable in the result itself."
+    ),
+    oracle=f"""
+        WITH h AS (
+          SELECT DISTINCT event_type,
+                 CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS hv
+          FROM events
+        ), r AS (
+          SELECT event_type, hv,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY event_type ORDER BY hv
+                 ) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+          FROM h
+        )
+        SELECT event_type,
+               CAST(MAX(n_exact) AS BIGINT) AS n_exact,
+               CAST(MAX(CASE WHEN rn = {_KMV_K} THEN hv END)
+                    AS BIGINT) AS h_k,
+               CAST(({_KMV_K} - 1) * 4294967296 AS DOUBLE)
+                   / MAX(CASE WHEN rn = {_KMV_K} THEN hv END)
+                   AS kmv_estimate
+        FROM r GROUP BY event_type
+    """,
+)
+def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.ranks import bucketed_global_row_number
+
+    h = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            md5_int32(F.col("user_id").cast("string")).alias("hv"),
+        )
+        .distinct()
+    )
+    # hv is uniform in [0, 2^32): width 2^24 gives 256 histogram cells
+    # per type, so the rank windows only ever see bucket slices.
+    r = bucketed_global_row_number(
+        h,
+        "hv",
+        "hv",
+        shift=0,
+        width=1 << 24,
+        descending=False,
+        partition_by=["event_type"],
+        n_col="n_exact",
+    )
+    return r.groupBy("event_type").agg(
+        F.max("n_exact").cast("bigint").alias("n_exact"),
+        F.max(F.expr(f"CASE WHEN rn = {_KMV_K} THEN hv END"))
+        .cast("bigint")
+        .alias("h_k"),
+        F.expr(
+            f"CAST(({_KMV_K} - 1) * 4294967296 AS DOUBLE)"
+            f" / MAX(CASE WHEN rn = {_KMV_K} THEN hv END)"
+        ).alias("kmv_estimate"),
+    )
+
+
+_N_IVAL_BUCKETS = 4096
+
+
+@register(
+    "q_interval_join",
+    category="temporal",
+    cost=1,
+    doc=(
+        "Interval-overlap JOIN (sessions x sessions of OTHER users "
+        "overlapping in time), the band-join shape a naive engine "
+        "writes as cross-join + filter: here each session fans out to "
+        "the 4096-bucket time grid cells it spans (fan-out = "
+        "span/width + 1, bounded because session gaps bound spans), "
+        "candidates come from the bucket EQUI join, the exact overlap "
+        "predicate filters, and multi-bucket co-occurrence dedups on "
+        "the id pair BEFORE the rollup. Output: per session the count "
+        "of overlapping foreign sessions. Oracle states the O(n^2) "
+        "semantics directly."
+    ),
+    oracle="""
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                               PARTITION BY user_id ORDER BY ts)
+                           <= 600000000
+                      THEN 0 ELSE 1 END AS new_session
+          FROM events
+        ),
+        numbered AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (
+                     PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS session_id
+          FROM marked
+        ),
+        sessions AS (
+          SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                 MIN(ts) AS s, MAX(ts) AS e
+          FROM numbered GROUP BY user_id, session_id
+        )
+        SELECT a.user_id, a.session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_overlap
+        FROM sessions a JOIN sessions b
+          ON a.user_id != b.user_id AND a.s <= b.e AND b.s <= a.e
+        GROUP BY a.user_id, a.session_id
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = sessionize(load_table(spark, sf_dir, "events")).select(
+        "user_id",
+        F.col("session_id").cast("bigint").alias("session_id"),
+        F.unix_micros("session_start").alias("s"),
+        F.unix_micros("session_end").alias("e"),
+    )
+    bounds = sess.agg(F.min("s").alias("lo"), F.max("e").alias("hi")).first()
+    if bounds is None or bounds.lo is None:
+        return sess.select(
+            "user_id",
+            "session_id",
+            F.lit(None).cast("bigint").alias("n_overlap"),
+        ).limit(0)
+    width = max(1, (bounds.hi - bounds.lo) // _N_IVAL_BUCKETS + 1)
+    fanned = sess.select(
+        "user_id",
+        "session_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.expr(f"(s - {bounds.lo}) DIV {width}"),
+                F.expr(f"(e - {bounds.lo}) DIV {width}"),
+            )
+        ).alias("cell"),
+    )
+    a = fanned.select(
+        F.col("user_id").alias("u_a"),
+        F.col("session_id").alias("s_a"),
+        F.col("s").alias("start_a"),
+        F.col("e").alias("end_a"),
+        "cell",
+    )
+    b = fanned.select(
+        F.col("user_id").alias("u_b"),
+        F.col("session_id").alias("s_b"),
+        F.col("s").alias("start_b"),
+        F.col("e").alias("end_b"),
+        "cell",
+    )
+    pairs = (
+        a.join(b.hint("shuffle_hash"), "cell")
+        .filter(
+            (F.col("u_a") != F.col("u_b"))
+            & (F.col("start_a") <= F.col("end_b"))
+            & (F.col("start_b") <= F.col("end_a"))
+        )
+        .select("u_a", "s_a", "u_b", "s_b")
+        .distinct()
+    )
+    return pairs.groupBy(
+        F.col("u_a").alias("user_id"), F.col("s_a").alias("session_id")
+    ).agg(F.count("*").cast("bigint").alias("n_overlap"))
+
+
+def _ann_recall_oracle() -> str:
+    from kafka_s3_etl_spark.plans.llm import ann_sign_rows
+
+    return f"""
+        WITH signs(table_id, bit, s) AS (VALUES {ann_sign_rows()}),
+        base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        b AS MATERIALIZED (
+          SELECT vec_id, table_id,
+                 CAST(SUM(CASE WHEN list_dot_product(e, s) > 0
+                               THEN bit ELSE 0 END) AS BIGINT) AS bucket
+          FROM base, signs GROUP BY vec_id, table_id
+        ),
+        q AS (SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < 8),
+        exact AS MATERIALIZED (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY list_cosine_similarity(q.qe, c.e) DESC,
+                                c.vec_id
+                   ) AS rnk
+            FROM base c JOIN q ON c.vec_id != q.qid
+          ) WHERE rnk <= 5
+        ),
+        cand AS (
+          SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+          FROM b qb JOIN b cb
+            ON cb.table_id = qb.table_id AND cb.bucket = qb.bucket
+               AND cb.vec_id != qb.vec_id
+          WHERE qb.vec_id < 8
+        ),
+        lsh AS MATERIALIZED (
+          SELECT query_id, neighbor_id, rnk FROM (
+            SELECT c.query_id, c.neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY list_cosine_similarity(eq.e, en.e) DESC,
+                                c.neighbor_id
+                   ) AS rnk
+            FROM cand c
+            JOIN base eq ON eq.vec_id = c.query_id
+            JOIN base en ON en.vec_id = c.neighbor_id
+          ) WHERE rnk <= 5
+        ),
+        hits AS (
+          SELECT l.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+                 CAST(MIN(l.rnk) AS BIGINT) AS best_rank
+          FROM lsh l JOIN exact x
+            ON x.query_id = l.query_id AND x.neighbor_id = l.neighbor_id
+          GROUP BY l.query_id
+        ),
+        queries AS (SELECT DISTINCT query_id FROM exact)
+        SELECT qq.query_id,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5 AS recall_at_5,
+               CASE WHEN h.best_rank IS NULL THEN 0.0
+                    ELSE 1.0 / h.best_rank END AS mrr
+        FROM queries qq LEFT JOIN hits h ON h.query_id = qq.query_id
+    """
+
+
+@register(
+    "q_ann_recall",
+    category="similarity",
+    cost=1,
+    doc=(
+        "Retrieval-quality evaluation of the LSH ANN index against "
+        "exact search — the recall@5 / MRR audit every ANN deployment "
+        "runs before trusting the index: brute-force exact top-5 is "
+        "the truth set, the pinned sign-LSH top-5 (6 planes x 8 "
+        "tables, same hyperplane matrix as q_dedup_embedding) is the "
+        "candidate ranking, per-query n_hits / recall / MRR are exact "
+        "integers plus one terminal division each. The oracle replays "
+        "BOTH pipelines in SQL (sign-matrix literals + "
+        "list_dot_product bucket replay), so even the approximate "
+        "index's output is hash-verified, not just sanity-checked."
+    ),
+    oracle=_ann_recall_oracle(),
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.similarity import (
+        ann_lsh_topk,
+        brute_force_topk,
+    )
+    from kafka_s3_etl_spark.plans.llm import (
+        _ANN_DEDUP_PLANES,
+        _ANN_DEDUP_TABLES,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact5 = brute_force_topk(emb, n_queries=8, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    lsh5 = ann_lsh_topk(
+        emb,
+        n_queries=8,
+        k=5,
+        planes=_ANN_DEDUP_PLANES,
+        tables=_ANN_DEDUP_TABLES,
+    ).select("query_id", "neighbor_id", "rank")
+    hits = (
+        lsh5.join(exact5, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hits"),
+            F.min("rank").cast("bigint").alias("best_rank"),
+        )
+    )
+    queries = exact5.select("query_id").distinct()
+    return queries.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.expr("CAST(COALESCE(n_hits, 0) AS DOUBLE) / 5").alias(
+            "recall_at_5"
+        ),
+        # literals CAST to DOUBLE: a bare 1.0 is DECIMAL in Spark SQL
+        # and would type the column DECIMAL(23,22) vs the oracle's
+        # DOUBLE
+        F.expr(
+            "CASE WHEN best_rank IS NULL THEN CAST(0.0 AS DOUBLE)"
+            " ELSE CAST(1.0 AS DOUBLE) / best_rank END"
+        ).alias("mrr"),
+    )

@@ -134,17 +134,28 @@ _ANN_DEDUP_TABLES = 8
 _ANN_DEDUP_DIM = 64  # pinned to the testdata corpus; canary-checked
 
 
-def _ann_dedup_oracle(threshold: float) -> str:
+def ann_sign_rows(
+    tables: int = _ANN_DEDUP_TABLES,
+    planes: int = _ANN_DEDUP_PLANES,
+    dim: int = _ANN_DEDUP_DIM,
+) -> str:
+    """The pinned LSH hyperplane matrix rendered as SQL VALUES rows
+    (table_id, bit, s DOUBLE[]) — the oracle-side twin of
+    `_sign_table`; shared by every oracle that replays LSH buckets."""
     from kafka_s3_etl_spark.operators.similarity import _plane_signs
 
-    signs = _plane_signs(_ANN_DEDUP_TABLES, _ANN_DEDUP_PLANES, _ANN_DEDUP_DIM)
-    rows = ", ".join(
+    signs = _plane_signs(tables, planes, dim)
+    return ", ".join(
         f"({t}, {1 << p}, ["
         + ",".join(str(int(v)) for v in signs[t][p])
         + "]::DOUBLE[])"
-        for t in range(_ANN_DEDUP_TABLES)
-        for p in range(_ANN_DEDUP_PLANES)
+        for t in range(tables)
+        for p in range(planes)
     )
+
+
+def _ann_dedup_oracle(threshold: float) -> str:
+    rows = ann_sign_rows()
     return f"""
         WITH signs(table_id, bit, s) AS (VALUES {rows}),
         base AS (

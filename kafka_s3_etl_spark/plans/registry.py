@@ -68,6 +68,7 @@ _PLAN_MODULES = [
     "kafka_s3_etl_spark.plans.asof_ext",
     "kafka_s3_etl_spark.plans.rolling",
     "kafka_s3_etl_spark.plans.scalewin",
+    "kafka_s3_etl_spark.plans.evalops",
 ]
 
 
