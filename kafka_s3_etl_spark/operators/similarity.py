@@ -406,7 +406,7 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95) -> DataF
 def embedding_near_dups_ann(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    planes: int = 6,
+    planes: int | None = None,
     tables: int = ANN_TABLES,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs with a REAL ANN candidate source:
@@ -441,8 +441,19 @@ def embedding_near_dups_ann(
     across hash tables. Deterministic: the hyperplanes are the seeded
     ``_plane_signs`` matrix, so the candidate set is a pure function of
     the corpus and (planes, tables).
+
+    ``planes=None`` derives the plane count from the corpus size
+    (``_auto_planes``) so per-bucket candidate pairs stay ~constant as
+    the corpus grows — the production setting. The registered
+    q_dedup_embedding PINS planes instead, because its DuckDB oracle
+    replays the hyperplane matrix as literals and must see the same
+    bucket layout at every SF; a pinned layout's candidate work grows
+    ~quadratically with bucket occupancy, which is the oracle-parity
+    price, not the operator's.
     """
     spark = embeddings.sparkSession
+    if planes is None:
+        planes = _auto_planes(embeddings.count())
     dim_row = embeddings.select(F.size("embedding")).first()
     if dim_row is None:
         raise ValueError(

@@ -214,6 +214,23 @@ PROBE_QUERIES = [
     # round-8 batch 20 (windows over the scaled daily rollup)
     "q_rolling_median",
     "q_rolling_corr",
+    # round-9 batches 21-23: the upgraded ANN dedup rides the 10x
+    # twinned embeddings (every vector gains 9 exact twins — real
+    # cross-copy duplicate structure for the LSH buckets); the
+    # scalable sweeps/ranks ride the scaled events/orders facts; the
+    # capped LPA and adaptive kcore ride the regenerated name graph
+    "q_dedup_embedding",
+    "q_interval_overlap_scalable",
+    "q_label_propagation_capped",
+    "q_kcore_peeled",
+    "q_decile_transition",
+    "q_containment_join",
+    "q_interval_join",
+    "q_kmv_sketch",
+    "q_ann_recall",
+    "q_melt",
+    "q_mixture_weights",
+    "q_length_buckets",
 ]
 
 
