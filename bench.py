@@ -278,6 +278,10 @@ HEADLINE = [
     "q_kmv_sketch",
     "q_interval_join",
     "q_ann_recall",
+    # round-9 batch 24
+    "q_winsorize_scalable",
+    "q_oov_rate",
+    "x_cache_reuse",
 ]
 
 

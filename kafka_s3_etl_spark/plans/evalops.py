@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kafka_s3_etl_spark.operators.prep import md5_int32
+from kafka_s3_etl_spark.plans.prep import WINSORIZE_ORACLE
 from kafka_s3_etl_spark.operators.temporal import sessionize
 from kafka_s3_etl_spark.plans.registry import register
 from kafka_s3_etl_spark.sources.tables import load_table
@@ -374,4 +375,200 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN best_rank IS NULL THEN CAST(0.0 AS DOUBLE)"
             " ELSE CAST(1.0 AS DOUBLE) / best_rank END"
         ).alias("mrr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 24: feature hygiene (winsorization), tokenizer coverage audit,
+# and the cache/persist runtime surface.
+# ---------------------------------------------------------------------------
+
+
+_OOV_VOCAB = 200
+
+
+@register(
+    "q_oov_rate",
+    category="text",
+    cost=0,
+    doc=(
+        "Tokenizer-coverage audit: build the top-200 token vocabulary "
+        "(one map-side-combined count + a rank window over the "
+        "vocabulary-sized rollup only), broadcast it, and measure the "
+        "out-of-vocabulary token rate per language — the coverage "
+        "number that decides whether a tokenizer's vocab transfers to "
+        "a new corpus slice. Totals are exact BIGINTs; the rate is one "
+        "terminal division."
+    ),
+    oracle=f"""
+        WITH toks AS (
+          SELECT lang, s AS token
+          FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS s
+                FROM documents)
+        ), counts AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+          FROM toks GROUP BY token
+        ), vocab AS (
+          SELECT token FROM (
+            SELECT token,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, token) AS r
+            FROM counts
+          ) WHERE r <= {_OOV_VOCAB}
+        )
+        SELECT t.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS oov_rate
+        FROM toks t LEFT JOIN vocab v ON v.token = t.token
+        GROUP BY t.lang
+    """,
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "token")
+    vocab = (
+        counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _OOV_VOCAB)
+        .select("token", F.lit(1).alias("iv"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.expr("CASE WHEN iv IS NULL THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.expr(
+                "CAST(SUM(CASE WHEN iv IS NULL THEN 1 ELSE 0 END)"
+                " AS DOUBLE) / COUNT(*)"
+            ).alias("oov_rate"),
+        )
+    )
+
+
+@register(
+    "x_cache_reuse",
+    category="lakehouse",
+    cost=0,
+    doc=(
+        "Explicit .cache() reuse — the one Spark materialization "
+        "surface the catalog didn't exercise (localCheckpoint cuts "
+        "lineage; cache REUSES a computed rollup across consumers): "
+        "the per-priority order rollup is cached, consumed once by the "
+        "1-row grand-total aggregate and once by the share projection, "
+        "so the plan shows InMemoryTableScan on both branches instead "
+        "of two parquet scans (pinned in tests/test_plans.py). Shares "
+        "are single divisions of exact cents/counts."
+    ),
+    oracle="""
+        WITH r AS (
+          SELECT o_orderpriority,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS revenue_cents
+          FROM orders GROUP BY o_orderpriority
+        ), t AS (
+          SELECT CAST(SUM(n_orders) AS BIGINT) AS tn,
+                 CAST(SUM(revenue_cents) AS BIGINT) AS tr
+          FROM r
+        )
+        SELECT o_orderpriority, n_orders, revenue_cents,
+               CAST(n_orders AS DOUBLE) / tn AS order_share,
+               CAST(revenue_cents AS DOUBLE) / tr AS revenue_share
+        FROM r, t
+    """,
+)
+def x_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rollup = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .cache()
+    )
+    totals = rollup.agg(
+        F.sum("n_orders").cast("bigint").alias("tn"),
+        F.sum("revenue_cents").cast("bigint").alias("tr"),
+    )
+    return rollup.crossJoin(F.broadcast(totals)).select(
+        "o_orderpriority",
+        "n_orders",
+        "revenue_cents",
+        F.expr("CAST(n_orders AS DOUBLE) / tn").alias("order_share"),
+        F.expr("CAST(revenue_cents AS DOUBLE) / tr").alias("revenue_share"),
+    )
+
+
+@register(
+    "q_winsorize_scalable",
+    category="prep",
+    cost=0,
+    doc=(
+        "q_winsorize without the per-flag single-reducer rank sort — "
+        "closing that entry's documented scale note: the p01/p99 CUT "
+        "stage runs through the PARTITIONED bucketed two-phase rank "
+        "(value = exact price cents, a few thousand histogram buckets "
+        "per flag; cut VALUES at a rank are tie-order independent, so "
+        "any total order over price agrees), cuts broadcast back, and "
+        "the clipping join is unchanged. Hash-matches q_winsorize's "
+        "oracle — two physically different cut plans, one result. The "
+        "rank positions reuse the oracle's float formula "
+        "ceil(0.01 * n) verbatim (bit-identical across engines); an "
+        "integer reformulation could disagree at boundary n."
+    ),
+    oracle=WINSORIZE_ORACLE,
+)
+def q_winsorize_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.ranks import bucketed_global_row_number
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    base = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("v"),
+    )
+    ranked = bucketed_global_row_number(
+        base,
+        "v",
+        "l_orderkey",
+        shift=0,
+        width=4096,
+        descending=False,
+        partition_by=["l_returnflag"],
+    )
+    cuts = ranked.groupBy("l_returnflag").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.01 * F.col("n")).cast("bigint"),
+                F.col("l_extendedprice"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.99 * F.col("n")).cast("bigint"),
+                F.col("l_extendedprice"),
+            )
+        ).alias("hi"),
+    )
+    return li.join(F.broadcast(cuts), "l_returnflag").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.expr(
+            "LEAST(GREATEST(l_extendedprice, lo), hi)"
+        ).alias("price_w"),
     )

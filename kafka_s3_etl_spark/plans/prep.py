@@ -274,22 +274,9 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(deduped.join(train.select("doc_id"), "doc_id"))
 
 
-@register(
-    "q_winsorize",
-    category="prep",
-    doc=(
-        "Winsorization: clamp per-returnflag prices to the rank-based "
-        "p01/p99 cut values — the outlier-clipping prep pass. The cuts "
-        "are DISCRETE (actual data values picked by deterministic rank "
-        "with a unique-key tie-break), so every output value is an "
-        "exact input double and the per-row floats hash cleanly with no "
-        "rounding anywhere. SCALE NOTE: the exact rank window partitions "
-        "on the 3-value flag — fine here, a single-reducer sort at "
-        "100 TB; at that scale swap ONLY the cut stage for "
-        "percentile_approx (or a sampled rank), keeping the broadcast "
-        "clipping join unchanged. The oracle needs the exact form."
-    ),
-    oracle="""
+# Shared with q_winsorize_scalable (plans/evalops.py) — same answer,
+# different cut-stage physical plan.
+WINSORIZE_ORACLE = """
         WITH ranked AS (
           SELECT l_returnflag, l_extendedprice,
                  ROW_NUMBER() OVER (
@@ -310,7 +297,26 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
                LEAST(GREATEST(l.l_extendedprice, c.lo), c.hi) AS price_w
         FROM lineitem l JOIN cuts c USING (l_returnflag)
-    """,
+    """
+
+
+@register(
+    "q_winsorize",
+    category="prep",
+    doc=(
+        "Winsorization: clamp per-returnflag prices to the rank-based "
+        "p01/p99 cut values — the outlier-clipping prep pass. The cuts "
+        "are DISCRETE (actual data values picked by deterministic rank "
+        "with a unique-key tie-break), so every output value is an "
+        "exact input double and the per-row floats hash cleanly with no "
+        "rounding anywhere. ORACLE-PARITY TWIN for the cut stage: the "
+        "exact rank window partitions on the 3-value flag — a single-"
+        "reducer sort per flag at 100 TB. q_winsorize_scalable "
+        "(plans/evalops.py) hash-matches this same oracle with the "
+        "partitioned bucketed two-phase rank and is the shape to run "
+        "at scale; the broadcast clipping join is shared."
+    ),
+    oracle=WINSORIZE_ORACLE,
 )
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F

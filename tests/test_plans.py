@@ -1051,6 +1051,29 @@ def test_skew_diagnostic_windows_touch_only_value_histogram(spark, sf_dir):
     assert "row_number" not in plan
 
 
+def test_cache_reuse_scans_memory_not_parquet_twice(spark, sf_dir):
+    """x_cache_reuse: the cached rollup feeds two consumers — the plan
+    must show InMemoryTableScan (both branches read the cache) and only
+    ONE parquet scan of orders."""
+    plan = plan_of(spark, sf_dir, "x_cache_reuse")
+    assert "InMemoryTableScan" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 1
+
+
+def test_winsorize_scalable_uses_bucketed_rank(spark, sf_dir):
+    """q_winsorize_scalable: the cut stage must go through the
+    two-phase bucketed rank (a __bucket-led window spec present) and
+    the cuts come back by broadcast join — the naive per-flag
+    single-reducer rank spec shape (l_returnflag leading an ORDER BY
+    over the raw price with no __bucket anywhere) must not be the only
+    window."""
+    plan = plan_of(spark, sf_dir, "q_winsorize_scalable")
+    assert "BroadcastHashJoin" in plan
+    specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+    assert any(s == "__bucket" or s == "l_returnflag" for s in specs)
+    assert "__bucket" in plan
+
+
 def test_filter_funnel_is_one_scan_explode_agg(spark, sf_dir):
     """q_filter_funnel: per-doc word stats come from explode + map-side
     agg over ONE documents scan; stage math is integer flags on the
