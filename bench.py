@@ -282,6 +282,9 @@ HEADLINE = [
     "q_winsorize_scalable",
     "q_oov_rate",
     "x_cache_reuse",
+    # round-9 batch 25
+    "q_try_arithmetic",
+    "q_arrow_token_stats",
 ]
 
 

@@ -572,3 +572,102 @@ def q_winsorize_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "LEAST(GREATEST(l_extendedprice, lo), hi)"
         ).alias("price_w"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 25: error-safe ANSI expressions + the Arrow-native map path.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_try_arithmetic",
+    category="relational",
+    cost=0,
+    doc=(
+        "Error-safe expression surface: try_cast on a hostile string "
+        "(the leading 2 chars of event_type — never numeric, so the "
+        "cast-failure path is exercised on every row), JSON-extracted "
+        "integers, and try_divide whose denominator hits zero on a "
+        "deterministic residue class — NULL-on-error instead of ANSI "
+        "aborts, the semantics a production pipeline needs on dirty "
+        "data. Oracle spells the same semantics with TRY_CAST and "
+        "NULLIF. Aggregated per event type: NULL-skipping SUM over "
+        "exact BIGINTs, counts of each failure class."
+    ),
+    oracle="""
+        WITH e AS (
+          SELECT event_type,
+                 TRY_CAST(substr(event_type, 1, 2) AS BIGINT) AS bad_cast,
+                 TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events
+        ), d AS (
+          SELECT event_type, bad_cast, k,
+                 cents / NULLIF(k % 7 - 3, 0) AS safe_ratio
+          FROM e
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN bad_cast IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cast_failed,
+               CAST(SUM(CASE WHEN safe_ratio IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_div_zero,
+               CAST(SUM(k) AS BIGINT) AS k_total
+        FROM d GROUP BY event_type
+    """,
+)
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("try_cast(substr(event_type, 1, 2) AS BIGINT)").alias(
+            "bad_cast"
+        ),
+        F.expr(
+            "try_cast(get_json_object(props, '$.k') AS BIGINT)"
+        ).alias("k"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    d = e.select(
+        "event_type",
+        "bad_cast",
+        "k",
+        F.expr("try_divide(cents, k % 7 - 3)").alias("safe_ratio"),
+    )
+    return d.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.expr("CASE WHEN bad_cast IS NULL THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_cast_failed"),
+        F.sum(F.expr("CASE WHEN safe_ratio IS NULL THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_div_zero"),
+        F.sum("k").cast("bigint").alias("k_total"),
+    )
+
+
+@register(
+    "q_arrow_token_stats",
+    category="text",
+    cost=0,
+    doc=(
+        "The Arrow-NATIVE Python map path (DataFrame.mapInArrow): "
+        "per-doc token/char counts computed with pyarrow.compute "
+        "kernels on the raw RecordBatches — no pandas materialization "
+        "at all, the zero-copy shape for Python feature extraction "
+        "the mapInPandas family approximates. Partition-preserving, "
+        "one scan; split semantics match Spark split / DuckDB "
+        "string_split exactly (empty tokens kept)."
+    ),
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(LENGTH(text) AS BIGINT) AS n_chars
+        FROM documents
+    """,
+)
+def q_arrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.arrowops import token_stats_arrow
+
+    return token_stats_arrow(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )

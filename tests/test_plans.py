@@ -1135,3 +1135,13 @@ def test_rolling_stats_window_over_rollup_only(spark, sf_dir):
         specs = re.findall(r"windowspecdefinition\((\w+)", plan)
         assert specs and all(s.startswith("pri") for s in specs), (name, specs)
         assert "BatchEvalPython" not in plan, name
+
+
+def test_arrow_token_stats_uses_arrow_eval_not_pandas(spark, sf_dir):
+    """q_arrow_token_stats: the Python stage must be the Arrow-native
+    map (MapInArrow/ArrowEvalPython / PythonMapInArrow node), never a
+    row-at-a-time BatchEvalPython, and there is exactly one scan."""
+    plan = plan_of(spark, sf_dir, "q_arrow_token_stats")
+    assert "Arrow" in plan
+    assert "BatchEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
