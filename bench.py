@@ -285,6 +285,8 @@ HEADLINE = [
     # round-9 batch 25
     "q_try_arithmetic",
     "q_arrow_token_stats",
+    # round-9 batch 26
+    "q_line_dedup",
 ]
 
 
@@ -443,6 +445,13 @@ KNOWN_SLOWER = {
         "only adds analysis time). Data cost at sf0.1 is "
         "milliseconds; the delta vs r6 is environment noise on "
         "fixed per-job overhead, not a plan change."
+    ),
+    "q_recursive_tree": (
+        "r9 flagged 1.15s->1.78s vs the r-local baseline; an idle "
+        "3-run re-check lands 1.4-2.0s (median ~1.5s) with the query "
+        "unchanged since r7 — the 1.15s baseline was a best-case "
+        "sample of an iterative loop whose cost is per-round job "
+        "scheduling (same class as q_graph_pagerank above), not data."
     ),
     "s_cdc_upsert": (
         "r5 partition-pruned CDC apply (VERDICT r4 #2): each micro-batch "

@@ -431,10 +431,12 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.explode(F.split("text", " ")).alias("token")
     )
     counts = toks.groupBy("token").agg(F.count("*").alias("n"))
-    w = Window.orderBy(F.col("n").desc(), "token")
+    # TakeOrdered (per-partition heap + driver merge of 200 rows), the
+    # vocab_topk shape — never a single-task rank window over the
+    # vocabulary-sized rollup.
     vocab = (
-        counts.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= _OOV_VOCAB)
+        counts.orderBy(F.col("n").desc(), "token")
+        .limit(_OOV_VOCAB)
         .select("token", F.lit(1).alias("iv"))
     )
     return (
@@ -670,4 +672,106 @@ def q_arrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return token_stats_arrow(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 26: corpus boilerplate removal (line-level dedup, the
+# CCNet/RefinedWeb cleaning stage).
+# ---------------------------------------------------------------------------
+
+_LINE_WORDS = 8
+_LINE_MAX_OCC = 2
+
+
+@register(
+    "q_line_dedup",
+    category="dedup",
+    cost=1,
+    doc=(
+        "Line-level boilerplate removal (the CCNet/RefinedWeb cleaning "
+        "stage): documents split into fixed 8-word 'lines' (the corpus "
+        "has no sentence punctuation; the pipeline shape is identical "
+        "for real lines), a global line-frequency rollup flags lines "
+        "occurring > 2 times as boilerplate, and each doc is REBUILT "
+        "from its surviving lines in original order (sorted-struct "
+        "collect, no window) with an auditable boilerplate rate (one "
+        "exact division). The frequency rollup shuffles md5-sized "
+        "lines once; reassembly shuffles on doc_id once."
+    ),
+    oracle=f"""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), ld AS (
+          SELECT doc_id,
+                 list_transform(
+                     range((len(ws) - 1) // {_LINE_WORDS} + 1),
+                     i -> array_to_string(
+                         list_slice(ws, i * {_LINE_WORDS} + 1,
+                                    i * {_LINE_WORDS} + {_LINE_WORDS}),
+                         ' ')
+                 ) AS lines
+          FROM w WHERE len(ws) > 0
+        ), l AS (
+          SELECT doc_id, i AS pos, lines[i + 1] AS line
+          FROM ld, UNNEST(range(len(lines))) AS t(i)
+        ), c AS (
+          SELECT line, CAST(COUNT(*) AS BIGINT) AS n_occ
+          FROM l GROUP BY line
+        ), kept AS (
+          SELECT l.doc_id, l.pos, l.line
+          FROM l JOIN c ON c.line = l.line
+          WHERE c.n_occ <= {_LINE_MAX_OCC}
+        ), rebuilt AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_kept,
+                 STRING_AGG(line, ' ' ORDER BY pos) AS clean_text
+          FROM kept GROUP BY doc_id
+        ), sizes AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM l
+          GROUP BY doc_id
+        )
+        SELECT s.doc_id, s.n_lines,
+               COALESCE(r.n_kept, 0) AS n_kept,
+               CAST(s.n_lines - COALESCE(r.n_kept, 0) AS DOUBLE)
+                   / s.n_lines AS boilerplate_rate,
+               COALESCE(r.clean_text, '') AS clean_text
+        FROM sizes s LEFT JOIN rebuilt r ON r.doc_id = s.doc_id
+    """,
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lines_expr = (
+        f"transform(sequence(0, (size(split(text, ' ')) - 1)"
+        f" DIV {_LINE_WORDS}),"
+        f" i -> array_join(slice(split(text, ' '),"
+        f" i * {_LINE_WORDS} + 1, {_LINE_WORDS}), ' '))"
+    )
+    l = (
+        docs.filter(F.expr("size(split(text, ' ')) > 0"))
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(lines_expr)).alias("pos", "line"),
+        )
+    )
+    c = l.groupBy("line").agg(F.count("*").cast("bigint").alias("n_occ"))
+    kept = l.join(c, "line").filter(F.col("n_occ") <= _LINE_MAX_OCC)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(pos, line))), s -> s.line), ' ')"
+        ).alias("clean_text"),
+    )
+    sizes = l.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_lines")
+    )
+    return sizes.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+        F.expr(
+            "CAST(n_lines - COALESCE(n_kept, 0) AS DOUBLE) / n_lines"
+        ).alias("boilerplate_rate"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
