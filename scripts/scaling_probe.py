@@ -231,6 +231,11 @@ PROBE_QUERIES = [
     "q_melt",
     "q_mixture_weights",
     "q_length_buckets",
+    "q_winsorize_scalable",
+    "q_oov_rate",
+    "q_line_dedup",
+    "q_try_arithmetic",
+    "q_arrow_token_stats",
 ]
 
 

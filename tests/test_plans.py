@@ -1145,3 +1145,18 @@ def test_arrow_token_stats_uses_arrow_eval_not_pandas(spark, sf_dir):
     assert "Arrow" in plan
     assert "BatchEvalPython" not in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_decile_transition_uses_partitioned_bucketed_rank(spark, sf_dir):
+    """q_decile_transition: per-period deciles must come from the
+    partitioned two-phase rank — every window spec leads with `period`
+    (the offsets prefix sum and the (period, __bucket) local ranks all
+    carry the group column first); a naive NTILE's spec would lead
+    with the order column `c`. Offsets return by broadcast join."""
+    plan = plan_of(spark, sf_dir, "q_decile_transition")
+    assert "BroadcastHashJoin" in plan
+    assert "ntile" not in plan  # closed-form integer NTILE, no window fn
+    specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+    assert specs, "expected window specs in the plan"
+    for s in specs:
+        assert s == "period", s
