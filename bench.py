@@ -287,6 +287,8 @@ HEADLINE = [
     "q_arrow_token_stats",
     # round-9 batch 26
     "q_line_dedup",
+    # round-9 batch 27
+    "q_multimodal_video",
 ]
 
 

@@ -19,10 +19,16 @@ partition-preserving metadata extraction. Codec status:
   chunk list and ``decode_samples`` reduces the sample array to
   decode-proving statistics. Audio metadata maps as width=sample_rate,
   height=n_channels, n_frames=n_samples.
-* compressed image/audio + video — STUB: those codecs (PIL, soundfile,
+* **video (Y4M/YUV4MPEG2, C444 uncompressed) — REAL since r9.** video
+  rows carry actual Y4M streams (parameter header + FRAME-delimited
+  planar 4:4:4 rasters — the ffmpeg interchange format for raw video);
+  ``parse_y4m`` parses the header and splits frames, ``decode_frames``
+  reduces them to decode-proving statistics, and ``frame_sample`` fans
+  out REAL frame counts.
+* compressed image/audio/video — STUB: those codecs (PIL, soundfile,
   pyav) aren't in this container. ``decode_metadata`` falls back to a
-  deterministic fake (``_fake_decode``) for them, and the full decoders
-  raise NotImplementedError naming the seam.
+  deterministic fake (``_fake_decode``) for unknown payloads, and the
+  full decoders raise NotImplementedError naming the seam.
 """
 
 from __future__ import annotations
@@ -94,6 +100,65 @@ def _wav_bytes(doc_id: int) -> bytes:
     )
 
 
+def _y4m_bytes(doc_id: int) -> bytes:
+    """Deterministic REAL Y4M (YUV4MPEG2) stream for a document:
+    w/h/frame-count from the doc id, raster byte i (concatenated across
+    frames, FRAME markers excluded) = (doc_id + i) % 256 — a closed
+    form the decoder test and the DuckDB oracle recompute
+    independently. C444 (planar 4:4:4): each frame is 3 full-resolution
+    planes, w*h*3 bytes."""
+    w = 8 + doc_id % 5
+    h = 8 + doc_id % 3
+    frames = 12 + doc_id % 19
+    n = frames * w * h * 3
+    raster = ((np.arange(n, dtype=np.int64) + doc_id) % 256).astype(np.uint8)
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode()]
+    per = w * h * 3
+    for f in range(frames):
+        out.append(b"FRAME\n")
+        out.append(raster[f * per : (f + 1) * per].tobytes())
+    return b"".join(out)
+
+
+def parse_y4m(b: bytes) -> tuple[int, int, np.ndarray]:
+    """Real YUV4MPEG2 decoder (pure numpy): parses the parameter header
+    (W/H/C tags), splits the FRAME-delimited stream, and returns
+    (width, height, frames) with frames an (n, h, w, 3) uint8 array
+    (C444 planar Y/Cb/Cr transposed to interleaved). Subsampled or
+    compressed colorspaces raise — that seam needs pyav/ffmpeg."""
+    nl = b.find(b"\n")
+    if not b.startswith(b"YUV4MPEG2") or nl < 0:
+        raise NotImplementedError("not a YUV4MPEG2 payload")
+    w = h = None
+    colorspace = "C420jpeg"  # the spec default when no C tag is present
+    for tag in b[:nl].decode("ascii").split()[1:]:
+        if tag[0] == "W":
+            w = int(tag[1:])
+        elif tag[0] == "H":
+            h = int(tag[1:])
+        elif tag[0] == "C":
+            colorspace = tag
+    if w is None or h is None:
+        raise NotImplementedError("Y4M header missing W/H parameters")
+    if colorspace != "C444":
+        raise NotImplementedError(
+            "only uncompressed C444 decodes without codec libraries; "
+            "subsampled/compressed video needs pyav/ffmpeg"
+        )
+    per = w * h * 3
+    frames = []
+    pos = nl + 1
+    while pos < len(b):
+        if b[pos : pos + 5] != b"FRAME":
+            raise NotImplementedError("malformed Y4M: missing FRAME marker")
+        fnl = b.find(b"\n", pos)  # FRAME lines may carry parameters
+        raster = np.frombuffer(b, np.uint8, count=per, offset=fnl + 1)
+        # planar Y, Cb, Cr (each h*w) -> (h, w, 3)
+        frames.append(np.moveaxis(raster.reshape(3, h, w), 0, -1))
+        pos = fnl + 1 + per
+    return w, h, np.stack(frames) if frames else np.empty((0, h, w, 3), np.uint8)
+
+
 def parse_wav(b: bytes) -> tuple[int, int, np.ndarray]:
     """Real RIFF/WAVE decoder (pure numpy): walks the chunk list, reads
     the fmt chunk, returns (sample_rate, n_channels, int16 samples).
@@ -125,8 +190,8 @@ def parse_wav(b: bytes) -> tuple[int, int, np.ndarray]:
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Stand-in multimodal corpus over the documents table: image rows
     carry REAL PPM(P6) files (``_ppm_bytes``), audio rows carry REAL
-    WAV/PCM16 files (``_wav_bytes``); video rows carry the text bytes as
-    an opaque payload (no video codec exists in this container)."""
+    WAV/PCM16 files (``_wav_bytes``), video rows carry REAL Y4M/C444
+    streams (``_y4m_bytes``)."""
     base = documents.select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, "image")
@@ -141,7 +206,7 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
             return _ppm_bytes(doc_id)
         if media_type == "audio":
             return _wav_bytes(doc_id)
-        return text.encode("utf-8")
+        return _y4m_bytes(doc_id)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -209,10 +274,10 @@ def decode_metadata(media: DataFrame) -> DataFrame:
 
     Partition-preserving (no shuffle): each Arrow batch is decoded
     in-place, the pattern for feature extraction over a 100 TB corpus.
-    PPM(P6) and WAV payloads are decoded for REAL (header/chunk parse;
-    audio maps as width=sample_rate, height=n_channels,
-    n_frames=n_samples); other formats fall back to the deterministic
-    fake codec.
+    PPM(P6), WAV, and Y4M payloads are decoded for REAL (header/chunk/
+    frame parse; audio maps as width=sample_rate, height=n_channels,
+    n_frames=n_samples); unknown formats fall back to the
+    deterministic fake codec.
     """
 
     def _meta(mt: str, b: bytes) -> tuple[int, int, int]:
@@ -222,6 +287,9 @@ def decode_metadata(media: DataFrame) -> DataFrame:
         if b[:4] == b"RIFF":
             rate, channels, samples = parse_wav(b)
             return rate, channels, len(samples)
+        if b[:9] == b"YUV4MPEG2":
+            w, h, frames = parse_y4m(b)
+            return w, h, len(frames)
         return _fake_decode(mt, b)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -369,8 +437,9 @@ def resize_media(
 
 
 def frame_sample(media: DataFrame, every_nth: int = 10) -> DataFrame:
-    """Frame-sampling plumbing: expands fake per-frame rows (real codec
-    would emit decoded frames; the fan-out/batch shape is the same)."""
+    """Frame sampling over REAL decoded frame counts (Y4M parse in
+    decode_metadata): every-nth frame index per video document — the
+    fan-out a frame-level feature extractor consumes."""
     meta = decode_metadata(media)
     return meta.filter(F.col("media_type") == "video").select(
         "doc_id",
@@ -378,3 +447,47 @@ def frame_sample(media: DataFrame, every_nth: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
         ).alias("frame_idx"),
     )
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("n_px", T.IntegerType(), False),
+        T.StructField("byte_sum", T.LongType(), False),
+    ]
+)
+
+
+def decode_frames(media: DataFrame) -> DataFrame:
+    """Full video decode — REAL for Y4M/C444 payloads: ``parse_y4m``
+    yields the (n_frames, h, w, 3) uint8 array per document and this
+    operator reduces it to decode-proving statistics (dimensions,
+    frame count, raster size, exact byte sum). Compressed video raises
+    inside the task (the pyav/ffmpeg seam, same mapInPandas
+    signature)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, nf, npx, sums = [], [], [], [], []
+            for pl in pdf["payload"]:
+                w, h, frames = parse_y4m(bytes(pl))
+                ws.append(w)
+                hs.append(h)
+                nf.append(len(frames))
+                npx.append(frames.size)
+                sums.append(int(frames.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": ws,
+                    "height": hs,
+                    "n_frames": nf,
+                    "n_px": npx,
+                    "byte_sum": sums,
+                }
+            )
+
+    return media.mapInPandas(decode, schema=FRAMES_SCHEMA)

@@ -579,12 +579,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Binary media columns -> typed metadata via mapInPandas. Image "
         "rows carry REAL synthesized PPM(P6) files, audio rows REAL "
-        "WAV/PCM16 files — both decoded by the pure-numpy codecs "
-        "(header/chunk parse; audio maps width=sample_rate, "
-        "height=n_channels, n_frames=n_samples); video rows use the "
-        "deterministic fake decoder over text bytes. The oracle "
-        "recomputes all three: PPM/WAV layout from the generators' "
-        "closed forms, fake metadata from the UTF-8 BYTE length."
+        "WAV/PCM16 files, video rows REAL Y4M/C444 streams (r9) — all "
+        "decoded by the pure-numpy codecs (header/chunk/frame parse; "
+        "audio maps width=sample_rate, height=n_channels, "
+        "n_frames=n_samples). The oracle recomputes all three layouts "
+        "from the generators' closed forms."
     ),
     oracle="""
         SELECT doc_id,
@@ -597,18 +596,23 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                               + (8 + doc_id % 9) * (8 + doc_id % 7) * 3
                          WHEN doc_id % 3 = 1
                          THEN 44 + 2 * (200 + doc_id % 300)
-                         ELSE octet_length(encode(text)) END AS INTEGER) AS n_bytes,
+                         ELSE 33 + length(CAST(8 + doc_id % 5 AS VARCHAR))
+                              + length(CAST(8 + doc_id % 3 AS VARCHAR))
+                              + (12 + doc_id % 19)
+                                * (6 + (8 + doc_id % 5)
+                                       * (8 + doc_id % 3) * 3)
+                         END AS INTEGER) AS n_bytes,
                CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 9
                          WHEN doc_id % 3 = 1 THEN 8000
-                         ELSE 64 + octet_length(encode(text)) % 129
+                         ELSE 8 + doc_id % 5
                     END AS INTEGER) AS width,
                CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 7
                          WHEN doc_id % 3 = 1 THEN 1
-                         ELSE 64 + octet_length(encode(text)) % 97
+                         ELSE 8 + doc_id % 3
                     END AS INTEGER) AS height,
                CAST(CASE WHEN doc_id % 3 = 0 THEN 1
                          WHEN doc_id % 3 = 1 THEN 200 + doc_id % 300
-                         ELSE 1 + octet_length(encode(text)) % 30 END AS INTEGER) AS n_frames
+                         ELSE 12 + doc_id % 19 END AS INTEGER) AS n_frames
         FROM documents
     """,
 )
@@ -678,14 +682,13 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_multimodal_frames",
     category="multimodal",
     doc=(
-        "Frame sampling: every-10th-frame index per video document "
-        "(fake codec derives n_frames from payload bytes; the fan-out/"
-        "batch shape is what a real decoder plugs into)."
+        "Frame sampling: every-10th-frame index per video document, "
+        "with n_frames decoded for REAL from the Y4M stream (r9); the "
+        "oracle recomputes the generator's closed form."
     ),
     oracle="""
         SELECT doc_id, CAST(i AS INTEGER) AS frame_idx
-        FROM (SELECT doc_id,
-                     1 + octet_length(encode(text)) % 30 AS n_frames
+        FROM (SELECT doc_id, 12 + doc_id % 19 AS n_frames
               FROM documents WHERE doc_id % 3 = 2),
              UNNEST(range(0, n_frames, 10)) AS t(i)
     """,
@@ -908,3 +911,47 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return decode_samples(media.filter(F.col("media_type") == "audio"))
+
+
+@register(
+    "q_multimodal_video",
+    category="multimodal",
+    doc=(
+        "REAL video decode end-to-end (r9): synthesized Y4M/C444 "
+        "streams parsed to (n_frames, h, w, 3) uint8 arrays by the "
+        "pure-numpy YUV4MPEG2 decoder (operators/multimodal.py::"
+        "parse_y4m) inside mapInPandas, reduced to decode-proving "
+        "statistics. The oracle recomputes dimensions, frame count, "
+        "raster size, and the exact byte sum from the generator's "
+        "closed form (raster byte i of doc d = (d + i) % 256) without "
+        "touching the binary. Compressed video remains the documented "
+        "pyav seam — this entry covers the uncompressed interchange "
+        "format a real pipeline feeds that decoder from."
+    ),
+    oracle="""
+        WITH m AS (
+          SELECT doc_id,
+                 8 + doc_id % 5 AS w,
+                 8 + doc_id % 3 AS h,
+                 12 + doc_id % 19 AS f
+          FROM documents WHERE doc_id % 3 = 2
+        ),
+        s AS (
+          SELECT doc_id, w, h, f,
+                 (doc_id + UNNEST(range(0, f * w * h * 3))) % 256 AS v
+          FROM m
+        )
+        SELECT doc_id,
+               CAST(MIN(w) AS INTEGER) AS width,
+               CAST(MIN(h) AS INTEGER) AS height,
+               CAST(MIN(f) AS INTEGER) AS n_frames,
+               CAST(MIN(f * w * h * 3) AS INTEGER) AS n_px,
+               CAST(SUM(v) AS BIGINT) AS byte_sum
+        FROM s GROUP BY doc_id
+    """,
+)
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.multimodal import decode_frames
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return decode_frames(media.filter(F.col("media_type") == "video"))

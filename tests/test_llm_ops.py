@@ -235,11 +235,14 @@ def test_embedding_near_dups_ann_finds_nonadjacent_pairs(vecs):
 
 
 def test_decode_metadata_real_codecs_and_fake_fallback(docs):
-    """Image rows carry real PPM files and audio rows real WAV files,
-    both decoded by the pure-numpy codecs (metadata from the actual
-    bytes, not the generator's arithmetic); video rows still go through
-    the deterministic fake."""
-    from kafka_s3_etl_spark.operators.multimodal import parse_ppm, parse_wav
+    """Image rows carry real PPM files, audio rows real WAV files, and
+    video rows real Y4M streams — all decoded by the pure-numpy codecs
+    (metadata from the actual bytes, not the generator's arithmetic)."""
+    from kafka_s3_etl_spark.operators.multimodal import (
+        parse_ppm,
+        parse_wav,
+        parse_y4m,
+    )
 
     media = documents_as_media(docs)
     meta = {r.doc_id: r for r in decode_metadata(media).collect()}
@@ -254,8 +257,43 @@ def test_decode_metadata_real_codecs_and_fake_fallback(docs):
             rate, channels, samples = parse_wav(pl)
             assert (m.width, m.height, m.n_frames) == (rate, channels, len(samples))
         else:
-            w, h, f = _fake_decode(r.media_type, pl)
-            assert (m.width, m.height, m.n_frames) == (w, h, f)
+            w, h, frames = parse_y4m(pl)
+            assert (m.width, m.height, m.n_frames) == (w, h, len(frames))
+            assert frames.shape == (len(frames), h, w, 3)
+
+
+def test_parse_y4m_roundtrip_and_seams():
+    """The Y4M decoder recovers the generator's closed form exactly,
+    handles a hand-built stream with FRAME parameters and a C-less
+    header default, and raises on the compressed/subsampled seam."""
+    import numpy as np
+    import pytest as _pytest
+
+    from kafka_s3_etl_spark.operators.multimodal import (
+        _y4m_bytes,
+        parse_y4m,
+    )
+
+    for d in (0, 2, 5, 17, 101):
+        w, h, frames = parse_y4m(_y4m_bytes(d))
+        assert (w, h) == (8 + d % 5, 8 + d % 3)
+        assert len(frames) == 12 + d % 19
+        n = frames.size
+        # undo the (h, w, 3) interleave back to the planar raster order
+        planar = np.moveaxis(frames, -1, 1).reshape(-1)
+        expect = (np.arange(n, dtype=np.int64) + d) % 256
+        assert (planar.astype(np.int64) == expect).all()
+    # FRAME lines may carry parameters per the spec
+    raster = bytes(range(2 * 2 * 3))
+    b = b"YUV4MPEG2 W2 H2 C444\n" + b"FRAME Xtag\n" + raster
+    w, h, frames = parse_y4m(b)
+    assert (w, h, len(frames)) == (2, 2, 1)
+    assert frames.astype(int).sum() == sum(range(12))
+    # subsampled colorspace (explicit or the C420jpeg default) raises
+    with _pytest.raises(NotImplementedError):
+        parse_y4m(b"YUV4MPEG2 W2 H2 C420\nFRAME\n" + raster)
+    with _pytest.raises(NotImplementedError):
+        parse_y4m(b"YUV4MPEG2 W2 H2\nFRAME\n" + raster)
         assert m.n_bytes == len(pl)
         assert m.media_type == ("image", "audio", "video")[r.doc_id % 3]
 
