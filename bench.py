@@ -289,6 +289,8 @@ HEADLINE = [
     "q_line_dedup",
     # round-9 batch 27
     "q_multimodal_video",
+    # round-9 batch 28
+    "q_sim_ivfpq",
 ]
 
 

@@ -746,3 +746,229 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_cells: int = IVF_CELLS,
+    n_probe: int = IVF_PROBE,
+    m_subspaces: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding (Jegou et al. TPAMI'11 section
+    IV-B) — the FAISS IndexIVFPQ production composition of the two
+    standalone indexes this module already ships: the coarse quantizer
+    routes vectors to cells AND the PQ codebooks quantize the residual
+    (v - centroid), which is what makes the codes sharp enough to rank
+    inside a cell; a query probes only its ``n_probe`` nearest cells
+    with a PER-(query, cell) ADC lookup table built from the QUERY's
+    residual against that cell.
+
+    Spark shape (the ``ivf_topk``/``pq_topk`` discipline composed):
+    * fit — one capped driver-side sample fits the coarse centroids
+      (``_lloyd_numpy``), assigns the sample, and fits per-subspace
+      codebooks on the sample RESIDUALS. Both tables are broadcast-
+      size at any corpus scale; no distributed ML job.
+    * encode — one corpus pass: broadcast-centroid argmin assignment,
+      residual via ``zip_with`` subtract, per-subspace argmin code —
+      the stored index is (vec_id, cell, sub, code), M small ints per
+      vector (~32x smaller than the raw corpus).
+    * probe — per query, residual LUTs for its n_probe cells
+      (n_queries * n_probe * M * K rows, broadcast); the code scan
+      joins the LUT on (cell, sub, code) — so only probed cells'
+      codes participate — and map-side-combines SUM over subspaces.
+    * re-rank — top ``rerank`` by ADC, exact cosine on the raw
+      vectors for the final top-k (reported cosines are TRUE).
+
+    Rows-only entry (quantization-dependent ordering); recall and
+    true-cosine properties pinned in tests/test_llm_ops.py.
+    """
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    base = with_norm(embeddings)
+    dim_row = base.select(F.size("embedding").alias("d")).first()
+    if dim_row is None:
+        raise ValueError("ivfpq_topk: embeddings corpus is empty")
+    dim = dim_row.d
+    if dim % m_subspaces != 0:
+        raise ValueError(
+            f"ivfpq_topk: dim {dim} not divisible by m_subspaces"
+            f" {m_subspaces}"
+        )
+    sub_d = dim // m_subspaces
+
+    sample = [
+        r.embedding
+        for r in base.select("embedding")
+        .limit(64 * max(n_cells, n_codes))
+        .collect()
+    ]
+    if not sample:
+        raise ValueError("ivfpq_topk: embeddings corpus is empty")
+    n_cells = min(n_cells, len(sample))
+    n_probe = min(n_probe, n_cells)
+    n_codes = min(n_codes, len(sample))
+    S = np.asarray(sample, dtype=np.float64)
+    cent = _lloyd_numpy(S, k=n_cells)
+    # sample residuals against the NEAREST centroid — the distribution
+    # the per-subspace codebooks must cover
+    d2 = ((S[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    resid = S - cent[d2.argmin(axis=1)]
+    cb_rows = []
+    for m in range(m_subspaces):
+        cbm = _lloyd_numpy(resid[:, m * sub_d : (m + 1) * sub_d], k=n_codes)
+        cb_rows += [
+            (m, c, [float(x) for x in cbm[c]]) for c in range(n_codes)
+        ]
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
+        "cell int, centroid array<double>",
+    )
+    codebook = spark.createDataFrame(
+        cb_rows, "sub int, code int, cb array<double>"
+    )
+
+    cent_d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("centroid"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cell_rank = Window.partitionBy("vec_id").orderBy(
+        F.col("dist").asc(), F.col("cell")
+    )
+    assigned = (
+        base.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id", "embedding", "norm", "cell", "centroid",
+            cent_d2.alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(cell_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "embedding",
+            "norm",
+            "cell",
+            F.zip_with(
+                "embedding", "centroid", lambda a, b: a.cast("double") - b
+            ).alias("resid"),
+        )
+    )
+    # encode residuals: explode subspaces, broadcast codebook, argmin
+    subs = assigned.select(
+        "vec_id",
+        "cell",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m_subspaces - 1}), m ->"
+                f" struct(m AS sub, slice(resid, m * {sub_d} + 1,"
+                f" {sub_d}) AS sv))"
+            )
+        ).alias("s"),
+    ).select("vec_id", "cell", "s.sub", "s.sv")
+    sq = F.aggregate(
+        F.zip_with(
+            F.col("sv"), F.col("cb"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    code_rank = Window.partitionBy("vec_id", "sub").orderBy(
+        F.col("d2").asc(), F.col("code")
+    )
+    codes = (
+        subs.join(F.broadcast(codebook), "sub")
+        .select("vec_id", "cell", "sub", "code", sq.alias("d2"))
+        .withColumn("crn", F.row_number().over(code_rank))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "cell", "sub", "code")
+    )
+
+    queries = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    q_cell_d2 = F.aggregate(
+        F.zip_with(
+            F.col("q_emb"),
+            F.col("centroid"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    probe_rank = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("cell")
+    )
+    probe = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id", "q_emb", "cell", "centroid", q_cell_d2.alias("dist")
+        )
+        .withColumn("prn", F.row_number().over(probe_rank))
+        .filter(F.col("prn") <= n_probe)
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with(
+                "q_emb", "centroid", lambda a, b: a.cast("double") - b
+            ).alias("q_resid"),
+        )
+    )
+    q_subs = probe.select(
+        "query_id",
+        "cell",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m_subspaces - 1}), m ->"
+                f" struct(m AS sub, slice(q_resid, m * {sub_d} + 1,"
+                f" {sub_d}) AS sv))"
+            )
+        ).alias("s"),
+    ).select("query_id", "cell", "s.sub", "s.sv")
+    lut = q_subs.join(F.broadcast(codebook), "sub").select(
+        "query_id", "cell", "sub", "code", sq.alias("d2")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["cell", "sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").alias("adc"))
+    )
+    short_w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("vec_id")
+    )
+    shortlist = (
+        adc.withColumn("srn", F.row_number().over(short_w))
+        .filter(F.col("srn") <= rerank)
+        .select("query_id", "vec_id")
+    )
+    cands = (
+        shortlist.join(base, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_norm") * F.col("norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

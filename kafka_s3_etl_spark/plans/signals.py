@@ -53,6 +53,32 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sim_ivfpq",
+    category="similarity",
+    cost=2,
+    doc=(
+        "IVF-PQ with residual encoding (r9) — the FAISS IndexIVFPQ "
+        "production composition: coarse quantizer routes vectors to "
+        "cells, PQ codebooks quantize the RESIDUAL (v - centroid), "
+        "queries probe their n_probe cells with per-(query, cell) "
+        "residual ADC lookup tables, exact cosine re-rank of the "
+        "shortlist. Fit is one capped driver-side sample (no "
+        "distributed ML job); the stored index is (vec_id, cell, sub, "
+        "code) — M small ints per vector; the ADC join touches only "
+        "probed cells' codes. Rows-only (quantization-dependent "
+        "ordering); recall + true-cosine properties in "
+        "tests/test_llm_ops.py."
+    ),
+)
+def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.similarity import ivfpq_topk
+
+    return ivfpq_topk(
+        load_table(spark, sf_dir, "embeddings"), n_queries=8, k=5
+    )
+
+
+@register(
     "q_doc_keyterms",
     category="llm",
     cost=1,

@@ -857,3 +857,27 @@ def test_pq_recall_and_true_cosines(spark, sf_dir):
     }
     hits = {(r.query_id, r.neighbor_id) for r in approx} & truth
     assert len(hits) / len(truth) >= 0.25
+
+
+def test_ivfpq_recall_and_true_cosines(spark, sf_dir):
+    """IVF-PQ (residual encoding) must carry TRUE cosines on its
+    output and recover a sane fraction of the exact top-5 — the same
+    contract as the standalone IVF and PQ indexes it composes."""
+    from kafka_s3_etl_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vecs_by_id = {r.vec_id: r.embedding for r in emb.collect()}
+    approx = ivfpq_topk(emb, n_queries=4, k=5).collect()
+    assert approx, "IVF-PQ returned no candidates"
+    for r in approx:
+        assert r.neighbor_id != r.query_id
+        assert r.cosine == pytest.approx(
+            _cosine(vecs_by_id[r.query_id], vecs_by_id[r.neighbor_id]),
+            abs=1e-6,
+        )
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, n_queries=4, k=5).collect()
+    }
+    hits = {(r.query_id, r.neighbor_id) for r in approx} & truth
+    assert len(hits) / len(truth) >= 0.25
