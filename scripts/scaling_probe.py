@@ -236,6 +236,8 @@ PROBE_QUERIES = [
     "q_line_dedup",
     "q_try_arithmetic",
     "q_arrow_token_stats",
+    "q_multimodal_video",
+    "q_sim_ivfpq",
 ]
 
 
