@@ -291,6 +291,8 @@ HEADLINE = [
     "q_multimodal_video",
     # round-9 batch 28
     "q_sim_ivfpq",
+    # round-9 batch 29
+    "x_s3_object_scan",
 ]
 
 

@@ -775,3 +775,99 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("boilerplate_rate"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 29: S3-API object scan through the Python DataSource — the
+# boto3 client transport (the reference's production path, no
+# hadoop-aws jars) driven END-TO-END inside the catalog, served by an
+# in-process moto S3 server (a real socket speaking the real S3 HTTP
+# API). The server and per-sf staging are cached for the session, the
+# runner._SRC_CACHE discipline.
+# ---------------------------------------------------------------------------
+
+_S3_SCAN: dict = {"endpoint": None, "server": None, "staged": {}}
+_S3_SCAN_OBJECTS = 8
+
+
+def _moto_endpoint() -> str:
+    if _S3_SCAN["endpoint"] is None:
+        import socket
+
+        from moto.server import ThreadedMotoServer
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        server = ThreadedMotoServer(ip_address="127.0.0.1", port=port)
+        server.start()
+        _S3_SCAN["server"] = server
+        _S3_SCAN["endpoint"] = f"http://127.0.0.1:{port}"
+    return _S3_SCAN["endpoint"]
+
+
+def _stage_documents_jsonl(sf_dir: str) -> tuple[str, str]:
+    """Stage the documents table as JSONL objects in the object store
+    (once per sf_dir): contiguous row slices over 8 keys — the layout a
+    real ingestion job leaves behind."""
+    import hashlib
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from kafka_s3_etl_spark.sources.objectstore import make_s3_client
+
+    endpoint = _moto_endpoint()
+    if sf_dir in _S3_SCAN["staged"]:
+        return endpoint, _S3_SCAN["staged"][sf_dir]
+    bucket = "graft-scan-" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    client = make_s3_client(endpoint_url=endpoint)
+    client.create_bucket(Bucket=bucket)
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    rows = tbl.to_pylist()
+    step = max(1, (len(rows) + _S3_SCAN_OBJECTS - 1) // _S3_SCAN_OBJECTS)
+    for i in range(0, len(rows), step):
+        body = "\n".join(_json.dumps(r) for r in rows[i : i + step])
+        client.put_object(
+            Bucket=bucket,
+            Key=f"docs/part-{i // step:04d}.jsonl",
+            Body=body.encode("utf-8"),
+        )
+    _S3_SCAN["staged"][sf_dir] = bucket
+    return endpoint, bucket
+
+
+@register(
+    "x_s3_object_scan",
+    category="source",
+    cost=1,
+    doc=(
+        "S3 -> Spark WITHOUT hadoop-aws: the documents table staged as "
+        "JSONL objects in a live in-process S3 API server (moto over a "
+        "real socket) and scanned back through the graft_s3jsonl "
+        "Python DataSource — driver plans one InputPartition per "
+        "object (a LIST call), each executor task get_object's its own "
+        "key with the boto3 client (the reference's actual transport) "
+        "and emits Arrow batches. Hash-checked against the parquet "
+        "source of truth, so the whole loop — client upload, S3 "
+        "listing, distributed client reads, JSONL parse, Arrow "
+        "emission, Spark types — is value-verified end-to-end."
+    ),
+    oracle="SELECT doc_id, lang, text FROM documents",
+)
+def x_s3_object_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.sources.objectstore import (
+        register_s3jsonl_source,
+    )
+
+    endpoint, bucket = _stage_documents_jsonl(sf_dir)
+    register_s3jsonl_source(spark)
+    return (
+        spark.read.format("graft_s3jsonl")
+        .option("endpoint", endpoint)
+        .option("bucket", bucket)
+        .option("prefix", "docs/")
+        .load()
+    )

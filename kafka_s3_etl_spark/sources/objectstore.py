@@ -64,3 +64,97 @@ def download_json(client, bucket: str, key: str) -> Any:
     parse result is identical)."""
     body = client.get_object(Bucket=bucket, Key=key)["Body"].read()
     return json.loads(body.decode("utf-8"))
+
+
+# ---------------------------------------------------------------------------
+# S3 -> Spark without hadoop-aws: a Python DataSource whose partitions
+# each fetch one object through the S3 client API. This is the
+# production fallback when the JVM-side s3a jars are unavailable (as in
+# this container) — and structurally the right scan shape regardless:
+# the driver plans one InputPartition per object (a LIST call), and
+# each executor task streams its own object, so read parallelism equals
+# object count with no driver bottleneck beyond the listing.
+# ---------------------------------------------------------------------------
+
+
+def _s3jsonl_classes():
+    """Import-gated construction of the DataSource classes (pyspark's
+    datasource module + boto3 on executors)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _S3Key(InputPartition):
+        def __init__(self, key: str):
+            self.key = key
+
+    class _S3JsonlReader(DataSourceReader):
+        def __init__(self, options):
+            self.endpoint = options.get("endpoint")
+            self.bucket = options["bucket"]
+            self.prefix = options.get("prefix", "")
+
+        def partitions(self):
+            client = make_s3_client(endpoint_url=self.endpoint)
+            resp = client.list_objects_v2(
+                Bucket=self.bucket, Prefix=self.prefix
+            )
+            return [
+                _S3Key(o["Key"]) for o in resp.get("Contents", [])
+            ]
+
+        def read(self, partition):
+            import pyarrow as pa
+
+            client = make_s3_client(endpoint_url=self.endpoint)
+            body = client.get_object(
+                Bucket=self.bucket, Key=partition.key
+            )["Body"].read()
+            docs = [
+                json.loads(line)
+                for line in body.decode("utf-8").splitlines()
+                if line
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([d["doc_id"] for d in docs], pa.int64()),
+                    pa.array([d["lang"] for d in docs], pa.string()),
+                    pa.array([d["text"] for d in docs], pa.string()),
+                ],
+                names=["doc_id", "lang", "text"],
+            )
+
+    class GraftS3JsonlDataSource(DataSource):
+        """spark.read.format("graft_s3jsonl"): one partition per S3
+        object under (bucket, prefix), fetched with the boto3 client
+        and emitted as Arrow batches."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "graft_s3jsonl"
+
+        def schema(self) -> str:
+            return "doc_id bigint, lang string, text string"
+
+        def reader(self, schema):
+            return _S3JsonlReader(self.options)
+
+    return GraftS3JsonlDataSource
+
+
+def register_s3jsonl_source(spark) -> None:
+    """Register the S3-client-backed Python DataSource on the session
+    (idempotent). The module is pickled BY VALUE (the sources/pyds.py
+    discipline) so executor tasks deserialize a self-contained reader
+    without needing the package on their import path."""
+    if getattr(spark, "_graft_s3jsonl_registered", False):
+        return
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    spark.dataSource.register(_s3jsonl_classes())
+    spark._graft_s3jsonl_registered = True

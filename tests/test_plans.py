@@ -95,6 +95,7 @@ _EAGER = {n for n in _CAT if n.startswith("s_")} | {
     "q_graph_pagerank",  # localCheckpoints every iteration at build
     "q_compact_files",  # writes + compacts its scratch table at build
     "q_observed_metrics",  # runs its noop-sink pass at build (uncached)
+    "x_s3_object_scan",  # boots the moto S3 server + stages objects at build
 }
 
 
