@@ -293,6 +293,8 @@ HEADLINE = [
     "q_sim_ivfpq",
     # round-9 batch 29
     "x_s3_object_scan",
+    # round-9 batch 30
+    "s_s3_autoloader",
 ]
 
 

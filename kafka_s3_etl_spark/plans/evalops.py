@@ -871,3 +871,92 @@ def x_s3_object_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("prefix", "docs/")
         .load()
     )
+
+
+@register(
+    "s_s3_autoloader",
+    category="streaming",
+    cost=2,
+    doc=(
+        "Incremental object-store ingestion (the notification-less "
+        "Auto-Loader shape) through the streaming S3 Python "
+        "DataSource: offsets are positions in the sorted object "
+        "listing, so each micro-batch reads exactly the NEWLY arrived "
+        "objects with per-object executor-side boto3 fetches. The "
+        "entry stages wave 1, drains it, stages wave 2 ONLY after the "
+        "first drain, drains again — the appended memory sink must "
+        "hold every document exactly once, hash-checked against the "
+        "parquet source of truth. Exactly-once rests on immutable "
+        "objects with append-ordered keys (the part-file layout every "
+        "ingestion job produces)."
+    ),
+    oracle="SELECT doc_id, lang, text FROM documents",
+)
+def s_s3_autoloader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from kafka_s3_etl_spark.shiplib import ensure_workers_can_import
+    from kafka_s3_etl_spark.sources.objectstore import (
+        make_s3_client,
+        register_s3jsonl_source,
+    )
+    from kafka_s3_etl_spark.streaming.runner import (
+        _pinned_stream_partitions,
+        scratch_dir,
+    )
+
+    ensure_workers_can_import(spark)
+    register_s3jsonl_source(spark)
+    endpoint = _moto_endpoint()
+    client = make_s3_client(endpoint_url=endpoint)
+    bucket = "graft-autoload"
+    try:
+        client.create_bucket(Bucket=bucket)
+    except client.exceptions.BucketAlreadyOwnedByYou:
+        pass
+    run_prefix = f"run-{uuid.uuid4().hex[:8]}/"
+
+    rows = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).to_pylist()
+    waves = [rows[: len(rows) // 2], rows[len(rows) // 2 :]]
+
+    def put_wave(w: int) -> None:
+        wave = waves[w]
+        step = max(1, (len(wave) + 3) // 4)
+        for j in range(0, len(wave), step):
+            body = "\n".join(_json.dumps(r) for r in wave[j : j + step])
+            client.put_object(
+                Bucket=bucket,
+                Key=f"{run_prefix}w{w}-part-{j // step:04d}.jsonl",
+                Body=body.encode("utf-8"),
+            )
+
+    put_wave(0)
+    stream = (
+        spark.readStream.format("graft_s3jsonl_stream")
+        .option("endpoint", endpoint)
+        .option("bucket", bucket)
+        .option("prefix", run_prefix)
+        .load()
+    )
+    name = f"s3auto_{uuid.uuid4().hex[:10]}"
+    ckpt = scratch_dir("s3auto_ckpt")
+    with _pinned_stream_partitions(stream):
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    try:
+        q.processAllAvailable()  # drains wave 1 only
+        put_wave(1)  # new objects arrive AFTER the first drain
+        q.processAllAvailable()  # incremental pickup of wave 2
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -157,4 +157,87 @@ def register_s3jsonl_source(spark) -> None:
 
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(_s3jsonl_classes())
+    spark.dataSource.register(_s3stream_classes())
     spark._graft_s3jsonl_registered = True
+
+
+def _s3stream_classes():
+    """Import-gated construction of the STREAMING S3 source — the
+    notification-less Auto-Loader shape: offsets are positions in the
+    lexicographically sorted object listing, so immutable objects whose
+    keys sort after the already-committed prefix (the natural layout of
+    part-file ingestion) are picked up exactly once per listing. Each
+    micro-batch plans one InputPartition per NEW object; executors
+    fetch their own keys with the boto3 client."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _S3Key(InputPartition):
+        def __init__(self, key: str):
+            self.key = key
+
+    class _S3JsonlStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.endpoint = options.get("endpoint")
+            self.bucket = options["bucket"]
+            self.prefix = options.get("prefix", "")
+
+        def _keys(self) -> list[str]:
+            client = make_s3_client(endpoint_url=self.endpoint)
+            resp = client.list_objects_v2(
+                Bucket=self.bucket, Prefix=self.prefix
+            )
+            return sorted(o["Key"] for o in resp.get("Contents", []))
+
+        def initialOffset(self):
+            return {"n": 0}
+
+        def latestOffset(self):
+            return {"n": len(self._keys())}
+
+        def partitions(self, start, end):
+            keys = self._keys()
+            return [_S3Key(k) for k in keys[start["n"] : end["n"]]]
+
+        def commit(self, end):
+            pass
+
+        def read(self, partition):
+            import pyarrow as pa
+
+            client = make_s3_client(endpoint_url=self.endpoint)
+            body = client.get_object(
+                Bucket=self.bucket, Key=partition.key
+            )["Body"].read()
+            docs = [
+                json.loads(line)
+                for line in body.decode("utf-8").splitlines()
+                if line
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([d["doc_id"] for d in docs], pa.int64()),
+                    pa.array([d["lang"] for d in docs], pa.string()),
+                    pa.array([d["text"] for d in docs], pa.string()),
+                ],
+                names=["doc_id", "lang", "text"],
+            )
+
+    class GraftS3JsonlStreamSource(DataSource):
+        """spark.readStream.format("graft_s3jsonl_stream"): incremental
+        object-listing ingestion over the S3 client API."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "graft_s3jsonl_stream"
+
+        def schema(self) -> str:
+            return "doc_id bigint, lang string, text string"
+
+        def streamReader(self, schema):
+            return _S3JsonlStreamReader(self.options)
+
+    return GraftS3JsonlStreamSource
