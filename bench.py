@@ -295,6 +295,8 @@ HEADLINE = [
     "x_s3_object_scan",
     # round-9 batch 30
     "s_s3_autoloader",
+    # round-9 batch 31
+    "x_s3_object_sink",
 ]
 
 

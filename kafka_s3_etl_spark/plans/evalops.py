@@ -960,3 +960,60 @@ def s_s3_autoloader(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "x_s3_object_sink",
+    category="sink",
+    cost=1,
+    doc=(
+        "The WRITE direction of the S3 client transport, completing "
+        "the matrix (client put/get, batch scan, streaming autoload, "
+        "batch SINK): documents written through the graft_s3jsonl_sink "
+        "Python DataSource with the REAL two-phase commit translated "
+        "to object semantics — tasks put to _staged/ keys, only the "
+        "driver-side commit() publishes via copy_object + _SUCCESS "
+        "manifest, abort() deletes the stage — then read BACK through "
+        "the underscore-skipping scan source and hash-checked against "
+        "the parquet source of truth: write, commit protocol, listing "
+        "hygiene, and read-back all value-verified in one loop."
+    ),
+    oracle="SELECT doc_id, lang, text FROM documents",
+)
+def x_s3_object_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from kafka_s3_etl_spark.shiplib import ensure_workers_can_import
+    from kafka_s3_etl_spark.sources.objectstore import (
+        make_s3_client,
+        register_s3jsonl_source,
+    )
+
+    ensure_workers_can_import(spark)
+    register_s3jsonl_source(spark)
+    endpoint = _moto_endpoint()
+    client = make_s3_client(endpoint_url=endpoint)
+    bucket = "graft-sink"
+    try:
+        client.create_bucket(Bucket=bucket)
+    except client.exceptions.BucketAlreadyOwnedByYou:
+        pass
+    prefix = f"run-{uuid.uuid4().hex[:8]}/"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    (
+        docs.write.format("graft_s3jsonl_sink")
+        .mode("append")  # Python DataSource writers reject ErrorIfExists
+        .option("endpoint", endpoint)
+        .option("bucket", bucket)
+        .option("prefix", prefix)
+        .save()
+    )
+    return (
+        spark.read.format("graft_s3jsonl")
+        .option("endpoint", endpoint)
+        .option("bucket", bucket)
+        .option("prefix", prefix)
+        .load()
+    )

@@ -102,7 +102,11 @@ def _s3jsonl_classes():
                 Bucket=self.bucket, Prefix=self.prefix
             )
             return [
-                _S3Key(o["Key"]) for o in resp.get("Contents", [])
+                _S3Key(o["Key"])
+                for o in resp.get("Contents", [])
+                # Hadoop convention: _SUCCESS manifests / _staged keys
+                # are metadata, not data
+                if not o["Key"].rsplit("/", 1)[-1].startswith("_")
             ]
 
         def read(self, partition):
@@ -158,6 +162,7 @@ def register_s3jsonl_source(spark) -> None:
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(_s3jsonl_classes())
     spark.dataSource.register(_s3stream_classes())
+    spark.dataSource.register(_s3sink_classes())
     spark._graft_s3jsonl_registered = True
 
 
@@ -190,7 +195,11 @@ def _s3stream_classes():
             resp = client.list_objects_v2(
                 Bucket=self.bucket, Prefix=self.prefix
             )
-            return sorted(o["Key"] for o in resp.get("Contents", []))
+            return sorted(
+                o["Key"]
+                for o in resp.get("Contents", [])
+                if not o["Key"].rsplit("/", 1)[-1].startswith("_")
+            )
 
         def initialOffset(self):
             return {"n": 0}
@@ -241,3 +250,93 @@ def _s3stream_classes():
             return _S3JsonlStreamReader(self.options)
 
     return GraftS3JsonlStreamSource
+
+
+def _s3sink_classes():
+    """Import-gated construction of the S3 SINK — the write direction
+    of the client transport, with the REAL two-phase commit the local
+    JSONL sink (sources/pyds.py) established, translated to object
+    semantics: tasks put their batches to `_staged/` keys and return
+    the key list as their commit message; only the driver-side
+    commit() publishes (copy_object to final part names + a _SUCCESS
+    manifest, then delete the stage), and abort() deletes staged keys
+    — a failed task can never leave a half-written part visible to the
+    underscore-skipping readers."""
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceArrowWriter,
+        WriterCommitMessage,
+    )
+
+    @dataclass
+    class _StagedKeys(WriterCommitMessage):
+        staged: tuple
+
+    class _S3JsonlWriter(DataSourceArrowWriter):
+        def __init__(self, options):
+            self.endpoint = options.get("endpoint")
+            self.bucket = options["bucket"]
+            self.prefix = options.get("prefix", "")
+
+        def write(self, iterator):
+            import json as _json
+            import uuid as _uuid
+
+            lines = []
+            for batch in iterator:
+                lines.extend(
+                    _json.dumps(row, sort_keys=True)
+                    for row in batch.to_pylist()
+                )
+            if not lines:
+                return _StagedKeys(staged=())
+            key = f"{self.prefix}_staged/{_uuid.uuid4().hex}.jsonl"
+            client = make_s3_client(endpoint_url=self.endpoint)
+            client.put_object(
+                Bucket=self.bucket,
+                Key=key,
+                Body="\n".join(lines).encode("utf-8"),
+            )
+            return _StagedKeys(staged=(key,))
+
+        def commit(self, messages):
+            client = make_s3_client(endpoint_url=self.endpoint)
+            i = 0
+            for msg in messages:
+                for staged in getattr(msg, "staged", ()) or ():
+                    client.copy_object(
+                        Bucket=self.bucket,
+                        Key=f"{self.prefix}part-{i:05d}.jsonl",
+                        CopySource={"Bucket": self.bucket, "Key": staged},
+                    )
+                    client.delete_object(Bucket=self.bucket, Key=staged)
+                    i += 1
+            client.put_object(
+                Bucket=self.bucket, Key=f"{self.prefix}_SUCCESS", Body=b""
+            )
+
+        def abort(self, messages):
+            client = make_s3_client(endpoint_url=self.endpoint)
+            for msg in messages:
+                for staged in getattr(msg, "staged", ()) or ():
+                    try:
+                        client.delete_object(
+                            Bucket=self.bucket, Key=staged
+                        )
+                    except Exception:
+                        pass
+
+    class GraftS3JsonlSink(DataSource):
+        """df.write.format("graft_s3jsonl_sink").option("bucket", b)
+        .option("prefix", p).save()"""
+
+        @classmethod
+        def name(cls) -> str:
+            return "graft_s3jsonl_sink"
+
+        def writer(self, schema, overwrite: bool):
+            return _S3JsonlWriter(self.options)
+
+    return GraftS3JsonlSink

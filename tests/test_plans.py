@@ -96,6 +96,7 @@ _EAGER = {n for n in _CAT if n.startswith("s_")} | {
     "q_compact_files",  # writes + compacts its scratch table at build
     "q_observed_metrics",  # runs its noop-sink pass at build (uncached)
     "x_s3_object_scan",  # boots the moto S3 server + stages objects at build
+    "x_s3_object_sink",  # executes the S3 write at build
 }
 
 
