@@ -1017,3 +1017,70 @@ def x_s3_object_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("prefix", prefix)
         .load()
     )
+
+
+@register(
+    "s_s3_stream_sink",
+    category="streaming",
+    cost=2,
+    doc=(
+        "Streaming WRITE to the object store, the last cell of the S3 "
+        "matrix: the documents stream drains through "
+        "graft_s3jsonl_stream_sink — per-micro-batch staged puts, "
+        "driver-side publish via copy_object to batchId-embedded part "
+        "keys + a per-batch _SUCCESS manifest (idempotent under "
+        "checkpoint replay: re-running batch N overwrites batch-N "
+        "parts, never appends duplicates) — then the bucket is read "
+        "BACK through the underscore-skipping scan source and hash-"
+        "checked against the parquet source of truth."
+    ),
+    oracle="SELECT doc_id, lang, text FROM documents",
+)
+def s_s3_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from kafka_s3_etl_spark.shiplib import ensure_workers_can_import
+    from kafka_s3_etl_spark.sources.objectstore import (
+        make_s3_client,
+        register_s3jsonl_source,
+    )
+    from kafka_s3_etl_spark.streaming.runner import (
+        _pinned_stream_partitions,
+        scratch_dir,
+        stream_table,
+    )
+
+    ensure_workers_can_import(spark)
+    register_s3jsonl_source(spark)
+    endpoint = _moto_endpoint()
+    client = make_s3_client(endpoint_url=endpoint)
+    bucket = "graft-streamsink"
+    try:
+        client.create_bucket(Bucket=bucket)
+    except client.exceptions.BucketAlreadyOwnedByYou:
+        pass
+    prefix = f"run-{uuid.uuid4().hex[:8]}/"
+
+    stream = stream_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    ckpt = scratch_dir("s3sink_ckpt")
+    with _pinned_stream_partitions(stream):
+        q = (
+            stream.writeStream.format("graft_s3jsonl_stream_sink")
+            .outputMode("append")
+            .option("endpoint", endpoint)
+            .option("bucket", bucket)
+            .option("prefix", prefix)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(120)
+    return (
+        spark.read.format("graft_s3jsonl")
+        .option("endpoint", endpoint)
+        .option("bucket", bucket)
+        .option("prefix", prefix)
+        .load()
+    )

@@ -163,6 +163,7 @@ def register_s3jsonl_source(spark) -> None:
     spark.dataSource.register(_s3jsonl_classes())
     spark.dataSource.register(_s3stream_classes())
     spark.dataSource.register(_s3sink_classes())
+    spark.dataSource.register(_s3streamsink_classes())
     spark._graft_s3jsonl_registered = True
 
 
@@ -340,3 +341,95 @@ def _s3sink_classes():
             return _S3JsonlWriter(self.options)
 
     return GraftS3JsonlSink
+
+
+def _s3streamsink_classes():
+    """Import-gated construction of the STREAMING S3 sink: same staged-
+    put discipline as the batch sink, but publish is per MICRO-BATCH
+    and IDEMPOTENT under replay — part keys embed the batchId
+    (batch-{id}-part-{i}), so a re-run of batch N after a crash
+    overwrites batch-N parts instead of appending duplicates (the
+    exactly-once contract checkpoint replay requires), and each batch
+    publishes its own _SUCCESS-{id} manifest."""
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamArrowWriter,
+        WriterCommitMessage,
+    )
+
+    @dataclass
+    class _StagedKeys(WriterCommitMessage):
+        staged: tuple
+
+    class _S3JsonlStreamWriter(DataSourceStreamArrowWriter):
+        def __init__(self, options):
+            self.endpoint = options.get("endpoint")
+            self.bucket = options["bucket"]
+            self.prefix = options.get("prefix", "")
+
+        def write(self, iterator):
+            import json as _json
+            import uuid as _uuid
+
+            lines = []
+            for batch in iterator:
+                lines.extend(
+                    _json.dumps(row, sort_keys=True)
+                    for row in batch.to_pylist()
+                )
+            if not lines:
+                return _StagedKeys(staged=())
+            key = f"{self.prefix}_staged/{_uuid.uuid4().hex}.jsonl"
+            client = make_s3_client(endpoint_url=self.endpoint)
+            client.put_object(
+                Bucket=self.bucket,
+                Key=key,
+                Body="\n".join(lines).encode("utf-8"),
+            )
+            return _StagedKeys(staged=(key,))
+
+        def commit(self, messages, batchId):
+            client = make_s3_client(endpoint_url=self.endpoint)
+            i = 0
+            for msg in messages:
+                for staged in getattr(msg, "staged", ()) or ():
+                    client.copy_object(
+                        Bucket=self.bucket,
+                        Key=(
+                            f"{self.prefix}batch-{batchId:05d}"
+                            f"-part-{i:05d}.jsonl"
+                        ),
+                        CopySource={"Bucket": self.bucket, "Key": staged},
+                    )
+                    client.delete_object(Bucket=self.bucket, Key=staged)
+                    i += 1
+            client.put_object(
+                Bucket=self.bucket,
+                Key=f"{self.prefix}_SUCCESS-{batchId:05d}",
+                Body=b"",
+            )
+
+        def abort(self, messages, batchId):
+            client = make_s3_client(endpoint_url=self.endpoint)
+            for msg in messages:
+                for staged in getattr(msg, "staged", ()) or ():
+                    try:
+                        client.delete_object(
+                            Bucket=self.bucket, Key=staged
+                        )
+                    except Exception:
+                        pass
+
+    class GraftS3JsonlStreamSink(DataSource):
+        """df.writeStream.format("graft_s3jsonl_stream_sink")..."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "graft_s3jsonl_stream_sink"
+
+        def streamWriter(self, schema, overwrite: bool):
+            return _S3JsonlStreamWriter(self.options)
+
+    return GraftS3JsonlStreamSink
