@@ -299,6 +299,9 @@ HEADLINE = [
     "x_s3_object_sink",
     # round-9 batch 32
     "s_s3_stream_sink",
+    # round-9 batch 33
+    "q_transpose",
+    "q_xml_roundtrip",
 ]
 
 

@@ -1084,3 +1084,103 @@ def s_s3_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("prefix", prefix)
         .load()
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 33: remaining Spark-4 DataFrame surface — transpose and the
+# XML expression pair (the reference is an XML-producing pipeline; the
+# engine both renders AND parses the format).
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "q_transpose",
+    category="relational",
+    cost=0,
+    doc=(
+        "Native DataFrame.transpose (Spark 4.0): the per-priority "
+        "order rollup (2 exact-BIGINT metrics x 5 priorities) flipped "
+        "so metrics are rows and priorities are columns — the "
+        "report-orientation pivot analysts ask for; transpose sorts "
+        "columns by the index values, so the layout is deterministic. "
+        "Only ever run on ROLLUPS: the output width equals the input "
+        "row count, so the input must be aggregate-sized (this one is "
+        "5 rows at any corpus size). Oracle rebuilds the same shape "
+        "with conditional aggregates."
+    ),
+    oracle=f"""
+        WITH r AS (
+          SELECT o_orderpriority AS p,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS revenue_cents
+          FROM orders GROUP BY 1
+        )
+        SELECT 'n_orders' AS key,
+               {", ".join(
+                   f'''MAX(CASE WHEN p = '{p}' THEN n_orders END) AS "{p}"'''
+                   for p in _PRIORITIES
+               )}
+        FROM r
+        UNION ALL
+        SELECT 'revenue_cents' AS key,
+               {", ".join(
+                   f'''MAX(CASE WHEN p = '{p}' THEN revenue_cents END)'''
+                   for p in _PRIORITIES
+               )}
+        FROM r
+    """,
+)
+def q_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rollup = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )
+    return rollup.transpose()
+
+
+@register(
+    "q_xml_roundtrip",
+    category="etl",
+    cost=0,
+    doc=(
+        "The Spark-4 XML EXPRESSION pair (to_xml / from_xml) proven "
+        "inverse on real data: every order serialized to an XML "
+        "fragment and parsed straight back, hash-checked against the "
+        "identity projection — the in-engine counterpart of the "
+        "reference's document pipeline (functions/xml_render.py covers "
+        "the reference's bespoke dialect byte-for-byte; this entry "
+        "covers Spark's native XML codec both directions). Map-only, "
+        "one scan."
+    ),
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    """,
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    xml = load_table(spark, sf_dir, "orders").select(
+        F.to_xml(
+            F.struct(
+                "o_orderkey",
+                "o_orderstatus",
+                F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
+                    "cents"
+                ),
+            )
+        ).alias("x")
+    )
+    return xml.select(
+        F.from_xml(
+            "x", "o_orderkey bigint, o_orderstatus string, cents bigint"
+        ).alias("r")
+    ).select("r.*")
