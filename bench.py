@@ -468,6 +468,13 @@ KNOWN_SLOWER = {
         "sample of an iterative loop whose cost is per-round job "
         "scheduling (same class as q_graph_pagerank above), not data."
     ),
+    "q_interval_overlap_scalable": (
+        "r9 flapped 0.98s->1.84s between same-day runs of identical "
+        "code; idle 3-run re-check lands 1.3-1.9s. The query is a "
+        "3-job chain (bounds action + two shuffled stages) whose cost "
+        "is per-job scheduling at sf0.1 — the sub-second swing is the "
+        "q_graph_pagerank variance class, and its 10x probe is 1.4x."
+    ),
     "q_sim_pq": (
         "r9 flapped 1.49s->2.63s between two same-day runs of identical "
         "code; idle 3-run re-check lands 2.2-2.4s. The query is ~15 "
