@@ -66,6 +66,30 @@ def download_json(client, bucket: str, key: str) -> Any:
     return json.loads(body.decode("utf-8"))
 
 
+def list_keys(
+    client, bucket: str, prefix: str = "", page_size: int | None = None
+) -> list:
+    """Complete, sorted object listing under (bucket, prefix):
+    list_objects_v2 truncates at 1000 keys per call, so every reader
+    goes through this continuation-token loop — a 100 TB bucket lists
+    in pages, never silently drops keys past the first page.
+    ``page_size`` (MaxKeys) exists so tests can force pagination with
+    a handful of objects."""
+    keys: list = []
+    token = None
+    while True:
+        kw = {"Bucket": bucket, "Prefix": prefix}
+        if page_size is not None:
+            kw["MaxKeys"] = page_size
+        if token:
+            kw["ContinuationToken"] = token
+        resp = client.list_objects_v2(**kw)
+        keys.extend(o["Key"] for o in resp.get("Contents", []))
+        if not resp.get("IsTruncated"):
+            return sorted(keys)
+        token = resp["NextContinuationToken"]
+
+
 # ---------------------------------------------------------------------------
 # S3 -> Spark without hadoop-aws: a Python DataSource whose partitions
 # each fetch one object through the S3 client API. This is the
@@ -98,15 +122,12 @@ def _s3jsonl_classes():
 
         def partitions(self):
             client = make_s3_client(endpoint_url=self.endpoint)
-            resp = client.list_objects_v2(
-                Bucket=self.bucket, Prefix=self.prefix
-            )
             return [
-                _S3Key(o["Key"])
-                for o in resp.get("Contents", [])
+                _S3Key(k)
+                for k in list_keys(client, self.bucket, self.prefix)
                 # Hadoop convention: _SUCCESS manifests / _staged keys
                 # are metadata, not data
-                if not o["Key"].rsplit("/", 1)[-1].startswith("_")
+                if not k.rsplit("/", 1)[-1].startswith("_")
             ]
 
         def read(self, partition):
@@ -193,14 +214,11 @@ def _s3stream_classes():
 
         def _keys(self) -> list[str]:
             client = make_s3_client(endpoint_url=self.endpoint)
-            resp = client.list_objects_v2(
-                Bucket=self.bucket, Prefix=self.prefix
-            )
-            return sorted(
-                o["Key"]
-                for o in resp.get("Contents", [])
-                if not o["Key"].rsplit("/", 1)[-1].startswith("_")
-            )
+            return [
+                k
+                for k in list_keys(client, self.bucket, self.prefix)
+                if not k.rsplit("/", 1)[-1].startswith("_")
+            ]
 
         def initialOffset(self):
             return {"n": 0}

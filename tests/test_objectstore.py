@@ -167,3 +167,20 @@ def test_stream_sink_commit_is_replay_idempotent(s3_endpoint):
         for o in client.list_objects_v2(Bucket="sink-replay")["Contents"]
     )
     assert keys == ["st/_SUCCESS-00007", "st/batch-00007-part-00000.jsonl"]
+
+
+def test_list_keys_paginates_past_truncation(s3_endpoint):
+    """list_objects_v2 truncates (1000 keys by default); the shared
+    lister must walk continuation tokens — forced here with a 3-key
+    page over 10 objects."""
+    from kafka_s3_etl_spark.sources.objectstore import list_keys
+
+    client = make_s3_client(endpoint_url=s3_endpoint)
+    client.create_bucket(Bucket="paging")
+    expect = []
+    for i in range(10):
+        key = f"p/obj-{i:03d}.jsonl"
+        client.put_object(Bucket="paging", Key=key, Body=b"{}")
+        expect.append(key)
+    got = list_keys(client, "paging", "p/", page_size=3)
+    assert got == expect
