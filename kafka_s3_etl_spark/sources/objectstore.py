@@ -190,12 +190,17 @@ def register_s3jsonl_source(spark) -> None:
 
 def _s3stream_classes():
     """Import-gated construction of the STREAMING S3 source — the
-    notification-less Auto-Loader shape: offsets are positions in the
-    lexicographically sorted object listing, so immutable objects whose
-    keys sort after the already-committed prefix (the natural layout of
-    part-file ingestion) are picked up exactly once per listing. Each
-    micro-batch plans one InputPartition per NEW object; executors
-    fetch their own keys with the boto3 client."""
+    notification-less Auto-Loader shape: offsets are lexicographic KEY
+    high-water marks over the sorted object listing, so immutable
+    objects whose keys sort after the already-committed mark (the
+    natural layout of part-file ingestion) are picked up exactly once
+    per listing — and, unlike an index-based offset, a slice boundary
+    can never shift under a concurrent arrival. A key arriving BELOW
+    the committed mark would be silently unreachable, so the reader
+    detects that case and fails loudly (the fix is append-ordered keys
+    or a notification-queue source). Each micro-batch plans one
+    InputPartition per NEW object; executors fetch their own keys with
+    the boto3 client."""
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceStreamReader,
@@ -211,6 +216,13 @@ def _s3stream_classes():
             self.endpoint = options.get("endpoint")
             self.bucket = options["bucket"]
             self.prefix = options.get("prefix", "")
+            # out-of-order arrival guard (driver-side, best effort
+            # across restarts): the count of keys at or below the
+            # high-water mark must never GROW between listings — a key
+            # sorting into the already-read region would otherwise be
+            # skipped silently. Better to stop the stream loudly.
+            self._hwm = ""
+            self._n_below = 0
 
         def _keys(self) -> list[str]:
             client = make_s3_client(endpoint_url=self.endpoint)
@@ -221,14 +233,29 @@ def _s3stream_classes():
             ]
 
         def initialOffset(self):
-            return {"n": 0}
+            return {"hwm": ""}
 
         def latestOffset(self):
-            return {"n": len(self._keys())}
+            keys = self._keys()
+            below = sum(1 for k in keys if k <= self._hwm)
+            if below > self._n_below:
+                raise RuntimeError(
+                    "graft_s3jsonl_stream: object key(s) arrived BELOW "
+                    f"the committed high-water mark {self._hwm!r} — "
+                    "out-of-order key arrival breaks listing-offset "
+                    "exactly-once; use append-ordered keys or a "
+                    "notification-queue source"
+                )
+            if keys:
+                self._hwm = max(self._hwm, keys[-1])
+                self._n_below = sum(1 for k in keys if k <= self._hwm)
+            return {"hwm": self._hwm}
 
         def partitions(self, start, end):
-            keys = self._keys()
-            return [_S3Key(k) for k in keys[start["n"] : end["n"]]]
+            lo, hi = start["hwm"], end["hwm"]
+            return [
+                _S3Key(k) for k in self._keys() if lo < k <= hi
+            ]
 
         def commit(self, end):
             pass

@@ -184,3 +184,33 @@ def test_list_keys_paginates_past_truncation(s3_endpoint):
         expect.append(key)
     got = list_keys(client, "paging", "p/", page_size=3)
     assert got == expect
+
+
+def test_stream_reader_hwm_offsets_and_out_of_order_guard(s3_endpoint):
+    """Listing-offset semantics at the unit level: high-water-mark
+    offsets cover exactly the (lo, hi] key range, and a key arriving
+    BELOW the committed mark fails loudly instead of being silently
+    skipped."""
+    from kafka_s3_etl_spark.sources.objectstore import _s3stream_classes
+
+    client = make_s3_client(endpoint_url=s3_endpoint)
+    client.create_bucket(Bucket="autoload-guard")
+    for key in ("g/b.jsonl", "g/c.jsonl"):
+        client.put_object(Bucket="autoload-guard", Key=key, Body=b'{"x":1}')
+
+    reader = _s3stream_classes()(
+        {"endpoint": s3_endpoint, "bucket": "autoload-guard", "prefix": "g/"}
+    ).streamReader(None)
+    start = reader.initialOffset()
+    end = reader.latestOffset()
+    assert end == {"hwm": "g/c.jsonl"}
+    parts = reader.partitions(start, end)
+    assert sorted(p.key for p in parts) == ["g/b.jsonl", "g/c.jsonl"]
+    # new appends past the mark are the next batch, exactly once
+    client.put_object(Bucket="autoload-guard", Key="g/d.jsonl", Body=b"{}")
+    end2 = reader.latestOffset()
+    assert [p.key for p in reader.partitions(end, end2)] == ["g/d.jsonl"]
+    # a key sorted BELOW the committed mark must fail loudly
+    client.put_object(Bucket="autoload-guard", Key="g/a.jsonl", Body=b"{}")
+    with pytest.raises(RuntimeError, match="BELOW the committed"):
+        reader.latestOffset()
