@@ -196,6 +196,179 @@ def minhash_near_dups(
     )
 
 
+def md5_minhash_signatures(
+    documents: DataFrame, k: int = MINHASH_K, n: int = SHINGLE_N
+) -> DataFrame:
+    """Oracle-replayable MinHash signatures: every hash is md5, the one
+    cryptographic hash Spark and DuckDB share, so the full signature —
+    and therefore LSH bucketing and the agreement estimate downstream —
+    is engine-exact (hex strings compare lexicographically the same as
+    the underlying 128-bit values: fixed width, lowercase both sides).
+
+    Production keeps the xxhash64 family (``minhash_signatures``, ~5x
+    cheaper per shingle); this twin exists so the fuzzy-dedup pipeline
+    has a fully hash-verified DuckDB oracle. Same plan shape: explode ->
+    map-side-combined MIN per seed, per-seed values derived by
+    re-hashing the 32-char shingle digest with the seed appended
+    (fixed-width re-hash input, one long md5 per shingle).
+    Returns (doc_id, mh0..mh{k-1}) with each mh a 32-char hex string.
+    """
+    words = documents.select("doc_id", F.split("text", " ").alias("w"))
+    shingle_expr = (
+        f"transform(sequence(0, size(w) - {n}), i -> "
+        f"concat_ws(' ', slice(w, i + 1, {n})))"
+    )
+    grams = (
+        words.filter(F.size("w") >= n)
+        .select("doc_id", F.explode(F.expr(shingle_expr)).alias("shingle"))
+        .select("doc_id", F.expr("md5(shingle) AS g"))
+    )
+    return grams.groupBy("doc_id").agg(
+        *[F.expr(f"min(md5(concat(g, '{i}'))) AS mh{i}") for i in range(k)]
+    )
+
+
+def md5_minhash_near_dups(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """``minhash_near_dups`` with the md5 hash family — identical LSH
+    shape (banded bucket self-join, signature carried on the band rows,
+    single exchange reused for both join sides), but every value is
+    reproducible in ANSI SQL, so the whole pipeline is DuckDB-hash-
+    checkable. est_jaccard = agree/k is an exact binary fraction
+    (k = 16), so the float itself is hash-stable too.
+
+    Band keys are the concatenation of the band's fixed-width hex
+    minhashes — unambiguous without another hash, and exactly
+    replayable as ``mh_i || mh_j || ...`` on the oracle side.
+    """
+    r = k // bands
+    sigs = md5_minhash_signatures(documents, k)
+    band_structs = ", ".join(
+        "struct({b} AS band_id, concat({cols}) AS key)".format(
+            b=b, cols=", ".join(f"mh{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    sig_cols = ", ".join(f"mh{i}" for i in range(k))
+    banded = sigs.select(
+        "doc_id",
+        F.expr(f"array({sig_cols}) AS sig"),
+        F.explode(F.expr(f"array({band_structs})")).alias("band"),
+    ).select("doc_id", "sig", "band.band_id", "band.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    agree: Column = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (agree.cast("double") / k).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
+    )
+
+
+def md5_simhash_near_dups(
+    documents: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Oracle-replayable SimHash twin: a 64-bit fingerprint whose bit b
+    is the majority vote of the HIGH BIT of hex nibble b of
+    md5(token) || md5('#' || token) over the document's tokens (each
+    nibble's high bit is a fair coin, so the 64 bits are independent
+    Charikar-style projections; one md5 yields only 32 nibbles, hence
+    the second salted digest). The fingerprint is materialized as a
+    64-char '0'/'1' STRING — string ops are the md5-era common ground
+    with ANSI SQL, so bucketing, Hamming distance and the threshold
+    are engine-exact.
+
+    Candidates share one of four 16-BIT chunks (pigeonhole covers
+    Hamming <= 3 over 64 bits) — the same chunk width as the
+    production ``simhash_near_dups``, and deliberately so: SimHash
+    bits are highly correlated on a natural corpus (common tokens
+    dominate every vote), and an 8-bit-chunk variant measured one
+    bucket holding 65% of all docs at sf0.1 (7.5M candidate pairs,
+    99 s); 16-bit chunks split the same corpus to trivial buckets.
+    Returns (doc_a, doc_b, hamming) after the exact Hamming filter.
+    """
+    bits, chunks = 64, 4
+    width = bits // chunks
+    tokens = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", F.expr("concat(md5(tok), md5(concat('#', tok))) AS d"))
+    # 32 conditional sums, built as parsed expr strings (py4j trap).
+    hexhigh = "'8','9','a','b','c','d','e','f'"
+    votes = tokens.groupBy("doc_id").agg(
+        *[
+            F.expr(
+                f"sum(if(substring(d, {b + 1}, 1) IN ({hexhigh}), 1, -1))"
+                f" AS v{b}"
+            )
+            for b in range(bits)
+        ]
+    )
+    bitchars = ", ".join(f"if(v{b} > 0, '1', '0')" for b in range(bits))
+    # localCheckpoint: MANDATORY, not an optimization. `sim` is a
+    # 64-way CASE concat, and CollapseProject re-inlines an unevaluated
+    # projection into EVERY downstream reference (the CLAUDE.md
+    # HOF/CollapseProject trap in projection form) — the chunk
+    # substrings and the integer halves below reference it 6 times.
+    # One row per doc with a 64-char string — cheap at any corpus size.
+    sigs = votes.select(
+        "doc_id", F.expr(f"concat({bitchars}) AS sim")
+    ).localCheckpoint()
+    chunk_structs = ", ".join(
+        f"struct({c} AS chunk_id, substring(sim, {c * width + 1}, {width}) AS chunk)"
+        for c in range(chunks)
+    )
+    # Hamming via two bigint halves + bit_count(xor), NOT a 64-term
+    # per-character comparison sum: the 64-if chain blows past the
+    # whole-stage-codegen method limit and falls back to interpreted
+    # eval (~50us per candidate row — measured 27 s over 554k
+    # candidates at sf0.1); conv('0/1'-string, 2, 10) halves make the
+    # per-candidate cost two XOR+POPCNTs (<1 s). Values are identical:
+    # differing chars == differing bits.
+    chunked = sigs.select(
+        "doc_id",
+        F.expr(f"CAST(conv(substring(sim, 1, 32), 2, 10) AS BIGINT) AS h1"),
+        F.expr(f"CAST(conv(substring(sim, 33, 32), 2, 10) AS BIGINT) AS h2"),
+        F.explode(F.expr(f"array({chunk_structs})")).alias("c"),
+    ).select("doc_id", "h1", "h2", "c.chunk_id", "c.chunk")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    ham = (
+        "CAST(bit_count(a.h1 ^ b.h1) + bit_count(a.h2 ^ b.h2) AS INT)"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr(ham).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_signatures(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """64-bit SimHash per doc: per-bit +1/-1 votes over token hashes,
     aggregated in one pass (64 conditional sums, all codegen'd).

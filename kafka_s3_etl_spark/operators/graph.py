@@ -100,6 +100,83 @@ def pagerank(
     return ranks.select(F.col("node").alias("doc_id"), "rank")
 
 
+def pagerank_fixedpoint(
+    pairs: DataFrame,
+    iters: int = 6,
+    init: int = 1_000_000_000,
+    alpha_num: int = 85,
+    alpha_den: int = 100,
+) -> DataFrame:
+    """Integer fixed-point PageRank: the oracle-checkable twin of
+    ``pagerank``. Every operation is integer (bigint sums, floor
+    division), so the result is bit-exact across engines AND summation
+    orders — a DuckDB oracle can replay the full iteration as a
+    generated CTE chain and hash-match it, which no float power
+    iteration can promise (float sums are association-dependent).
+
+    Semantics (deliberately simple so both engines state them
+    identically): nodes = pair endpoints (deg >= 1 by construction, so
+    no dangling mass); rank_0 = ``init``;
+
+        rank_{t+1}(u) = teleport + (alpha_num * inflow_t(u)) div alpha_den
+        inflow_t(u)   = sum over in-edges (v,u) of rank_t(v) div deg(v)
+        teleport      = (alpha_den - alpha_num) * init div alpha_den
+
+    Floor division sheds a little mass each round (the result is a
+    centrality SCORE, not a probability distribution); the ordering
+    tracks the float ``pagerank`` (property-tested). Overflow headroom:
+    inflow <= n*init, times alpha_num must fit a bigint -> n < ~1e8 at
+    the default init; the float ``pagerank`` remains the production
+    operator beyond that.
+
+    Scale shape is identical to ``pagerank``: per round one join on src
+    + one groupBy shuffle on dst, both partitioned on node id;
+    localCheckpoint cuts the iterative lineage.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    teleport = (alpha_den - alpha_num) * init // alpha_den
+    ranks = nodes.select(
+        "node", F.lit(init).cast("bigint").alias("pr")
+    ).localCheckpoint()
+    for _ in range(iters):
+        inflow = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select("dst", F.expr("pr div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(inflow, nodes.node == inflow.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({alpha_num} * coalesce(inflow, 0L)) div {alpha_den}"
+                    )
+                )
+                .cast("bigint")
+                .alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("node").alias("doc_id"), F.col("pr").alias("rank_fp"))
+
+
 def triangle_counts(
     edges: DataFrame, max_degree: int | None = None
 ) -> DataFrame:

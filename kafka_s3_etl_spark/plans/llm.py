@@ -295,16 +295,69 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_lsh_topk_oracle(n_queries: int = 8, k: int = 5) -> str:
+    """LSH top-k replay: same pinned sign matrix as q_dedup_embedding
+    (ann_sign_rows), bucket candidates, exact cosine re-rank. Rank-only
+    output keeps the float out of the hash; the cosine ORDERING parity
+    (Spark aggregate-fold dot vs DuckDB list_cosine_similarity) is the
+    one q_sim_topk already proves hash-stable on this corpus."""
+    rows = ann_sign_rows()
+    return f"""
+        WITH signs(table_id, bit, s) AS (VALUES {rows}),
+        base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        b AS (
+          SELECT vec_id, table_id,
+                 CAST(SUM(CASE WHEN list_dot_product(e, s) > 0
+                               THEN bit ELSE 0 END) AS BIGINT) AS bucket
+          FROM base, signs GROUP BY vec_id, table_id
+        ),
+        q AS (SELECT vec_id, table_id, bucket FROM b WHERE vec_id < {n_queries}),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM b c JOIN q
+            ON c.table_id = q.table_id AND c.bucket = q.bucket
+               AND c.vec_id != q.vec_id
+        ),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 list_cosine_similarity(eq.e, ec.e) AS c
+          FROM cand
+          JOIN base eq ON eq.vec_id = cand.query_id
+          JOIN base ec ON ec.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY query_id ORDER BY c DESC, neighbor_id
+                 ) AS rnk
+          FROM scored) WHERE rnk <= {k}
+    """
+
+
 @register(
     "q_sim_ann_lsh",
     cost=2,
     category="similarity",
-    doc="Sign-random-projection LSH ANN top-5 (rows-only; recall vs "
-    "brute force asserted in tests).",
-    oracle=None,
+    doc=(
+        "Sign-random-projection LSH ANN top-5, hash-verified (upgraded "
+        "from rows-only in round 9): the registered entry pins the "
+        "6-plane x 8-table layout so the oracle can replay the exact "
+        "bucket join and cosine re-rank via the shared ann_sign_rows "
+        "matrix; rank-only output keeps floats out of the hash. The "
+        "operator's auto-plane default (bucket occupancy ~constant as "
+        "the corpus scales) remains the production path and keeps its "
+        "brute-force recall property test."
+    ),
+    oracle=_ann_lsh_topk_oracle(),
 )
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ann_lsh_topk(load_table(spark, sf_dir, "embeddings"))
+    return ann_lsh_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        planes=_ANN_DEDUP_PLANES,
+        tables=_ANN_DEDUP_TABLES,
+    ).select("query_id", "neighbor_id", "rank")
 
 
 @register(

@@ -69,6 +69,7 @@ _PLAN_MODULES = [
     "kafka_s3_etl_spark.plans.rolling",
     "kafka_s3_etl_spark.plans.scalewin",
     "kafka_s3_etl_spark.plans.evalops",
+    "kafka_s3_etl_spark.plans.oracleext",
 ]
 
 
@@ -80,6 +81,7 @@ class Query:
     category: str
     doc: str = ""
     cost: int = 0  # relative runtime hint; orders the sweep, see all_queries()
+    seq: int = 0  # in-module registration order (deterministic per module)
 
 
 REGISTRY: dict[str, Query] = {}
@@ -111,7 +113,13 @@ def register(
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
         REGISTRY[name] = Query(
-            name=name, fn=fn, oracle=oracle, category=category, doc=doc, cost=cost
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            category=category,
+            doc=doc,
+            cost=cost,
+            seq=len(REGISTRY),
         )
         return fn
 
@@ -124,10 +132,23 @@ def all_queries() -> dict[str, Query]:
     (oracle-backed) entries first, rows-only after, and within each tier
     cheap before expensive — so a sweep cut short still covers every
     oracle query before spending time on iterative/streaming rows-only
-    entries. Registration order breaks ties (stable sort)."""
+    entries.
+
+    Ties break on (_PLAN_MODULES position, in-module registration
+    order) — NOT on raw REGISTRY insertion order, which depends on who
+    imported which plan module first (a test importing one module
+    directly would otherwise reshuffle the driver's 50-entry sweep
+    prefix; tests/test_survey_totals.py pins it)."""
     for mod in _PLAN_MODULES:
         importlib.import_module(mod)
+    mod_pos = {m: i for i, m in enumerate(_PLAN_MODULES)}
     ordered = sorted(
-        REGISTRY.values(), key=lambda q: (q.oracle is None, q.cost)
+        REGISTRY.values(),
+        key=lambda q: (
+            q.oracle is None,
+            q.cost,
+            mod_pos.get(q.fn.__module__, len(_PLAN_MODULES)),
+            q.seq,
+        ),
     )
     return {q.name: q for q in ordered}

@@ -238,6 +238,17 @@ PROBE_QUERIES = [
     "q_arrow_token_stats",
     "q_multimodal_video",
     "q_sim_ivfpq",
+    # round-9 batch 34: the oracle-hardened exact twins — same plan
+    # shapes as their production originals (md5-MinHash LSH rides the
+    # 10x twinned documents; fixed-point pagerank the md5 pair graph;
+    # markov the scaled per-user event timelines)
+    "q_dedup_fuzzy_exact",
+    "q_dedup_clusters_exact",
+    "q_dedup_simhash_exact",
+    "q_graph_pagerank_exact",
+    "q_markov_kstep",
+    # round-9 batch 35 (rides the 10x twinned documents corpus)
+    "q_bpe_merges",
 ]
 
 

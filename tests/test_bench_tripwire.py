@@ -25,25 +25,57 @@ def test_regressions_flags_only_real_slowdowns():
     _, prev = bench._previous_bench()
     sample = dict(list(prev.items())[:8])
 
-    assert bench._regressions(dict(sample)) == ({}, {})  # identical -> clean
+    # identical -> clean, no drift
+    assert bench._regressions(dict(sample)) == ({}, {}, 1.0)
 
-    doubled = {k: v * 2 for k, v in sample.items()}
-    flagged, explained = bench._regressions(doubled)
-    both = {**flagged, **explained}
-    # 2x & >0.3s abs & lands above the 1.0s sub-second noise floor
-    expect = {k for k, v in sample.items() if v > 0.3 and 2 * v > 1.0}
-    assert set(both) == expect
-    for k, rec in both.items():
-        assert rec["prev"] == sample[k] and rec["now"] == doubled[k]
-    # known-slower entries route to the explained channel with a reason
-    for k in expect & set(bench.KNOWN_SLOWER):
-        assert k in explained and explained[k]["why"]
-    assert not set(flagged) & set(bench.KNOWN_SLOWER)
+    # ONE query doubling while the rest hold is a real regression
+    # (drift stays 1.0: the median ratio is 1)
+    stable = dict(list(prev.items())[:12])
+    victim = max(stable, key=stable.get)  # big enough to clear floors
+    if stable[victim] > 0.7:
+        bumped = {**stable, victim: stable[victim] * 2}
+        flagged, explained, drift = bench._regressions(bumped)
+        assert drift == 1.0
+        both = {**flagged, **explained}
+        assert victim in both
+        assert both[victim]["prev"] == stable[victim]
+        # known-slower entries route to the explained channel
+        for k in set(both) & set(bench.KNOWN_SLOWER):
+            assert k in explained and explained[k]["why"]
+        assert not set(flagged) & set(bench.KNOWN_SLOWER)
 
     # 2x on a tiny query (<=0.3s absolute delta) is noise, not a regression
     tiny = {k: v for k, v in sample.items() if v <= 0.3}
     if tiny:
-        assert bench._regressions({k: v * 2 for k, v in tiny.items()}) == ({}, {})
+        assert bench._regressions({k: v * 2 for k, v in tiny.items()}) == (
+            {},
+            {},
+            1.0,
+        )
+
+
+def test_uniform_environment_drift_reported_not_flagged():
+    """A whole-boot slowdown (host reboot / co-tenant — r9 proved one
+    with a stash A/B: identical code, ~1.5x across the board) must
+    surface as ONE reported drift ratio, not dozens of per-query
+    regression flags; a query slowing MORE than the drift still trips."""
+    _, prev = bench._previous_bench()
+    sample = {
+        k: v for k, v in list(prev.items())[:20] if v >= 0.2
+    }
+    if len(sample) < 8:
+        return
+    drifted = {k: v * 2 for k, v in sample.items()}
+    flagged, explained, drift = bench._regressions(drifted)
+    assert abs(drift - 2.0) < 1e-9
+    assert flagged == {} and explained == {}
+
+    # one query 4x while the rest are 2x: flagged even under drift
+    victim = max(sample, key=sample.get)
+    if sample[victim] * 4 > 1.0 and sample[victim] > 0.3:
+        drifted[victim] = sample[victim] * 4
+        flagged, explained, drift = bench._regressions(drifted)
+        assert victim in {**flagged, **explained}
 
 
 def test_artifact_queries_salvages_truncated_r5_artifact():
