@@ -311,6 +311,8 @@ HEADLINE = [
     "q_markov_kstep",
     "q_sample_hash",
     "q_bpe_merges",
+    # round-9 batch 36
+    "q_dedup_embedding_clusters",
 ]
 
 

@@ -652,3 +652,99 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sym"),
         )
     return merges
+
+
+# -------------------------- batch 36: embedding dedup cluster resolution
+
+_EMB_CC_THRESHOLD = 0.2  # matched to the synthetic corpus, as q_dedup_embedding
+
+
+def _embedding_clusters_oracle(threshold: float = _EMB_CC_THRESHOLD) -> str:
+    """Chains the two proven oracle pieces end-to-end: the pinned-sign
+    LSH bucket replay + exact cosine verify (the q_dedup_embedding
+    oracle) feeding the recursive-CTE min-label closure (the
+    q_entity_resolution / q_dedup_clusters_exact pattern). Every vector
+    is a node; isolated vectors are singleton clusters."""
+    from kafka_s3_etl_spark.plans.llm import ann_sign_rows
+
+    rows = ann_sign_rows()
+    return f"""
+        WITH RECURSIVE signs(table_id, bit, s) AS (VALUES {rows}),
+        base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        b AS (
+          SELECT vec_id, table_id,
+                 CAST(SUM(CASE WHEN list_dot_product(e, s) > 0
+                               THEN bit ELSE 0 END) AS BIGINT) AS bucket
+          FROM base, signs GROUP BY vec_id, table_id
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+          FROM b a JOIN b b2
+            ON b2.table_id = a.table_id AND b2.bucket = a.bucket
+               AND b2.vec_id > a.vec_id
+        ),
+        thr AS MATERIALIZED (
+          SELECT c.vec_a, c.vec_b
+          FROM cand c
+          JOIN base ea ON ea.vec_id = c.vec_a
+          JOIN base eb ON eb.vec_id = c.vec_b
+          WHERE list_cosine_similarity(ea.e, eb.e) >= {threshold}
+        ),
+        sym AS (
+          SELECT vec_a AS src, vec_b AS dst FROM thr
+          UNION ALL
+          SELECT vec_b AS src, vec_a AS dst FROM thr
+        ),
+        reach AS (
+          SELECT vec_id AS node, vec_id AS lbl FROM embeddings
+          UNION
+          SELECT s.dst AS node, r.lbl
+          FROM reach r JOIN sym s ON r.node = s.src
+          WHERE r.lbl < s.dst
+        )
+        SELECT node AS vec_id, MIN(lbl) AS cluster_id,
+               node = MIN(lbl) AS keep
+        FROM reach GROUP BY node
+    """
+
+
+@register(
+    "q_dedup_embedding_clusters",
+    cost=3,
+    category="dedup",
+    doc=(
+        "Embedding dedup CLUSTER resolution, hash-verified end-to-end: "
+        "sign-LSH candidate pairs -> exact double-cosine verify (the "
+        "q_dedup_embedding machinery) -> connected components -> "
+        "(vec_id, cluster_id, keep). This is the operator a 100 TB "
+        "semantic dedup actually ships — pairs alone do not dedup; "
+        "the transitive closure picks one canonical representative "
+        "per near-dup group. Oracle chains the pinned-sign LSH replay "
+        "with a recursive-CTE min-label closure."
+    ),
+    oracle=_embedding_clusters_oracle(),
+)
+def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.dedup import connected_components
+    from kafka_s3_etl_spark.operators.similarity import embedding_near_dups_ann
+    from kafka_s3_etl_spark.plans.llm import (
+        _ANN_DEDUP_PLANES,
+        _ANN_DEDUP_TABLES,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups_ann(
+        emb,
+        threshold=_EMB_CC_THRESHOLD,
+        planes=_ANN_DEDUP_PLANES,
+        tables=_ANN_DEDUP_TABLES,
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    nodes = emb.select(F.col("vec_id").alias("doc_id"))
+    cc = connected_components(pairs, nodes)
+    return cc.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("cluster_id"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )

@@ -249,6 +249,9 @@ PROBE_QUERIES = [
     "q_markov_kstep",
     # round-9 batch 35 (rides the 10x twinned documents corpus)
     "q_bpe_merges",
+    # round-9 batch 36 (rides the 10x twinned embeddings: every vector
+    # gains 9 exact twins, so the closure has real cluster structure)
+    "q_dedup_embedding_clusters",
 ]
 
 

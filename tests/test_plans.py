@@ -1162,3 +1162,44 @@ def test_decile_transition_uses_partitioned_bucketed_rank(spark, sf_dir):
     assert specs, "expected window specs in the plan"
     for s in specs:
         assert s == "period", s
+
+
+def test_md5_minhash_reuses_selfjoin_exchange(spark, sf_dir):
+    """q_dedup_fuzzy_exact: same LSH band self-join discipline as the
+    xxhash64 pipeline — both join sides are the identical signature
+    subplan shuffled on the band key, so the executed plan must reuse
+    one exchange (AQE decides at runtime: execute, then read)."""
+    df = _CAT["q_dedup_fuzzy_exact"].fn(spark, sf_dir)
+    df.collect()
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_md5_simhash_joins_on_chunks_with_integer_hamming(spark, sf_dir):
+    """q_dedup_simhash_exact: candidates come from the chunk equi join
+    (hash join, never a nested-loop product) and the Hamming filter is
+    the bit_count(xor) integer form — the 64-term substring chain falls
+    out of whole-stage codegen (measured ~50us/row interpreted)."""
+    df = _CAT["q_dedup_simhash_exact"].fn(spark, sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "HashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "bit_count" in plan and "substring" not in plan.split("Join")[-1]
+
+
+def test_hash_sample_prunes_to_two_columns(spark, sf_dir):
+    """q_sample_hash: the md5-threshold filter uses only doc_id and
+    lang, so the scan must read exactly those two columns — a sampling
+    operator that drags the text column through the scan would read
+    the whole corpus to keep 1/8 of the rows."""
+    plan = plan_of(spark, sf_dir, "q_sample_hash")
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+    assert "text" not in plan
