@@ -735,12 +735,44 @@ def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dups_ann(
-        emb,
+    # Exact-dup pre-pass (the q_simjoin_prefix discipline): bit-identical
+    # vectors have identical buckets and cosines, so collapsing each
+    # identity group to its min-id representative and re-attaching the
+    # twins by (rep, twin) identity edges preserves components EXACTLY —
+    # the component minimum is always a representative (each rep is the
+    # min of its group). Without this, k exact copies of a vector
+    # contribute O(k^2) LSH pairs: the 10x twinned probe measured 11.1x
+    # before the pre-pass, 100x data means 100x-squared edges inside
+    # every duplicate clique. With it, ANN edges are bounded by UNIQUE
+    # vectors and the identity edges are linear in corpus size — exact
+    # duplicates are the dominant case in a crawled corpus, so this is
+    # the shape a 100 TB semantic dedup actually runs. (The PAIRS entry
+    # q_dedup_embedding stays quadratic by definition of its output;
+    # clusters are the scalable deliverable.)
+    grouped = emb.select(
+        "vec_id", "embedding", F.xxhash64("embedding").alias("gfp")
+    )
+    rep_w = Window.partitionBy("gfp").orderBy("vec_id")
+    with_rep = grouped.select(
+        "vec_id",
+        "embedding",
+        F.min("vec_id").over(rep_w.rowsBetween(Window.unboundedPreceding,
+                                               Window.unboundedFollowing))
+        .alias("rep"),
+    ).localCheckpoint()
+    reps = with_rep.filter(F.col("vec_id") == F.col("rep")).select(
+        "vec_id", "embedding"
+    )
+    ann_pairs = embedding_near_dups_ann(
+        reps,
         threshold=_EMB_CC_THRESHOLD,
         planes=_ANN_DEDUP_PLANES,
         tables=_ANN_DEDUP_TABLES,
     ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    identity_edges = with_rep.filter(F.col("vec_id") != F.col("rep")).select(
+        F.col("rep").alias("doc_a"), F.col("vec_id").alias("doc_b")
+    )
+    pairs = ann_pairs.unionByName(identity_edges)
     nodes = emb.select(F.col("vec_id").alias("doc_id"))
     cc = connected_components(pairs, nodes)
     return cc.select(
