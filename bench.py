@@ -313,6 +313,8 @@ HEADLINE = [
     "q_bpe_merges",
     # round-9 batch 36
     "q_dedup_embedding_clusters",
+    # round-9 batch 37
+    "q_dedup_precision_audit",
 ]
 
 

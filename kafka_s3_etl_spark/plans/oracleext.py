@@ -780,3 +780,112 @@ def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id"),
         (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
     )
+
+
+# ------------------------- batch 37: LSH threshold quality audit
+
+
+def _dedup_precision_oracle() -> str:
+    """Extends the md5-pair CTEs with exact set Jaccard over the
+    CANDIDATE pairs only (never all pairs): intersections via an
+    (doc, shingle) equi join keyed by the candidate list, truth test in
+    integer form (2*i >= u  <=>  i/u >= 0.5) so no float ever enters
+    the hash, and exact bigint sums of intersection/union sizes per
+    estimate bucket."""
+    return f"""
+        WITH {_md5_pairs_ctes()},
+        sizes AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+        ),
+        inter AS (
+          SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS i
+          FROM thr p
+          JOIN sh a ON a.doc_id = p.doc_a
+          JOIN sh b ON b.doc_id = p.doc_b AND b.s = a.s
+          GROUP BY p.doc_a, p.doc_b
+        ),
+        scored AS (
+          SELECT CAST(ROUND(p.est_jaccard * 16) AS INTEGER) AS bucket,
+                 COALESCE(i.i, 0) AS i,
+                 sa.n + sb.n - COALESCE(i.i, 0) AS u
+          FROM thr p
+          JOIN sizes sa ON sa.doc_id = p.doc_a
+          JOIN sizes sb ON sb.doc_id = p.doc_b
+          LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        )
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN 2 * i >= u THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_true,
+               CAST(SUM(i) AS BIGINT) AS sum_inter,
+               CAST(SUM(u) AS BIGINT) AS sum_union
+        FROM scored GROUP BY bucket
+    """
+
+
+@register(
+    "q_dedup_precision_audit",
+    cost=2,
+    category="dedup",
+    doc=(
+        "LSH threshold quality audit — the 'did my MinHash bands lie "
+        "to me' check every dedup pipeline runs before committing to "
+        "a threshold: for each md5-MinHash candidate pair, the EXACT "
+        "word-3-gram Jaccard (computed only over candidates, never "
+        "all pairs), rolled up per estimate bucket (agree/16) as "
+        "(n_pairs, n_true at the 0.5 truth line, exact intersection/"
+        "union sums). Truth test in integer form 2*i >= u, sums in "
+        "bigint — no float enters the hash. Intersections ride one "
+        "(doc, shingle) equi join keyed by the candidate list."
+    ),
+    oracle=_dedup_precision_oracle(),
+)
+def q_dedup_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.dedup import (
+        md5_minhash_near_dups,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = md5_minhash_near_dups(docs, threshold=_THRESHOLD)
+    sh = word_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
+    inter = (
+        pairs.select("doc_a", "doc_b")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("i"))
+    )
+    scored = (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"),
+                         F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"),
+                         F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            F.round(F.col("est_jaccard") * 16).cast("int").alias("bucket"),
+            F.coalesce("i", F.lit(0).cast("bigint")).alias("i"),
+            (F.col("na") + F.col("nb")
+             - F.coalesce("i", F.lit(0).cast("bigint"))).alias("u"),
+        )
+    )
+    return scored.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(F.when(2 * F.col("i") >= F.col("u"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true"),
+        F.sum("i").cast("bigint").alias("sum_inter"),
+        F.sum("u").cast("bigint").alias("sum_union"),
+    )

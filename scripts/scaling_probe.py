@@ -252,6 +252,8 @@ PROBE_QUERIES = [
     # round-9 batch 36 (rides the 10x twinned embeddings: every vector
     # gains 9 exact twins, so the closure has real cluster structure)
     "q_dedup_embedding_clusters",
+    # round-9 batch 37 (exact-jaccard verify over the md5 candidates)
+    "q_dedup_precision_audit",
 ]
 
 

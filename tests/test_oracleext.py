@@ -194,3 +194,72 @@ def test_hash_sample_is_partitioning_invariant(spark, sf_dir):
         for r in q.fn(spark, sf_dir).repartition(17, "lang").collect()
     }
     assert a == b and len(a) > 0
+
+
+def _bpe_merges_py(texts, rounds=4):
+    """Sequential reference for the word-level BPE merge loop:
+    top adjacent pair (n DESC, x, y), x != y, fused everywhere
+    left-to-right (non-overlap is guaranteed by x != y)."""
+    seqs = [t.split(" ") for t in texts]
+    out = []
+    for _ in range(rounds):
+        counts: dict[tuple[str, str], int] = {}
+        for s in seqs:
+            for a, b in zip(s, s[1:]):
+                if a != b:
+                    counts[(a, b)] = counts.get((a, b), 0) + 1
+        (x, y), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((x, y, n))
+        nxt = []
+        for s in seqs:
+            m, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == x and s[i + 1] == y:
+                    m.append(x + " " + y)
+                    i += 2
+                else:
+                    m.append(s[i])
+                    i += 1
+            nxt.append(m)
+        seqs = nxt
+    return out
+
+
+def test_bpe_merges_matches_python_reference_exactly(spark):
+    from kafka_s3_etl_spark.plans.oracleext import q_bpe_merges
+    from kafka_s3_etl_spark.plans.registry import all_queries
+
+    texts = [
+        "the cat sat on the mat and the cat ran",
+        "the cat sat on a hat while the cat sat still",
+        "a dog sat on the mat and the dog sat down",
+    ]
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": list(range(len(texts))),
+                    "text": texts,
+                    "lang": ["en"] * len(texts),
+                    "source": ["t"] * len(texts),
+                    "n_chars": [len(t) for t in texts],
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        got = sorted(
+            (r.round, r.x, r.y, r.n)
+            for r in all_queries()["q_bpe_merges"].fn(spark, d).collect()
+        )
+    want = sorted(
+        (i, x, y, n) for i, (x, y, n) in enumerate(_bpe_merges_py(texts))
+    )
+    assert got == want
