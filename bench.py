@@ -315,6 +315,9 @@ HEADLINE = [
     "q_dedup_embedding_clusters",
     # round-9 batch 37
     "q_dedup_precision_audit",
+    # round-9 batch 38
+    "q_split_leakage_safe",
+    "q_split_leakage_audit",
 ]
 
 

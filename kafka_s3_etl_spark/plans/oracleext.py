@@ -889,3 +889,176 @@ def q_dedup_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("i").cast("bigint").alias("sum_inter"),
         F.sum("u").cast("bigint").alias("sum_union"),
     )
+
+
+# --------------------- batch 38: leakage-safe train/val splitting
+
+# ~4/5 of the hex space -> ~80/20 split; fixed-width lowercase hex
+# compares identically as a string in both engines.
+_SPLIT_HEX = "cccccccc"
+
+
+def _cluster_split_sql_frag(idcol: str) -> str:
+    return (
+        f"CASE WHEN substr(md5(CAST({idcol} AS VARCHAR)), 1, 8) "
+        f"< '{_SPLIT_HEX}' THEN 'train' ELSE 'val' END"
+    )
+
+
+def _split_safe_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_md5_pairs_ctes()},
+        sym AS (
+          SELECT doc_a AS src, doc_b AS dst FROM thr
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM thr
+        ),
+        reach AS (
+          SELECT doc_id AS node, doc_id AS lbl FROM documents
+          UNION
+          SELECT s.dst AS node, r.lbl
+          FROM reach r JOIN sym s ON r.node = s.src
+          WHERE r.lbl < s.dst
+        ),
+        cc AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+               FROM reach GROUP BY node)
+        SELECT doc_id, cluster_id,
+               {_cluster_split_sql_frag("cluster_id")} AS split
+        FROM cc
+    """
+
+
+def _split_audit_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_md5_pairs_ctes()},
+        sym AS (
+          SELECT doc_a AS src, doc_b AS dst FROM thr
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM thr
+        ),
+        reach AS (
+          SELECT doc_id AS node, doc_id AS lbl FROM documents
+          UNION
+          SELECT s.dst AS node, r.lbl
+          FROM reach r JOIN sym s ON r.node = s.src
+          WHERE r.lbl < s.dst
+        ),
+        cc AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+               FROM reach GROUP BY node),
+        cluster_split AS (
+          SELECT doc_id, {_cluster_split_sql_frag("cluster_id")} AS split
+          FROM cc
+        ),
+        doc_split AS (
+          SELECT doc_id, {_cluster_split_sql_frag("doc_id")} AS split
+          FROM documents
+        )
+        SELECT 'cluster_hash' AS split_mode,
+               CAST(SUM(CASE WHEN a.split != b.split THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_leaking_pairs
+        FROM thr p
+        JOIN cluster_split a ON a.doc_id = p.doc_a
+        JOIN cluster_split b ON b.doc_id = p.doc_b
+        UNION ALL
+        SELECT 'doc_hash' AS split_mode,
+               CAST(SUM(CASE WHEN a.split != b.split THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_leaking_pairs
+        FROM thr p
+        JOIN doc_split a ON a.doc_id = p.doc_a
+        JOIN doc_split b ON b.doc_id = p.doc_b
+    """
+
+
+def _cluster_split_col(idcol: str):
+    return F.expr(
+        f"IF(substring(md5(CAST({idcol} AS STRING)), 1, 8) "
+        f"< '{_SPLIT_HEX}', 'train', 'val')"
+    )
+
+
+@register(
+    "q_split_leakage_safe",
+    cost=3,
+    category="prep",
+    doc=(
+        "Leakage-safe train/val split: near-dup CLUSTERS, not "
+        "documents, are the unit of assignment — a hash threshold on "
+        "the cluster id sends every member of a near-dup group to the "
+        "same side, so no training document has a near-duplicate in "
+        "the eval set (the test-set-contamination failure mode a "
+        "doc-level split cannot prevent). Deterministic and "
+        "partitioning-independent like q_sample_hash; clusters from "
+        "the md5-MinHash CC pipeline, hash-verified end-to-end."
+    ),
+    oracle=_split_safe_oracle(),
+)
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.dedup import (
+        connected_components,
+        md5_minhash_near_dups,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = md5_minhash_near_dups(docs, threshold=_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    cc = connected_components(pairs, docs.select("doc_id"))
+    return cc.select(
+        "doc_id", "cluster_id", _cluster_split_col("cluster_id").alias("split")
+    )
+
+
+@register(
+    "q_split_leakage_audit",
+    cost=3,
+    category="prep",
+    doc=(
+        "The proof the cluster split matters: count near-dup pairs "
+        "straddling train/val under (a) the cluster-hash split — "
+        "structurally zero — and (b) the naive doc-hash split, which "
+        "leaks ~2*p*(1-p) of every near-dup pair across the boundary. "
+        "Two-row report (split_mode, n_leaking_pairs), exact bigint "
+        "counts, hash-verified."
+    ),
+    oracle=_split_audit_oracle(),
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.dedup import (
+        connected_components,
+        md5_minhash_near_dups,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = md5_minhash_near_dups(docs, threshold=_THRESHOLD).select(
+        "doc_a", "doc_b"
+    ).localCheckpoint()
+    cc = connected_components(pairs, docs.select("doc_id"))
+    cluster_split = cc.select(
+        "doc_id", _cluster_split_col("cluster_id").alias("split")
+    )
+    doc_split = docs.select(
+        "doc_id", _cluster_split_col("doc_id").alias("split")
+    )
+    def leak(split_df, mode):
+        return (
+            pairs.join(
+                split_df.select(F.col("doc_id").alias("doc_a"),
+                                F.col("split").alias("sa")),
+                "doc_a",
+            )
+            .join(
+                split_df.select(F.col("doc_id").alias("doc_b"),
+                                F.col("split").alias("sb")),
+                "doc_b",
+            )
+            .agg(
+                F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_leaking_pairs")
+            )
+            .select(F.lit(mode).alias("split_mode"), "n_leaking_pairs")
+        )
+
+    return leak(cluster_split, "cluster_hash").unionByName(
+        leak(doc_split, "doc_hash")
+    )

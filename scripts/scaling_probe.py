@@ -254,6 +254,9 @@ PROBE_QUERIES = [
     "q_dedup_embedding_clusters",
     # round-9 batch 37 (exact-jaccard verify over the md5 candidates)
     "q_dedup_precision_audit",
+    # round-9 batch 38 (cluster-unit split + straddle audit)
+    "q_split_leakage_safe",
+    "q_split_leakage_audit",
 ]
 
 
