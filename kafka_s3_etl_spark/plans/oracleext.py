@@ -1,5 +1,8 @@
-"""Round-9 oracle-hardening batch (batch 34): hash-verified twins for
-the iterative / hash-seeded families that were rows-only by design.
+"""Round-9 oracle-hardening batches (34-38): hash-verified twins for
+the iterative / hash-seeded families that were rows-only by design,
+plus the pipeline operators those twins unlock (BPE merges, hash
+sampling, embedding cluster resolution, LSH precision audit,
+leakage-safe train/val splitting).
 
 The blocker for those entries was never the algorithm — it was that
 (a) xxhash64 has no DuckDB counterpart, and (b) float power iterations
