@@ -318,6 +318,8 @@ HEADLINE = [
     # round-9 batch 38
     "q_split_leakage_safe",
     "q_split_leakage_audit",
+    # round-9 batch 39
+    "q_dedup_threshold_curve",
 ]
 
 

@@ -1065,3 +1065,93 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leak(cluster_split, "cluster_hash").unionByName(
         leak(doc_split, "doc_hash")
     )
+
+
+# ------------------- batch 39: dedup threshold sensitivity curve
+
+
+def _threshold_curve_oracle() -> str:
+    """For every candidate threshold t (in 16ths, from the 0.5 band cut
+    up to exact duplicates): how many docs a keep-lowest-id dedup would
+    drop. A doc is dropped at t iff it has a LOWER-id candidate partner
+    with est >= t, so the whole curve is one per-doc max over the pairs
+    plus a tiny threshold cross join — no re-run per knob setting."""
+    lo = int(_THRESHOLD * _K)
+    return f"""
+        WITH {_md5_pairs_ctes()},
+        per_doc AS (
+          SELECT doc_b AS doc_id,
+                 MAX(CAST(ROUND(est_jaccard * {_K}) AS INTEGER)) AS max_agree
+          FROM thr GROUP BY doc_b
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents),
+        ts AS (SELECT UNNEST(range({lo}, {_K} + 1)) AS t)
+        SELECT CAST(ts.t AS INTEGER) AS threshold_16ths,
+               CAST(COALESCE(SUM(CASE WHEN p.max_agree >= ts.t
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_dropped,
+               n.total - CAST(COALESCE(SUM(CASE WHEN p.max_agree >= ts.t
+                                               THEN 1 ELSE 0 END), 0)
+                              AS BIGINT) AS n_surviving
+        FROM ts CROSS JOIN n LEFT JOIN per_doc p ON TRUE
+        GROUP BY ts.t, n.total
+    """
+
+
+@register(
+    "q_dedup_threshold_curve",
+    cost=2,
+    category="dedup",
+    doc=(
+        "Dedup threshold sensitivity curve — how many documents a "
+        "keep-lowest-id dedup drops at EVERY candidate threshold "
+        "(est in 16ths from the band cut to exact): one per-doc max "
+        "over the md5-MinHash pairs, then a 9-row threshold spine — "
+        "the whole tuning curve from a single pipeline pass instead "
+        "of re-running dedup per knob setting. Exact bigint counts, "
+        "hash-verified."
+    ),
+    oracle=_threshold_curve_oracle(),
+)
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.dedup import md5_minhash_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    lo = int(_THRESHOLD * _K)
+    pairs = md5_minhash_near_dups(docs, threshold=_THRESHOLD)
+    per_doc = (
+        pairs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.round(F.col("est_jaccard") * _K).cast("int").alias("agree"),
+        )
+        .groupBy("doc_id")
+        .agg(F.max("agree").alias("max_agree"))
+    )
+    total = docs.agg(F.count("*").cast("bigint").alias("total"))
+    ts = docs.sparkSession.range(lo, _K + 1).select(
+        F.col("id").cast("int").alias("threshold_16ths")
+    )
+    dropped = (
+        ts.crossJoin(F.broadcast(total))
+        .join(
+            per_doc.crossJoin(
+                F.broadcast(ts.select(F.col("threshold_16ths").alias("t")))
+            )
+            .filter(F.col("max_agree") >= F.col("t"))
+            .groupBy("t")
+            .agg(F.count("*").cast("bigint").alias("n_dropped")),
+            F.col("threshold_16ths") == F.col("t"),
+            "left",
+        )
+        .select(
+            "threshold_16ths",
+            F.coalesce("n_dropped", F.lit(0).cast("bigint")).alias(
+                "n_dropped"
+            ),
+            (
+                F.col("total")
+                - F.coalesce("n_dropped", F.lit(0).cast("bigint"))
+            ).alias("n_surviving"),
+        )
+    )
+    return dropped

@@ -257,6 +257,8 @@ PROBE_QUERIES = [
     # round-9 batch 38 (cluster-unit split + straddle audit)
     "q_split_leakage_safe",
     "q_split_leakage_audit",
+    # round-9 batch 39 (per-doc max over the md5 pairs)
+    "q_dedup_threshold_curve",
 ]
 
 
