@@ -320,6 +320,15 @@ HEADLINE = [
     "q_split_leakage_audit",
     # round-9 batch 39
     "q_dedup_threshold_curve",
+    # round-10 batch 40: perceptual-hash multimodal dedup
+    "q_dedup_image_phash",
+    "q_dedup_frame_phash",
+    # round-10 batch 41: bounded containment join (the uncapped
+    # original stays correctness-tier / headline-excluded)
+    "q_containment_join_capped",
+    # round-10 batch 42: the RocksDB-provider sessionizer (state on
+    # local disk — per-batch scheduling floor plus RocksDB I/O)
+    "s_session_timeout_rocksdb",
 ]
 
 
@@ -536,7 +545,12 @@ def _env_drift(
     )
     if len(ratios) < 8:
         return 1.0
-    med = ratios[len(ratios) // 2]
+    mid = len(ratios) // 2
+    med = (
+        ratios[mid]
+        if len(ratios) % 2
+        else (ratios[mid - 1] + ratios[mid]) / 2
+    )
     return med if med > 1.25 else 1.0
 
 
@@ -545,30 +559,43 @@ def _regressions(
 ) -> tuple[dict, dict, float]:
     prev = _previous_bench(sf=sf)
     if prev is None:
-        return {}, {}, 1.0
+        return {}, {}, {}, 1.0
     label, old = prev
     drift = _env_drift(timings, old)
+
     # now > 1.0s: a query that still finishes under a second cannot be
     # a meaningful regression at sf0.1 — measured: back-to-back idle
     # runs flap different sub-second entries past 1.5x (0.47->0.82,
     # 0.60->0.94) from codegen/GC jitter alone, and each flap vanished
     # on the next run. Real regressions on fast queries surface once
     # they cost real time.
-    flagged = {
-        name: {"prev": old[name], "now": now, "vs": label}
-        for name, now in timings.items()
-        if name in old
-        and now > 1.5 * drift * old[name]
-        and now - drift * old[name] > 0.3
-        and now > 1.0
-    }
+    def _flag(d: float) -> dict:
+        return {
+            name: {"prev": old[name], "now": now, "vs": label}
+            for name, now in timings.items()
+            if name in old
+            and now > 1.5 * d * old[name]
+            and now - d * old[name] > 0.3
+            and now > 1.0
+        }
+
+    flagged = _flag(drift)
+    # Drift normalization can mask a REAL slowdown in a widely-shared
+    # code path (e.g. load_table): a uniform >=1.25x shift reads exactly
+    # like a reboot. Queries that would have been flagged at drift=1.0
+    # but were absolved by the drift ratio are therefore reported in an
+    # advisory field — suppressed from "regressions", never silent
+    # (ADVICE r9 #1).
+    suppressed = {
+        k: v for k, v in _flag(1.0).items() if k not in flagged
+    } if drift != 1.0 else {}
     explained = {
         name: {**rec, "why": KNOWN_SLOWER[name]}
         for name, rec in flagged.items()
         if name in KNOWN_SLOWER
     }
     unexplained = {k: v for k, v in flagged.items() if k not in KNOWN_SLOWER}
-    return unexplained, explained, drift
+    return unexplained, explained, suppressed, drift
 
 
 def main() -> None:
@@ -603,7 +630,9 @@ def main() -> None:
     # Baseline lookup must happen BEFORE this run overwrites
     # BENCH_LOCAL.json, or the tripwire would compare a run to itself.
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    unexplained, explained, drift = _regressions(timings, sf=sf_val)
+    unexplained, explained, suppressed, drift = _regressions(
+        timings, sf=sf_val
+    )
     payload = {
         "metric": "headline_queries_total",
         "value": total,
@@ -615,6 +644,7 @@ def main() -> None:
     }
     if drift != 1.0:
         payload["env_drift_median_ratio"] = round(drift, 3)
+        payload["regressions_suppressed_by_drift"] = suppressed
     # Full per-query map goes to a committed file; the driver's
     # BENCH_r{N}.json only captures the last 2000 chars of stdout, and
     # the 90-query line outgrew that window in r5 (VERDICT r5 #2). The

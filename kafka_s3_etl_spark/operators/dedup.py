@@ -331,37 +331,67 @@ def md5_simhash_near_dups(
     sigs = votes.select(
         "doc_id", F.expr(f"concat({bitchars}) AS sim")
     ).localCheckpoint()
+    return band_hamming_pairs(sigs, ("doc_id",), max_hamming).select(
+        F.col("a_doc_id").alias("doc_a"),
+        F.col("b_doc_id").alias("doc_b"),
+        "hamming",
+    )
+
+
+def band_hamming_pairs(
+    sigs: DataFrame,
+    id_cols: tuple[str, ...] = ("doc_id",),
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Banded candidate generation + exact Hamming filter over 64-bit
+    signatures materialized as a 64-char '0'/'1' STRING column ``sim``
+    (the md5-era / oracle-replayable representation). Pigeonhole:
+    ``n_chunks`` equal chunks guarantee full recall for
+    Hamming <= n_chunks - 1; candidates share at least one chunk, so
+    the self-join is an equi join on (chunk_id, chunk) — hash
+    partitioned, never all-pairs. Shared by the text SimHash twin and
+    the perceptual-hash media dedups.
+
+    ``id_cols`` identifies a signature row (e.g. ``("doc_id",)`` or
+    ``("doc_id", "frame_idx")``); output columns are ``a_<id>...,
+    b_<id>..., hamming`` with the a-side struct strictly below the
+    b-side (lexicographic struct comparison — identical semantics in
+    DuckDB, so oracles can replay the pairing exactly).
+
+    Hamming via two bigint halves + bit_count(xor), NOT a 64-term
+    per-character comparison sum: the 64-if chain blows past the
+    whole-stage-codegen method limit and falls back to interpreted
+    eval (~50us per candidate row — measured 27 s over 554k
+    candidates at sf0.1); conv('0/1'-string, 2, 10) halves make the
+    per-candidate cost two XOR+POPCNTs (<1 s). Values are identical:
+    differing chars == differing bits.
+    """
+    width = 64 // n_chunks
     chunk_structs = ", ".join(
         f"struct({c} AS chunk_id, substring(sim, {c * width + 1}, {width}) AS chunk)"
-        for c in range(chunks)
+        for c in range(n_chunks)
     )
-    # Hamming via two bigint halves + bit_count(xor), NOT a 64-term
-    # per-character comparison sum: the 64-if chain blows past the
-    # whole-stage-codegen method limit and falls back to interpreted
-    # eval (~50us per candidate row — measured 27 s over 554k
-    # candidates at sf0.1); conv('0/1'-string, 2, 10) halves make the
-    # per-candidate cost two XOR+POPCNTs (<1 s). Values are identical:
-    # differing chars == differing bits.
     chunked = sigs.select(
-        "doc_id",
-        F.expr(f"CAST(conv(substring(sim, 1, 32), 2, 10) AS BIGINT) AS h1"),
-        F.expr(f"CAST(conv(substring(sim, 33, 32), 2, 10) AS BIGINT) AS h2"),
+        *id_cols,
+        F.expr("CAST(conv(substring(sim, 1, 32), 2, 10) AS BIGINT) AS h1"),
+        F.expr("CAST(conv(substring(sim, 33, 32), 2, 10) AS BIGINT) AS h2"),
         F.explode(F.expr(f"array({chunk_structs})")).alias("c"),
-    ).select("doc_id", "h1", "h2", "c.chunk_id", "c.chunk")
+    ).select(*id_cols, "h1", "h2", "c.chunk_id", "c.chunk")
     a, b = chunked.alias("a"), chunked.alias("b")
-    ham = (
-        "CAST(bit_count(a.h1 ^ b.h1) + bit_count(a.h2 ^ b.h2) AS INT)"
-    )
+    a_key = F.struct(*[F.col(f"a.{c}") for c in id_cols])
+    b_key = F.struct(*[F.col(f"b.{c}") for c in id_cols])
+    ham = "CAST(bit_count(a.h1 ^ b.h1) + bit_count(a.h2 ^ b.h2) AS INT)"
     return (
         a.join(
             b,
             (F.col("a.chunk_id") == F.col("b.chunk_id"))
             & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (a_key < b_key),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            *[F.col(f"a.{c}").alias(f"a_{c}") for c in id_cols],
+            *[F.col(f"b.{c}").alias(f"b_{c}") for c in id_cols],
             F.expr(ham).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
@@ -932,6 +962,21 @@ def containment_join(
     Returns (doc_a, doc_b, n_a, n_b, n_common, containment) with doc_a
     the contained side; both directions of a pair can appear.
     """
+    toks, sizes, cand_hits = _containment_candidates(documents, threshold)
+    return _containment_verify(
+        toks, sizes, cand_hits.select("doc_a", "doc_b"), threshold
+    )
+
+
+def _containment_candidates(
+    documents: DataFrame, threshold: float
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared candidate stage of the containment joins: distinct doc
+    tokens, per-doc set sizes, and the prefix-filtered candidate pairs
+    grouped with their prefix-hit counts — (doc_a, doc_b, hits, n_a,
+    n_b). ``hits`` (how many of a's rare-first prefix tokens b shares)
+    is free here — the pair dedup is a groupBy either way — and is the
+    ranking signal the capped variant prioritizes candidates by."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     num = int(round(threshold * 1000))
@@ -967,18 +1012,34 @@ def containment_join(
         "token",
         F.col("n_tok").alias("n_b"),
     )
-    cand = (
+    cand_hits = (
         pa.join(tb.hint("shuffle_hash"), "token")
         .filter(F.col("doc_a") != F.col("doc_b"))
         # size filter: overlap <= |b|, so t*|a| <= |b| or the pair dies
         .filter(F.expr(f"{den} * n_b >= {num} * n_a"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("hits"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
     )
+    return toks, sizes, cand_hits
+
+
+def _containment_verify(
+    toks: DataFrame, sizes: DataFrame, pairs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact verification of candidate (doc_a, doc_b) pairs:
+    intersection counted by equi-join, threshold as the integer cross
+    multiply, containment the single terminal division (bit-exact on
+    both engines)."""
+    num = int(round(threshold * 1000))
+    den = 1000
     ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
     tb2 = toks.select(F.col("doc_id").alias("doc_b"), "token")
     inter = (
-        cand.join(ta.hint("shuffle_hash"), "doc_a")
+        pairs.join(ta.hint("shuffle_hash"), "doc_a")
         .join(tb2.hint("shuffle_hash"), ["doc_b", "token"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("bigint").alias("n_common"))
@@ -1002,3 +1063,97 @@ def containment_join(
             F.expr("CAST(n_common AS DOUBLE) / n_a").alias("containment"),
         )
     )
+
+
+def containment_join_capped(
+    documents: DataFrame, threshold: float = 0.9, top_m: int = 17
+) -> DataFrame:
+    """Bounded-cost containment join: candidates come from per-TOKEN
+    top-``top_m`` container lists instead of the full prefix x
+    all-tokens join. For each vocabulary token, the ``top_m`` largest
+    docs containing it (by token-set size DESC, doc_id — the same
+    ordering for EVERY contained doc sharing the token, so it is
+    computed once as a tiny rollup); a doc's candidates are the union
+    of the lists of its rare-first prefix tokens, at most
+    prefix_len * top_m per doc. Survivors are verified EXACTLY — the
+    cap changes which pairs are tested, never a tested pair's value.
+
+    Why this is the production shape: on a dense corpus (tiny shared
+    vocabulary — the adversarial case for prefix filtering, and what
+    template boilerplate looks like at crawl scale) the uncapped
+    candidate join explodes (measured 37M join rows / 15.7M candidate
+    pairs / 123.7 s at sf0.1; a first-cut 'rank all candidates, keep
+    16' variant still paid 23 s just MATERIALIZING the pairs to rank
+    them). The toplist never materializes the quadratic set: the
+    rollup is |vocab| * top_m rows (broadcastable), candidate
+    generation is a broadcast join off the prefix rows, and the verify
+    join is bounded by prefix_len * top_m * n rows on any corpus
+    density. Size-first ranking is the right heuristic for
+    containment — overlap cannot exceed |b|, so the biggest sets are
+    the likeliest containers. Recall measured 100% at sf0.1
+    (4992/4992 contained docs vs the uncapped operator; 85k candidate
+    pairs instead of 15.7M), though the reported best container can
+    differ. The uncapped ``containment_join`` stays the correctness
+    tier.
+
+    Returns the same columns as ``containment_join``; downstream
+    callers apply the same best-container rollup.
+    """
+    from kafka_s3_etl_spark.operators.ranks import bucketed_global_row_number
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    num = int(round(threshold * 1000))
+    den = 1000
+    toks = (
+        documents.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    df_rank = toks.groupBy("token").agg(F.count("*").alias("df"))
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    w = Window.partitionBy("doc_id").orderBy("df", "token")
+    ranked = (
+        toks.join(df_rank, "token")
+        .join(sizes, "doc_id")
+        .select("doc_id", "token", "n_tok", F.row_number().over(w).alias("r"))
+    )
+    prefix = ranked.filter(
+        F.col("r")
+        <= F.col("n_tok")
+        - F.expr(f"({num} * n_tok + {den} - 1) DIV {den}")
+        + 1
+    )
+    # Per-token top-m container lists via the bucketed two-phase rank:
+    # a token's partition holds df rows (the WHOLE corpus per token on
+    # a dense vocabulary), so a naive PARTITION BY token window would
+    # funnel it through one task.
+    toplists = (
+        bucketed_global_row_number(
+            toks.join(sizes, "doc_id"),
+            "n_tok",
+            "doc_id",
+            shift=0,
+            descending=True,
+            partition_by=["token"],
+        )
+        .filter(F.col("rn") <= top_m)
+        .select(
+            "token",
+            F.col("doc_id").alias("doc_b"),
+            F.col("n_tok").alias("n_b"),
+        )
+    )
+    cand = (
+        prefix.select(
+            F.col("doc_id").alias("doc_a"), "token", F.col("n_tok").alias("n_a")
+        )
+        .join(F.broadcast(toplists), "token")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .filter(F.expr(f"{den} * n_b >= {num} * n_a"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _containment_verify(toks, sizes, cand, threshold)

@@ -491,3 +491,81 @@ def decode_frames(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode, schema=FRAMES_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sim", T.StringType(), False),
+    ]
+)
+
+FRAME_AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("sim", T.StringType(), False),
+    ]
+)
+
+
+def _ahash_sig(gray: np.ndarray) -> str:
+    """Integer-exact 8x8 average hash of a grayscale raster.
+
+    gray is (h, w) int64 (per-pixel r+g+b sum — no division, so the
+    value stays exact). Cells are the standard downsample grid
+    cell_x = x*8 // w (every cell non-empty for w, h >= 8); bit c is 1
+    iff the cell mean exceeds the global mean, compared by exact cross
+    multiplication (cell_sum * n_total > total_sum * n_cell) so ANSI
+    SQL recomputes the identical bit. Returned as the 64-char '0'/'1'
+    string the banded-Hamming machinery (operators/dedup.py::
+    band_hamming_pairs) and the DuckDB oracles share."""
+    h, w = gray.shape
+    cx = (np.arange(w) * 8) // w
+    cy = (np.arange(h) * 8) // h
+    cell = (cy[:, None] * 8 + cx[None, :]).ravel()
+    sums = np.bincount(cell, weights=gray.ravel(), minlength=64).astype(
+        np.int64
+    )
+    cnts = np.bincount(cell, minlength=64).astype(np.int64)
+    total_sum = int(gray.sum())
+    total_cnt = w * h
+    bits = sums * total_cnt > total_sum * cnts
+    return "".join("1" if b else "0" for b in bits)
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual hash (average hash) per image document over the REAL
+    decoded PPM rasters — partition-preserving mapInPandas, the exact
+    seam a PIL-decoded corpus would use. Returns (doc_id, sim) with
+    sim the 64-char '0'/'1' aHash signature."""
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for pl in pdf["payload"]:
+                _, _, arr = parse_ppm(bytes(pl))
+                sigs.append(_ahash_sig(arr.astype(np.int64).sum(axis=2)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sim": sigs})
+
+    return media.mapInPandas(hash_batch, schema=AHASH_SCHEMA)
+
+
+def frame_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual hash per VIDEO FRAME over the REAL decoded Y4M
+    streams: one (doc_id, frame_idx, sim) row per frame, the fan-out a
+    frame-level dedup/feature pipeline consumes. Same integer-exact
+    aHash as image_ahash, same banded-Hamming downstream machinery."""
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sigs = [], [], []
+            for d, pl in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, frames = parse_y4m(bytes(pl))
+                for f, arr in enumerate(frames):
+                    ids.append(int(d))
+                    idxs.append(f)
+                    sigs.append(_ahash_sig(arr.astype(np.int64).sum(axis=2)))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "sim": sigs})
+
+    return media.mapInPandas(hash_batch, schema=FRAME_AHASH_SCHEMA)

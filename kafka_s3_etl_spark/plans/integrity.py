@@ -541,9 +541,13 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_degree — the triangle_counts/jaccard_neighbors knob). "
         "Per-round vote-join output is bounded by m*cap regardless of "
         "skew, so the r8 probe's 8.2x superlinear growth on hub-dense "
-        "graphs has a linear-cost fallback. Rows-only (iterative) + "
-        "exactness-on-induced-subgraph property test "
-        "(tests/test_mining_ops.py)."
+        "graphs has a linear-cost fallback. NOTE: at sf0.1 the capped "
+        "variant benches SLOWER than uncapped (9.2 s vs 8.7 s, r9) — "
+        "the anti-join is pure overhead until hubs dominate; the cap "
+        "pays off at scale (0.9x at the 10x probe vs 8.2x uncapped at "
+        "30x, SCALE.md). Do not 'fix' the small-SF gap backwards. "
+        "Rows-only (iterative) + exactness-on-induced-subgraph "
+        "property test (tests/test_mining_ops.py)."
     ),
 )
 def q_label_propagation_capped(spark: SparkSession, sf_dir: str) -> DataFrame:

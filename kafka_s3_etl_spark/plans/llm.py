@@ -197,7 +197,13 @@ def _ann_dedup_oracle(threshold: float) -> str:
         "association order (DuckDB list_dot_product == Spark aggregate "
         "fold, verified bit-exact), so bucket bits and threshold "
         "membership are hash-stable while the float itself stays out "
-        "of the hash."
+        "of the hash. CAVEAT: PAIR output is quadratic in duplicate "
+        "multiplicity by definition (the pinned-plane oracle probe "
+        "measured 11.4x at 10x; the operator's auto-plane default is "
+        "1.6x) — the scalable deliverable is q_dedup_embedding_"
+        "clusters (plans/oracleext.py), whose exact-dup pre-pass "
+        "collapses identity cliques before LSH. Copy that shape, not "
+        "this one, into a production pipeline."
     ),
     oracle=_ann_dedup_oracle(0.2),
 )

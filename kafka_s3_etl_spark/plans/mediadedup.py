@@ -1,0 +1,216 @@
+"""Round-10 batch 40: perceptual-hash dedup over the REAL decoded
+multimodal rasters — the missing dedup operator for the image/video
+columns (VERDICT r9 item 1).
+
+The media generators are closed-form (pixel byte i of doc d =
+(d + i) % 256, operators/multimodal.py), so the DuckDB oracles can
+recompute every aHash bit from doc_id alone via exact integer
+arithmetic — the q_multimodal_decode pattern extended from decode
+statistics to the full dedup pipeline. Spark computes the same hash
+from the ACTUAL bytes (PPM/Y4M parse -> numpy aHash inside
+mapInPandas), so a hash match proves decode + hash + banding + pairing
+end-to-end.
+
+Scale shapes (the 100 TB story):
+
+* images emit near-dup PAIRS through the shared banded-Hamming
+  machinery (operators/dedup.py::band_hamming_pairs): candidates share
+  one of four 16-bit chunks, an equi self-join — never all-pairs.
+* video FRAMES deliberately do NOT emit pairs: tiny correlated rasters
+  form huge hash cliques (37k exact-dup pairs from 3.5k frames at
+  sf0.01 — quadratic in clique size, the q_dedup_embedding-pairs trap).
+  The registered shape is the linear-output dedup deliverable: one row
+  per distinct frame hash with its deterministic representative and
+  multiplicity — exactly the "keep one copy per perceptual identity"
+  reduction a frame-level feature extractor wants upstream.
+* AUDIO has no dedup entry, deliberately: the obvious fingerprint
+  (64-frame energy envelope, mean-thresholded like aHash) is
+  degenerate on the closed-form PCM ramps — every document's
+  near-monotone |sample| envelope thresholds to the same half-zeros/
+  half-ones signature (measured: ALL 1.39M audio pairs at sf0.1 land
+  within Hamming 3 of each other, one corpus-wide clique). A useful
+  audio fingerprint keys on spectral structure the synthetic corpus
+  lacks; registering the envelope hash would ship a mega-clique as if
+  it were a dedup operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_s3_etl_spark.operators.dedup import band_hamming_pairs
+from kafka_s3_etl_spark.operators.multimodal import (
+    documents_as_media,
+    frame_ahash,
+    image_ahash,
+)
+from kafka_s3_etl_spark.plans.registry import register
+from kafka_s3_etl_spark.sources.tables import load_table
+
+# Shared oracle CTE: the integer-exact 8x8 average hash of every image
+# document, recomputed from the generator's closed form. Cell of pixel
+# (x, y) is the standard downsample grid (x*8 // w, y*8 // h); bit c is
+# cell_sum * n_total > total_sum * n_cell (cross-multiplied cell mean >
+# global mean — no division, engine-exact).
+_IMAGE_SIGS_CTE = """
+        m AS (
+          SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+          FROM documents WHERE doc_id % 3 = 0
+        ),
+        px AS (
+          SELECT doc_id, w, h, UNNEST(range(0, w * h * 3)) AS i FROM m
+        ),
+        g AS (
+          SELECT doc_id,
+                 ((((i // 3) // w) * 8 // h) * 8
+                    + ((i // 3) % w) * 8 // w) AS cell,
+                 (doc_id + i) % 256 AS v, w, h
+          FROM px
+        ),
+        cells AS (
+          SELECT doc_id, cell, SUM(v) AS cs, COUNT(*) / 3 AS cc,
+                 MIN(w * h) AS tc
+          FROM g GROUP BY doc_id, cell
+        ),
+        tot AS (
+          SELECT doc_id, SUM(cs) AS ts FROM cells GROUP BY doc_id
+        ),
+        sigs AS MATERIALIZED (
+          SELECT c.doc_id,
+                 string_agg(CASE WHEN c.cs * c.tc > t.ts * c.cc
+                            THEN '1' ELSE '0' END, '' ORDER BY c.cell) AS sim
+          FROM cells c JOIN tot t USING (doc_id)
+          GROUP BY c.doc_id
+        )
+"""
+
+_CHUNKED_CTE = """
+        chunked AS (
+          SELECT doc_id, sim, 0 AS chunk_id, substr(sim, 1, 16) AS chunk FROM sigs
+          UNION ALL
+          SELECT doc_id, sim, 1, substr(sim, 17, 16) FROM sigs
+          UNION ALL
+          SELECT doc_id, sim, 2, substr(sim, 33, 16) FROM sigs
+          UNION ALL
+          SELECT doc_id, sim, 3, substr(sim, 49, 16) FROM sigs
+        )
+"""
+
+
+@register(
+    "q_dedup_image_phash",
+    cost=2,
+    category="dedup",
+    doc=(
+        "Perceptual-hash image near-dup detection over the REAL "
+        "decoded PPM rasters: pure-numpy P6 parse (operators/"
+        "multimodal.py::parse_ppm) -> integer-exact 8x8 average hash "
+        "(_ahash_sig: bit = cell mean > global mean by cross "
+        "multiplication) inside partition-preserving mapInPandas, "
+        "then the shared 16-bit-band Hamming candidate machinery "
+        "(band_hamming_pairs — pigeonhole-complete for Hamming <= 3, "
+        "bit_count(xor) over conv'd bigint halves, never all-pairs). "
+        "The oracle recomputes every hash bit from the generator's "
+        "closed form (pixel byte i of doc d = (d + i) % 256) and "
+        "replays the banding in SQL, so the driver hash gates decode "
+        "+ hash + banding + pairing end-to-end."
+    ),
+    oracle=f"""
+        WITH {_IMAGE_SIGS_CTE},
+        {_CHUNKED_CTE}
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(hamming(a.sim, b.sim) AS INTEGER) AS hamming
+        FROM chunked a JOIN chunked b
+          ON b.chunk_id = a.chunk_id AND b.chunk = a.chunk
+             AND b.doc_id > a.doc_id
+        WHERE hamming(a.sim, b.sim) <= 3
+    """,
+)
+def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    sigs = image_ahash(media.filter(F.col("media_type") == "image"))
+    return band_hamming_pairs(sigs, ("doc_id",), max_hamming=3).select(
+        F.col("a_doc_id").alias("doc_a"),
+        F.col("b_doc_id").alias("doc_b"),
+        "hamming",
+    )
+
+
+_FRAME_SIGS_CTE = """
+        m AS (
+          SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h,
+                 12 + doc_id % 19 AS f,
+                 (8 + doc_id % 5) * (8 + doc_id % 3) * 3 AS per
+          FROM documents WHERE doc_id % 3 = 2
+        ),
+        px AS (
+          SELECT doc_id, w, h, per, UNNEST(range(0, f * per)) AS i FROM m
+        ),
+        g AS (
+          SELECT doc_id, CAST(i // per AS INTEGER) AS frame_idx,
+                 ((((i % per) % (w * h)) // w) * 8 // h) * 8
+                   + (((i % per) % (w * h)) % w) * 8 // w AS cell,
+                 (doc_id + i) % 256 AS v, w, h
+          FROM px
+        ),
+        cells AS (
+          SELECT doc_id, frame_idx, cell, SUM(v) AS cs,
+                 COUNT(*) / 3 AS cc, MIN(w * h) AS tc
+          FROM g GROUP BY doc_id, frame_idx, cell
+        ),
+        tot AS (
+          SELECT doc_id, frame_idx, SUM(cs) AS ts
+          FROM cells GROUP BY doc_id, frame_idx
+        ),
+        sigs AS MATERIALIZED (
+          SELECT c.doc_id, c.frame_idx,
+                 string_agg(CASE WHEN c.cs * c.tc > t.ts * c.cc
+                            THEN '1' ELSE '0' END, '' ORDER BY c.cell) AS sim
+          FROM cells c JOIN tot t USING (doc_id, frame_idx)
+          GROUP BY c.doc_id, c.frame_idx
+        )
+"""
+
+
+@register(
+    "q_dedup_frame_phash",
+    cost=2,
+    category="dedup",
+    doc=(
+        "Frame-level perceptual dedup over the REAL decoded Y4M video "
+        "streams: pure-numpy YUV4MPEG2 parse -> per-frame integer-"
+        "exact aHash (operators/multimodal.py::frame_ahash) -> global "
+        "exact-hash grouping with a deterministic representative "
+        "(min (doc_id, frame_idx) struct) and multiplicity counts. "
+        "Deliberately NOT a pair emission: tiny correlated rasters "
+        "form large perceptual cliques (37k dup pairs from 3.5k "
+        "frames at sf0.01) and pair output is quadratic in clique "
+        "size; the linear-output keep-one-representative reduction is "
+        "the shape a 100 TB video pipeline ships. The oracle "
+        "recomputes every frame hash from the generator's closed form "
+        "(planar C444: byte i -> frame i/per, pixel (i%per)%(w*h)) "
+        "and replays the grouping."
+    ),
+    oracle=f"""
+        WITH {_FRAME_SIGS_CTE}
+        SELECT sim,
+               CAST(MIN({{'doc_id': doc_id, 'frame_idx': frame_idx}})['doc_id']
+                 AS BIGINT) AS rep_doc,
+               CAST(MIN({{'doc_id': doc_id, 'frame_idx': frame_idx}})['frame_idx']
+                 AS INTEGER) AS rep_frame,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_videos
+        FROM sigs GROUP BY sim
+    """,
+)
+def q_dedup_frame_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    sigs = frame_ahash(media.filter(F.col("media_type") == "video"))
+    rep = F.min(F.struct("doc_id", "frame_idx"))
+    return sigs.groupBy("sim").agg(
+        rep.getField("doc_id").alias("rep_doc"),
+        rep.getField("frame_idx").alias("rep_frame"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("doc_id").alias("n_videos"),
+    )

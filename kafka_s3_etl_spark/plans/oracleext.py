@@ -39,13 +39,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kafka_s3_etl_spark.operators.dedup import LSH_BANDS, MINHASH_K, SHINGLE_N
 from kafka_s3_etl_spark.plans.registry import register
 from kafka_s3_etl_spark.sources.tables import load_table
 
 # Pinned hyperparameters, shared by the Spark builders and the oracle
-# generators below (both sides render from the same constants).
-_K = 16  # minhash functions
-_BANDS = 4  # LSH bands (4 rows each)
+# generators below. The hash family / shingle knobs ALIAS the operator
+# defaults (operators/dedup.py) rather than shadowing them, so a change
+# to the dedup constants re-renders the oracle SQL in lockstep instead
+# of desynchronizing the two sides until the driver's hash gate fails
+# (ADVICE r9 #2).
+_K = MINHASH_K  # minhash functions (16)
+_BANDS = LSH_BANDS  # LSH bands (4 rows each)
 _THRESHOLD = 0.5  # est-Jaccard cut, exact at k=16 (multiple of 1/16)
 _PR_ITERS = 6
 _PR_INIT = 1_000_000_000
@@ -79,15 +84,18 @@ def _md5_pairs_ctes() -> str:
     agree = " + ".join(
         f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(_K)
     )
+    shingle_expr = " || ' ' || ".join(
+        f"w[i+{j + 1}]" for j in range(SHINGLE_N)
+    )
     return f"""
         words AS (
           SELECT doc_id, string_split(text, ' ') AS w FROM documents
         ),
         sh AS (
           SELECT DISTINCT doc_id, s FROM words,
-            UNNEST(list_transform(range(len(w) - 2),
-                   i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS t(s)
-          WHERE len(w) >= 3
+            UNNEST(list_transform(range(len(w) - {SHINGLE_N - 1}),
+                   i -> {shingle_expr})) AS t(s)
+          WHERE len(w) >= {SHINGLE_N}
         ),
         g AS (SELECT doc_id, md5(s) AS g FROM sh),
         sig AS MATERIALIZED (
@@ -214,7 +222,8 @@ def _markov_oracle() -> str:
           SELECT * FROM tr
           UNION ALL
           SELECT t AS from_t, t AS to_t, CAST(1 AS BIGINT) AS n
-          FROM types WHERE t NOT IN (SELECT from_t FROM tr)
+          FROM types WHERE NOT EXISTS
+            (SELECT 1 FROM tr WHERE tr.from_t = types.t)
         ),
         mat AS MATERIALIZED (
           SELECT from_t, to_t, n,
@@ -752,6 +761,15 @@ def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shape a 100 TB semantic dedup actually runs. (The PAIRS entry
     # q_dedup_embedding stays quadratic by definition of its output;
     # clusters are the scalable deliverable.)
+    #
+    # Accepted risk (ADVICE r9 #4): xxhash64(embedding) equality is
+    # treated as vector identity without a confirming comparison — a
+    # 64-bit collision between DISTINCT vectors (~1e-19 per pair,
+    # ~1e-11 across 10^9 vectors pairwise-within-buckets) would
+    # fabricate an identity edge and merge two components. A
+    # certainty-grade deployment swaps in md5 over the serialized
+    # vector (128 bits) at the identical plan shape — exact_dedup's
+    # docstring names the same seam.
     grouped = emb.select(
         "vec_id", "embedding", F.xxhash64("embedding").alias("gfp")
     )

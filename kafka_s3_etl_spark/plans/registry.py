@@ -70,6 +70,7 @@ _PLAN_MODULES = [
     "kafka_s3_etl_spark.plans.scalewin",
     "kafka_s3_etl_spark.plans.evalops",
     "kafka_s3_etl_spark.plans.oracleext",
+    "kafka_s3_etl_spark.plans.mediadedup",
 ]
 
 

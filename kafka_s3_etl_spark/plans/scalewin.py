@@ -292,6 +292,108 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAIN_M = 17
+
+
+@register(
+    "q_containment_join_capped",
+    category="dedup",
+    cost=2,
+    doc=(
+        "Bounded-cost production twin of q_containment_join (VERDICT "
+        "r9 item 3): candidates come from per-TOKEN top-17 container "
+        "lists (largest token-set first — overlap cannot exceed |b|, "
+        "so the biggest sets are the likeliest containers), a tiny "
+        "|vocab|*17 rollup built with the bucketed two-phase rank and "
+        "broadcast against the rare-first prefix rows; survivors get "
+        "the exact intersection verify. The quadratic candidate set "
+        "is never materialized: 85k candidate pairs at sf0.1 vs the "
+        "uncapped operator's 15.7M (123.7 s) on this dense "
+        "31-token-vocabulary corpus where a df cap keeps nothing "
+        "(min df = 250). Recall measured 100% (4992/4992 contained "
+        "docs vs uncapped) though the reported best container can "
+        "differ. The oracle replays toplists rank-for-rank, so the "
+        "driver hash gates the whole capped pipeline."
+    ),
+    oracle=f"""
+        WITH uniq AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id)
+                       AS rn
+            FROM documents) WHERE rn = 1
+        ), toks AS (
+          SELECT DISTINCT doc_id, s AS token FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS s
+            FROM uniq)
+          WHERE s != ''
+        ), df AS (
+          SELECT token, COUNT(*) AS df FROM toks GROUP BY token
+        ), sz AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM toks GROUP BY doc_id
+        ), ranked AS (
+          SELECT t.doc_id, t.token, s.n,
+                 ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                    ORDER BY d.df, t.token) AS r
+          FROM toks t JOIN df d USING (token) JOIN sz s USING (doc_id)
+        ), prefix AS (
+          SELECT doc_id, token, n FROM ranked
+          WHERE r <= n - ((900 * n + 999) // 1000) + 1
+        ), toplists AS (
+          SELECT token, doc_b, n_b FROM (
+            SELECT t.token, t.doc_id AS doc_b, s.n AS n_b,
+                   ROW_NUMBER() OVER (PARTITION BY t.token
+                       ORDER BY s.n DESC, t.doc_id) AS tr
+            FROM toks t JOIN sz s USING (doc_id))
+          WHERE tr <= {_CONTAIN_M}
+        ), cand AS (
+          SELECT DISTINCT p.doc_id AS doc_a, l.doc_b
+          FROM prefix p JOIN toplists l USING (token)
+          WHERE l.doc_b != p.doc_id AND 1000 * l.n_b >= 900 * p.n
+        ), inter AS (
+          SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM cand c
+          JOIN toks a ON a.doc_id = c.doc_a
+          JOIN toks b ON b.doc_id = c.doc_b AND b.token = a.token
+          GROUP BY 1, 2
+        ), hits AS (
+          SELECT i.doc_a, i.doc_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+                 CAST(i.n_common AS DOUBLE) / sa.n AS containment
+          FROM inter i
+          JOIN sz sa ON sa.doc_id = i.doc_a
+          JOIN sz sb ON sb.doc_id = i.doc_b
+          WHERE 1000 * i.n_common >= 900 * sa.n
+        )
+        SELECT doc_a, doc_b, n_a, n_b, n_common, containment FROM (
+          SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY doc_a ORDER BY n_common DESC, doc_b
+          ) AS brn FROM hits
+        ) WHERE brn = 1
+    """,
+)
+def q_containment_join_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.dedup import containment_join_capped
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.xxhash64("text")).orderBy("doc_id")
+    uniq = (
+        docs.select("doc_id", "text")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    pairs = containment_join_capped(uniq, threshold=0.9, top_m=_CONTAIN_M)
+    w_best = Window.partitionBy("doc_a").orderBy(
+        F.col("n_common").desc(), "doc_b"
+    )
+    return (
+        pairs.withColumn("brn", F.row_number().over(w_best))
+        .filter(F.col("brn") == 1)
+        .drop("brn")
+    )
+
+
 @register(
     "q_decile_transition",
     category="mleval",

@@ -262,6 +262,36 @@ def s_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_timeout_demo(spark, sf_dir)
 
 
+@register(
+    "s_session_timeout_rocksdb",
+    category="streaming",
+    cost=3,
+    doc=(
+        "s_session_timeout with the RocksDB state-store provider "
+        "pinned (RocksDBStateStoreProvider ships in OSS Spark 4; "
+        "rocksdbjni is on this Spark's classpath — no protobuf "
+        "needed, unlike the tws entry). Same sessionizer, same "
+        "oracle, same emitted session set; what changes is WHERE "
+        "state lives: RocksDB spills keyed state to local disk "
+        "instead of holding the HDFS-backed provider's in-heap map — "
+        "the executed (not just argued) 100 TB state story, where "
+        "per-executor session state exceeds heap. tests/"
+        "test_streaming.py asserts the provider actually loaded via "
+        "the stream's rocksdb* progress metrics."
+    ),
+    oracle=_SESSION_GAP_ORACLE,
+)
+def s_session_timeout_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.streaming.session_close import (
+        session_timeout_demo,
+    )
+    from kafka_s3_etl_spark.streaming.tws import pinned_rocksdb_state_store
+
+    return session_timeout_demo(
+        spark, sf_dir, conf_ctx=pinned_rocksdb_state_store
+    )
+
+
 # Capability-gated registration (r7 verdict #6): streaming/tws.py::
 # gap_sessions_tws (the transformWithStateInPandas variant of this
 # sessionizer) is complete and unit-tested, but the API's state-server

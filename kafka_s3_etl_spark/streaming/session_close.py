@@ -34,6 +34,13 @@ from kafka_s3_etl_spark.streaming.stateful import gap_sessions
 
 _PART_CACHE: dict[str, tuple[str, str]] = {}
 
+# Last stream's final progress dict (None until a demo ran) — lets
+# tests assert on engine internals (e.g. that the RocksDB state-store
+# provider actually loaded: its customMetrics keys are rocksdb*-
+# prefixed) without threading the StreamingQuery handle through the
+# DataFrame-returning query contract.
+LAST_PROGRESS: dict | None = None
+
 
 def _copy_part(src_dir: str, dest: str, mtime: float) -> None:
     part = glob.glob(os.path.join(src_dir, "part-*.parquet"))[0]
@@ -101,5 +108,7 @@ def session_timeout_demo(
                 break
             time.sleep(0.05)
     finally:
+        global LAST_PROGRESS
+        LAST_PROGRESS = q.lastProgress
         q.stop()
     return spark.table(name).filter(F.col("user_id") >= 0)

@@ -259,6 +259,14 @@ PROBE_QUERIES = [
     "q_split_leakage_audit",
     # round-9 batch 39 (per-doc max over the md5 pairs)
     "q_dedup_threshold_curve",
+    # round-10 batch 40 (rides the 10x twinned documents' media
+    # payloads; frame grouping is linear-output by construction)
+    "q_dedup_image_phash",
+    "q_dedup_frame_phash",
+    # round-10 batch 41: the bounded verify-fan-out containment twin —
+    # the cap should hold the ratio at/below data growth where the
+    # uncapped q_containment_join (above) exceeds it
+    "q_containment_join_capped",
 ]
 
 

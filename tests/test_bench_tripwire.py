@@ -26,7 +26,7 @@ def test_regressions_flags_only_real_slowdowns():
     sample = dict(list(prev.items())[:8])
 
     # identical -> clean, no drift
-    assert bench._regressions(dict(sample)) == ({}, {}, 1.0)
+    assert bench._regressions(dict(sample)) == ({}, {}, {}, 1.0)
 
     # ONE query doubling while the rest hold is a real regression
     # (drift stays 1.0: the median ratio is 1)
@@ -34,8 +34,8 @@ def test_regressions_flags_only_real_slowdowns():
     victim = max(stable, key=stable.get)  # big enough to clear floors
     if stable[victim] > 0.7:
         bumped = {**stable, victim: stable[victim] * 2}
-        flagged, explained, drift = bench._regressions(bumped)
-        assert drift == 1.0
+        flagged, explained, suppressed, drift = bench._regressions(bumped)
+        assert drift == 1.0 and suppressed == {}
         both = {**flagged, **explained}
         assert victim in both
         assert both[victim]["prev"] == stable[victim]
@@ -48,6 +48,7 @@ def test_regressions_flags_only_real_slowdowns():
     tiny = {k: v for k, v in sample.items() if v <= 0.3}
     if tiny:
         assert bench._regressions({k: v * 2 for k, v in tiny.items()}) == (
+            {},
             {},
             {},
             1.0,
@@ -66,15 +67,24 @@ def test_uniform_environment_drift_reported_not_flagged():
     if len(sample) < 8:
         return
     drifted = {k: v * 2 for k, v in sample.items()}
-    flagged, explained, drift = bench._regressions(drifted)
+    flagged, explained, suppressed, drift = bench._regressions(drifted)
     assert abs(drift - 2.0) < 1e-9
     assert flagged == {} and explained == {}
+    # ...but the absolution is never silent: everything the 1.5x/0.3s
+    # gate would have flagged at drift=1.0 lands in the advisory field
+    # (ADVICE r9 #1 — a real slowdown in a shared code path reads like
+    # drift; the advisory list is how a reviewer tells them apart).
+    assert any(
+        sample[k] * 2 > 1.0 and sample[k] > 0.3 for k in sample
+    ) == bool(suppressed)
+    for name, rec in suppressed.items():
+        assert rec["now"] == drifted[name]
 
     # one query 4x while the rest are 2x: flagged even under drift
     victim = max(sample, key=sample.get)
     if sample[victim] * 4 > 1.0 and sample[victim] > 0.3:
         drifted[victim] = sample[victim] * 4
-        flagged, explained, drift = bench._regressions(drifted)
+        flagged, explained, suppressed, drift = bench._regressions(drifted)
         assert victim in {**flagged, **explained}
 
 

@@ -659,3 +659,24 @@ def test_stream_join_state_survives_restart(spark, sf_dir, tmp_path):
     # the restart actually exercised buffered state: some matches must
     # span the two deliveries
     assert n_run1 < len(want), "split produced no cross-delivery matches"
+
+
+def test_session_timeout_rocksdb_entry_loads_rocksdb(spark, sf_dir):
+    """The REGISTERED s_session_timeout_rocksdb entry (not just the
+    unit harness above) runs its full two-delivery close-out on the
+    RocksDB provider: the demo's captured final progress must report
+    rocksdb* custom metrics from the state operator, proving the
+    provider actually loaded for the driver-facing query."""
+    from kafka_s3_etl_spark.plans.registry import all_queries
+    from kafka_s3_etl_spark.streaming import session_close
+
+    df = all_queries()["s_session_timeout_rocksdb"].fn(spark, sf_dir)
+    assert df.count() > 0
+    prog = session_close.LAST_PROGRESS
+    assert prog is not None
+    metrics = [
+        m
+        for op in prog.get("stateOperators", [])
+        for m in op.get("customMetrics", {})
+    ]
+    assert any(m.lower().startswith("rocksdb") for m in metrics), metrics

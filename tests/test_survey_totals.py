@@ -32,20 +32,48 @@ def test_survey_totals_match_registry():
     ), "SURVEY §2 totals line drifted from plans/registry.py"
 
 
+# The exact 50-entry driver sweep prefix, as hash-checked by every
+# driver round since r4 (== CORRECTNESS_r0{5..9}.json key order). A
+# literal, not a file read: the guarantee must hold even where the
+# artifacts aren't checked out (VERDICT r9 item 5).
+SWEEP_PREFIX_50 = [
+    "q_scan_project", "q_filter_conj", "q_expr_arith", "q_null_handling",
+    "q_case_when", "q_string_funcs", "q_date_funcs", "q_math_funcs",
+    "q_sort_limit", "q_join_inner", "q_join_left", "q_join_full",
+    "q_join_semi", "q_join_anti", "q_join_broadcast", "q_join_theta_range",
+    "q_join_multiway", "q_agg_global", "q_agg_group", "q_agg_distinct",
+    "q_rollup", "q_cube", "q_grouping_sets", "q_window_rank",
+    "q_window_lag_lead", "q_window_running", "q_topk_per_group",
+    "q_union_all", "q_union_distinct", "q_intersect", "q_except",
+    "q_array_explode", "q_json_extract", "q_pivot", "q_percentiles",
+    "q_histogram", "q_join_salted", "q_window_range_frame",
+    "q_window_ntile", "q_scalar_subquery", "q_variant_extract",
+    "q_unpivot", "q_asof_join", "q_sessionize", "q_ewma_user",
+    "q_dedup_exact", "q_ngram_jaccard", "q_dedup_embedding",
+    "q_dedup_incremental", "q_text_stats",
+]
+
+
 def test_driver_sweep_prefix_is_stable():
     """The driver hash-checks only the FIRST 50 entries of
     all_queries() sweep order; every round since r4 observed the same
     prefix, and new registrations must never reorder it (new modules
     go LAST in _PLAN_MODULES, new entries sort after within their
-    tier). Pin the prefix to the driver's own r5 artifact key order."""
+    tier). Pin the exact names (literal above) and cross-check the
+    driver's own artifact key order where present."""
     import json
 
-    path = os.path.join(REPO, "CORRECTNESS_r05.json")
-    if not os.path.exists(path):
-        return
-    want = list(json.load(open(path)).keys())
-    got = list(all_queries().keys())[: len(want)]
-    assert got == want, "driver sweep prefix drifted — check _PLAN_MODULES order"
+    got = list(all_queries().keys())[:50]
+    assert got == SWEEP_PREFIX_50, (
+        "driver sweep prefix drifted — check _PLAN_MODULES order / "
+        "new cost-0 oracle registrations in early modules"
+    )
+    for artifact in ("CORRECTNESS_r05.json", "CORRECTNESS_r09.json"):
+        path = os.path.join(REPO, artifact)
+        if not os.path.exists(path):
+            continue
+        want = list(json.load(open(path)).keys())
+        assert got[: len(want)] == want, f"prefix drifted vs {artifact}"
 
 
 def test_capability_gated_entries_are_exclusive():
