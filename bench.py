@@ -329,6 +329,12 @@ HEADLINE = [
     # round-10 batch 42: the RocksDB-provider sessionizer (state on
     # local disk — per-batch scheduling floor plus RocksDB I/O)
     "s_session_timeout_rocksdb",
+    # round-10 batch 43: the pinned ANN twins
+    "q_sim_ivf_pinned",
+    "q_sim_pq_pinned",
+    "q_sim_ivfpq_pinned",
+    # round-10 batch 44: image dedup resolved to clusters
+    "q_dedup_image_clusters",
 ]
 
 

@@ -972,3 +972,394 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_pinned_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_cells: int = IVF_CELLS,
+    n_probe: int = IVF_PROBE,
+    dim: int = 64,
+) -> DataFrame:
+    """``ivf_topk`` with a PINNED coarse quantizer — the oracle-
+    replayable twin (the q_sim_ann_lsh pinned-layout pattern applied
+    to IVF). The fitted quantizer makes the production entry rows-only
+    by necessity (Lloyd's centroids are data-dependent floats no
+    static SQL can restate); pinning the centroids to the seeded
+    ``_plane_signs`` sign matrix makes every stage — assignment, cell
+    probe, candidate join, cosine re-rank — exactly replayable in
+    ANSI SQL, so the driver's hash gates the IVF probe SHAPE
+    end-to-end.
+
+    Sign centroids have EQUAL norm (|c|^2 = dim), so nearest-centroid
+    by L2 is exactly argmax dot product — and the dot is the one
+    primitive proven bit-exact across engines (Spark aggregate fold ==
+    DuckDB list_dot_product, left-to-right). Assignment and probe both
+    rank by (dot DESC, cell), candidates join on cell id, and the
+    top-k output is rank-only so no float enters the hash. Quantizer
+    QUALITY is whatever random sign directions give (fine on this
+    near-isotropic corpus; recall vs brute force stays the production
+    entry's property test) — what this entry verifies is the
+    pipeline's mechanics, not the fit.
+    """
+    spark = embeddings.sparkSession
+    base = with_norm(embeddings)
+    signs = _plane_signs(n_cells, 1, dim)
+    centroids = spark.createDataFrame(
+        [(i, signs[i][0]) for i in range(n_cells)],
+        "cell int, centroid array<double>",
+    )
+    cdot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("centroid"),
+            lambda a, b: a.cast("double") * b,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cell_rank = Window.partitionBy("vec_id").orderBy(
+        F.col("dot").desc(), F.col("cell")
+    )
+    ranked = (
+        base.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "embedding", "norm", "cell", cdot.alias("dot"))
+        .withColumn("rn", F.row_number().over(cell_rank))
+    )
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "embedding", "norm", "cell"
+    )
+    # q_cell, not cell: probe shares `ranked`'s lineage with `assigned`,
+    # and a same-name equi predicate on a self-derived column resolves
+    # only by DataFrame origin (Spark warns "trivially true equals") —
+    # rename one side so the join condition is unambiguous by name.
+    probe_cells = ranked.filter(
+        (F.col("vec_id") < n_queries) & (F.col("rn") <= n_probe)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("cell").alias("q_cell"),
+    )
+    cands = assigned.join(
+        F.broadcast(probe_cells),
+        (F.col("cell") == F.col("q_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            _dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_norm") * F.col("norm"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def pq_pinned_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    m_subspaces: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    rerank: int = PQ_RERANK,
+    dim: int = 64,
+) -> DataFrame:
+    """``pq_topk`` with PINNED sign codebooks and a deterministic ADC —
+    the oracle-replayable twin (the ivf_pinned_topk move applied to
+    PQ). Two changes unlock the hash gate:
+
+    * codebooks are the seeded sign matrix (equal-norm codewords), so
+      encode's argmin-L2 is exactly argmax dot — the bit-exact
+      primitive — instead of Lloyd-fitted data-dependent floats;
+    * the ADC statistic is the asymmetric INNER PRODUCT accumulated in
+      a FIXED order: corpus codes pivot to one column per subspace and
+      the approximation is lut0 + lut1 + ... as an explicit expression
+      chain, not a groupBy SUM whose float association depends on the
+      partitioning (the reason the production entry is rows-only even
+      apart from the fit).
+
+    Shortlist then exact-cosine re-rank as in production; rank-only
+    output keeps floats out of the hash. This entry verifies PQ's
+    MECHANICS (encode, LUT, ADC scan, re-rank) end-to-end; compression
+    QUALITY stays the fitted entry's recall property test.
+    """
+    spark = embeddings.sparkSession
+    if dim % m_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by {m_subspaces}")
+    sub_d = dim // m_subspaces
+    base = with_norm(embeddings)
+    signs = _plane_signs(m_subspaces * n_codes, 1, sub_d)
+    codebook = spark.createDataFrame(
+        [
+            (m, c, signs[m * n_codes + c][0])
+            for m in range(m_subspaces)
+            for c in range(n_codes)
+        ],
+        "sub int, code int, centroid array<double>",
+    )
+    sdot = F.aggregate(
+        F.zip_with(
+            F.col("sv"), F.col("centroid"), lambda a, b: a.cast("double") * b
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    def sub_rows(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+        return df.select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {m_subspaces - 1}), m ->"
+                    f" struct(m AS sub, slice({emb_col}, m * {sub_d} + 1,"
+                    f" {sub_d}) AS sv))"
+                )
+            ).alias("s"),
+        ).select(id_col, "s.sub", "s.sv")
+
+    code_rank = Window.partitionBy("vec_id", "sub").orderBy(
+        F.col("dot").desc(), F.col("code")
+    )
+    codes = (
+        sub_rows(base, "vec_id", "embedding")
+        .join(F.broadcast(codebook), "sub")
+        .select("vec_id", "sub", "code", sdot.alias("dot"))
+        .withColumn("rn", F.row_number().over(code_rank))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "code")
+    )
+    # pivot: one row per vector, one integer code column per subspace
+    # (codes are exact ints — the pivot is hash-safe)
+    pivoted = codes.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("sub") == m, F.col("code"))).alias(f"c{m}")
+            for m in range(m_subspaces)
+        ]
+    )
+    queries = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    lut = (
+        sub_rows(queries, "query_id", "q_emb")
+        .join(F.broadcast(codebook), "sub")
+        .select("query_id", "sub", "code", sdot.alias("v"))
+    )
+    # deterministic ADC: chain one broadcast LUT join per subspace and
+    # add the m terms in fixed left-to-right order
+    adc = pivoted
+    for m in range(m_subspaces):
+        lut_m = lut.filter(F.col("sub") == m).select(
+            "query_id" if m == 0 else F.col("query_id").alias(f"qid{m}"),
+            F.col("code").alias(f"lc{m}"),
+            F.col("v").alias(f"v{m}"),
+        )
+        on = [F.col(f"c{m}") == F.col(f"lc{m}")]
+        if m > 0:
+            on.append(F.col("query_id") == F.col(f"qid{m}"))
+        adc = adc.join(
+            F.broadcast(lut_m), on[0] if len(on) == 1 else on[0] & on[1]
+        )
+    approx = "(" + " + ".join(f"v{m}" for m in range(m_subspaces)) + ")"
+    scored = adc.filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id", "vec_id", F.expr(approx).alias("approx")
+    )
+    short_w = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("vec_id")
+    )
+    shortlist = (
+        scored.withColumn("srn", F.row_number().over(short_w))
+        .filter(F.col("srn") <= rerank)
+        .select("query_id", "vec_id")
+    )
+    cands = (
+        shortlist.join(base, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_norm") * F.col("norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ivfpq_pinned_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_cells: int = IVF_CELLS,
+    n_probe: int = IVF_PROBE,
+    m_subspaces: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    rerank: int = PQ_RERANK,
+    dim: int = 64,
+) -> DataFrame:
+    """``ivfpq_topk`` with everything pinned — the composition of
+    ``ivf_pinned_topk``'s sign-centroid cell probe and
+    ``pq_pinned_topk``'s sign codebooks + deterministic ADC, so the
+    full two-level index (coarse cells gate WHICH codes are scanned,
+    PQ codes approximate the scan, exact cosine re-ranks the
+    shortlist) replays in ANSI SQL and the driver hash gates it
+    end-to-end. Rank-only output; quality stays the fitted production
+    entry's recall property test."""
+    spark = embeddings.sparkSession
+    sub_d = dim // m_subspaces
+    base = with_norm(embeddings)
+
+    # --- coarse quantizer (ivf_pinned_topk's machinery) --------------
+    cell_signs = _plane_signs(n_cells, 1, dim)
+    centroids = spark.createDataFrame(
+        [(i, cell_signs[i][0]) for i in range(n_cells)],
+        "cell int, centroid array<double>",
+    )
+    cdot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("centroid"),
+            lambda a, b: a.cast("double") * b,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cell_rank = Window.partitionBy("vec_id").orderBy(
+        F.col("dot").desc(), F.col("cell")
+    )
+    ranked = (
+        base.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "embedding", "norm", "cell", cdot.alias("dot"))
+        .withColumn("rn", F.row_number().over(cell_rank))
+    )
+    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "cell")
+    probe_cells = ranked.filter(
+        (F.col("vec_id") < n_queries) & (F.col("rn") <= n_probe)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("cell").alias("q_cell")
+    )
+    cand = assigned.join(
+        F.broadcast(probe_cells),
+        (F.col("cell") == F.col("q_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "vec_id")
+
+    # --- PQ codes + LUT (pq_pinned_topk's machinery) ------------------
+    pq_signs = _plane_signs(m_subspaces * n_codes, 1, sub_d)
+    codebook = spark.createDataFrame(
+        [
+            (m, c, pq_signs[m * n_codes + c][0])
+            for m in range(m_subspaces)
+            for c in range(n_codes)
+        ],
+        "sub int, code int, centroid array<double>",
+    )
+    sdot = F.aggregate(
+        F.zip_with(
+            F.col("sv"), F.col("centroid"), lambda a, b: a.cast("double") * b
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    def sub_rows(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+        return df.select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {m_subspaces - 1}), m ->"
+                    f" struct(m AS sub, slice({emb_col}, m * {sub_d} + 1,"
+                    f" {sub_d}) AS sv))"
+                )
+            ).alias("s"),
+        ).select(id_col, "s.sub", "s.sv")
+
+    code_rank = Window.partitionBy("vec_id", "sub").orderBy(
+        F.col("dot").desc(), F.col("code")
+    )
+    pivoted = (
+        sub_rows(base, "vec_id", "embedding")
+        .join(F.broadcast(codebook), "sub")
+        .select("vec_id", "sub", "code", sdot.alias("dot"))
+        .withColumn("rn", F.row_number().over(code_rank))
+        .filter(F.col("rn") == 1)
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("sub") == m, F.col("code"))).alias(f"c{m}")
+                for m in range(m_subspaces)
+            ]
+        )
+    )
+    queries = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    lut = (
+        sub_rows(queries, "query_id", "q_emb")
+        .join(F.broadcast(codebook), "sub")
+        .select("query_id", "sub", "code", sdot.alias("v"))
+    )
+
+    # --- deterministic ADC over only the PROBED candidates ------------
+    adc = cand.join(pivoted, "vec_id")
+    for m in range(m_subspaces):
+        lut_m = lut.filter(F.col("sub") == m).select(
+            F.col("query_id").alias(f"qid{m}"),
+            F.col("code").alias(f"lc{m}"),
+            F.col("v").alias(f"v{m}"),
+        )
+        adc = adc.join(
+            F.broadcast(lut_m),
+            (F.col("query_id") == F.col(f"qid{m}"))
+            & (F.col(f"c{m}") == F.col(f"lc{m}")),
+        )
+    approx = "(" + " + ".join(f"v{m}" for m in range(m_subspaces)) + ")"
+    scored = adc.select("query_id", "vec_id", F.expr(approx).alias("approx"))
+    short_w = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("vec_id")
+    )
+    shortlist = (
+        scored.withColumn("srn", F.row_number().over(short_w))
+        .filter(F.col("srn") <= rerank)
+        .select("query_id", "vec_id")
+    )
+    cands = (
+        shortlist.join(base, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_norm") * F.col("norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -378,6 +378,325 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+def _ivf_centroid_rows(n_cells: int = 16, dim: int = _ANN_DEDUP_DIM) -> str:
+    """The pinned IVF sign-centroid matrix rendered as SQL VALUES rows
+    (cell, c DOUBLE[]) — the oracle-side twin of ivf_pinned_topk's
+    broadcast centroid table."""
+    from kafka_s3_etl_spark.operators.similarity import _plane_signs
+
+    signs = _plane_signs(n_cells, 1, dim)
+    return ", ".join(
+        f"({c}, [" + ",".join(str(int(v)) for v in signs[c][0]) + "]::DOUBLE[])"
+        for c in range(n_cells)
+    )
+
+
+def _ivf_pinned_oracle(
+    n_queries: int = 8, k: int = 5, n_probe: int = 4
+) -> str:
+    rows = _ivf_centroid_rows()
+    return f"""
+        WITH cent(cell, c) AS (VALUES {rows}),
+        base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        ranked AS (
+          SELECT vec_id, e, cell,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY vec_id
+                     ORDER BY list_dot_product(e, c) DESC, cell
+                 ) AS rn
+          FROM base, cent
+        ),
+        assigned AS (SELECT vec_id, e, cell FROM ranked WHERE rn = 1),
+        probe AS (
+          SELECT vec_id AS query_id, e AS qe, cell
+          FROM ranked WHERE vec_id < {n_queries} AND rn <= {n_probe}
+        ),
+        scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 list_cosine_similarity(p.qe, a.e) AS cos
+          FROM probe p
+          JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.query_id
+        )
+        SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+                 ) AS rnk
+          FROM scored) WHERE rnk <= {k}
+    """
+
+
+@register(
+    "q_sim_ivf_pinned",
+    cost=2,
+    category="similarity",
+    doc=(
+        "IVF ANN top-5, hash-verified — the pinned-layout twin that "
+        "dents the q_sim_ivf impossibility note (Lloyd's centroids are "
+        "data-dependent floats no static SQL can restate; PINNED "
+        "centroids are constants both engines share, the q_sim_ann_lsh "
+        "pattern applied to IVF). Centroids are the seeded sign matrix "
+        "— equal norms make nearest-centroid-by-L2 exactly argmax dot, "
+        "the one primitive verified bit-exact across engines (Spark "
+        "aggregate fold == DuckDB list_dot_product) — so assignment, "
+        "4-of-16 cell probe, candidate join, and cosine re-rank all "
+        "replay in the oracle; rank-only output keeps floats out of "
+        "the hash. Quantizer QUALITY stays the fitted production "
+        "entry's concern (its brute-force recall property test); this "
+        "entry hash-gates the IVF probe MECHANICS end-to-end."
+    ),
+    oracle=_ivf_pinned_oracle(),
+)
+def q_sim_ivf_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.similarity import ivf_pinned_topk
+
+    return ivf_pinned_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def _pq_codebook_rows(
+    m_subspaces: int = 4, n_codes: int = 16, sub_d: int = 16
+) -> str:
+    """The pinned PQ sign codebooks rendered as SQL VALUES rows
+    (sub, code, cw DOUBLE[]) — the oracle-side twin of
+    pq_pinned_topk's broadcast codebook."""
+    from kafka_s3_etl_spark.operators.similarity import _plane_signs
+
+    signs = _plane_signs(m_subspaces * n_codes, 1, sub_d)
+    return ", ".join(
+        f"({m}, {c}, ["
+        + ",".join(str(int(v)) for v in signs[m * n_codes + c][0])
+        + "]::DOUBLE[])"
+        for m in range(m_subspaces)
+        for c in range(n_codes)
+    )
+
+
+def _pq_pinned_oracle(
+    n_queries: int = 8,
+    k: int = 5,
+    m_subspaces: int = 4,
+    sub_d: int = 16,
+    rerank: int = 48,
+) -> str:
+    rows = _pq_codebook_rows(m_subspaces=m_subspaces, sub_d=sub_d)
+    code_cols = ", ".join(
+        f"MAX(CASE WHEN sub = {m} THEN code END) AS c{m}"
+        for m in range(m_subspaces)
+    )
+    lut_joins = "\n          ".join(
+        f"JOIN lut l{m} ON l{m}.sub = {m} AND l{m}.code = p.c{m}"
+        + (f" AND l{m}.query_id = l0.query_id" if m else "")
+        for m in range(m_subspaces)
+    )
+    approx = " + ".join(f"l{m}.v" for m in range(m_subspaces))
+    return f"""
+        WITH cb(sub, code, cw) AS (VALUES {rows}),
+        base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        subv AS (
+          SELECT vec_id, m.m AS sub,
+                 e[m.m * {sub_d} + 1 : m.m * {sub_d} + {sub_d}] AS sv
+          FROM base, (SELECT UNNEST(range({m_subspaces})) AS m) m
+        ),
+        coded AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT s.vec_id, s.sub, cb.code,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id, s.sub
+                       ORDER BY list_dot_product(s.sv, cb.cw) DESC, cb.code
+                   ) AS rn
+            FROM subv s JOIN cb ON cb.sub = s.sub) WHERE rn = 1
+        ),
+        pivoted AS (
+          SELECT vec_id, {code_cols} FROM coded GROUP BY vec_id
+        ),
+        lut AS (
+          SELECT s.vec_id AS query_id, s.sub, cb.code,
+                 list_dot_product(s.sv, cb.cw) AS v
+          FROM subv s JOIN cb ON cb.sub = s.sub
+          WHERE s.vec_id < {n_queries}
+        ),
+        scored AS (
+          SELECT l0.query_id, p.vec_id, {approx} AS approx
+          FROM pivoted p
+          {lut_joins}
+          WHERE p.vec_id != l0.query_id
+        ),
+        shortlist AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY approx DESC, vec_id) AS srn
+            FROM scored) WHERE srn <= {rerank}
+        ),
+        reranked AS (
+          SELECT s.query_id, s.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.e, n.e) AS cos
+          FROM shortlist s
+          JOIN base q ON q.vec_id = s.query_id
+          JOIN base n ON n.vec_id = s.vec_id
+        )
+        SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+                 ) AS rnk
+          FROM reranked) WHERE rnk <= {k}
+    """
+
+
+@register(
+    "q_sim_pq_pinned",
+    cost=2,
+    category="similarity",
+    doc=(
+        "Product-quantization ANN top-5, hash-verified — the pinned "
+        "twin that dents the q_sim_pq impossibility note the way "
+        "q_sim_ivf_pinned dents IVF's. Two moves unlock the gate: "
+        "seeded sign CODEBOOKS (equal-norm codewords make encode's "
+        "argmin-L2 exactly argmax dot, the bit-exact primitive), and "
+        "a DETERMINISTIC ADC — corpus codes pivot to one integer "
+        "column per subspace and the asymmetric inner product is an "
+        "explicit lut0+lut1+lut2+lut3 chain, not a groupBy SUM whose "
+        "float association depends on partitioning. Encode, LUT, ADC "
+        "scan, shortlist, and exact cosine re-rank all replay in the "
+        "oracle; rank-only output keeps floats out of the hash. "
+        "Compression QUALITY stays the fitted production entry's "
+        "recall property test; this gates the MECHANICS."
+    ),
+    oracle=_pq_pinned_oracle(),
+)
+def q_sim_pq_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.similarity import pq_pinned_topk
+
+    return pq_pinned_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def _ivfpq_pinned_oracle(
+    n_queries: int = 8,
+    k: int = 5,
+    n_probe: int = 4,
+    m_subspaces: int = 4,
+    sub_d: int = 16,
+    rerank: int = 48,
+) -> str:
+    cent_rows = _ivf_centroid_rows()
+    cb_rows = _pq_codebook_rows(m_subspaces=m_subspaces, sub_d=sub_d)
+    code_cols = ", ".join(
+        f"MAX(CASE WHEN sub = {m} THEN code END) AS c{m}"
+        for m in range(m_subspaces)
+    )
+    lut_joins = "\n          ".join(
+        f"JOIN lut l{m} ON l{m}.sub = {m} AND l{m}.code = p.c{m}"
+        f" AND l{m}.query_id = cand.query_id"
+        for m in range(m_subspaces)
+    )
+    approx = " + ".join(f"l{m}.v" for m in range(m_subspaces))
+    return f"""
+        WITH cent(cell, c) AS (VALUES {cent_rows}),
+        cb(sub, code, cw) AS (VALUES {cb_rows}),
+        base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        cranked AS (
+          SELECT vec_id, cell,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY vec_id
+                     ORDER BY list_dot_product(e, c) DESC, cell
+                 ) AS rn
+          FROM base, cent
+        ),
+        assigned AS (SELECT vec_id, cell FROM cranked WHERE rn = 1),
+        probe AS (
+          SELECT vec_id AS query_id, cell
+          FROM cranked WHERE vec_id < {n_queries} AND rn <= {n_probe}
+        ),
+        cand AS (
+          SELECT p.query_id, a.vec_id
+          FROM probe p JOIN assigned a
+            ON a.cell = p.cell AND a.vec_id != p.query_id
+        ),
+        subv AS (
+          SELECT vec_id, m.m AS sub,
+                 e[m.m * {sub_d} + 1 : m.m * {sub_d} + {sub_d}] AS sv
+          FROM base, (SELECT UNNEST(range({m_subspaces})) AS m) m
+        ),
+        pivoted AS (
+          SELECT vec_id, {code_cols} FROM (
+            SELECT s.vec_id, s.sub, cb.code FROM (
+              SELECT s.vec_id, s.sub, cb.code,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY s.vec_id, s.sub
+                         ORDER BY list_dot_product(s.sv, cb.cw) DESC,
+                                  cb.code) AS rn
+              FROM subv s JOIN cb ON cb.sub = s.sub) s(vec_id, sub, code, rn)
+              JOIN cb ON cb.sub = s.sub AND cb.code = s.code
+            WHERE rn = 1
+          ) GROUP BY vec_id
+        ),
+        lut AS (
+          SELECT s.vec_id AS query_id, s.sub, cb.code,
+                 list_dot_product(s.sv, cb.cw) AS v
+          FROM subv s JOIN cb ON cb.sub = s.sub
+          WHERE s.vec_id < {n_queries}
+        ),
+        scored AS (
+          SELECT cand.query_id, cand.vec_id, {approx} AS approx
+          FROM cand
+          JOIN pivoted p ON p.vec_id = cand.vec_id
+          {lut_joins}
+        ),
+        shortlist AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY approx DESC, vec_id) AS srn
+            FROM scored) WHERE srn <= {rerank}
+        ),
+        reranked AS (
+          SELECT s.query_id, s.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.e, n.e) AS cos
+          FROM shortlist s
+          JOIN base q ON q.vec_id = s.query_id
+          JOIN base n ON n.vec_id = s.vec_id
+        )
+        SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+                 ) AS rnk
+          FROM reranked) WHERE rnk <= {k}
+    """
+
+
+@register(
+    "q_sim_ivfpq_pinned",
+    cost=2,
+    category="similarity",
+    doc=(
+        "IVF+PQ two-level ANN top-5, hash-verified — the composition "
+        "of q_sim_ivf_pinned's sign-centroid cell probe and "
+        "q_sim_pq_pinned's sign codebooks + deterministic ADC, "
+        "completing the pinned-twin coverage of the ANN family "
+        "(LSH r9, IVF/PQ/IVFPQ r10): coarse cells gate WHICH codes "
+        "are scanned, the fixed-order LUT chain approximates the "
+        "scan, exact cosine re-ranks the shortlist, and every stage "
+        "replays in the oracle. The fitted q_sim_ivfpq stays the "
+        "production entry with its recall property test."
+    ),
+    oracle=_ivfpq_pinned_oracle(),
+)
+def q_sim_ivfpq_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.similarity import ivfpq_pinned_topk
+
+    return ivfpq_pinned_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 # ------------------------------------------------------------------- text
 
 

@@ -267,6 +267,14 @@ PROBE_QUERIES = [
     # the cap should hold the ratio at/below data growth where the
     # uncapped q_containment_join (above) exceeds it
     "q_containment_join_capped",
+    # round-10 batch 43: pinned ANN twins (ride the 10x twinned
+    # embeddings; same broadcast-table shapes as the fitted originals)
+    "q_sim_ivf_pinned",
+    "q_sim_pq_pinned",
+    "q_sim_ivfpq_pinned",
+    # round-10 batch 44 (identical-hash twins collapse into clusters;
+    # CC rounds bounded by the shallow near-dup graph)
+    "q_dedup_image_clusters",
 ]
 
 

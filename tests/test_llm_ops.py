@@ -881,3 +881,24 @@ def test_ivfpq_recall_and_true_cosines(spark, sf_dir):
     }
     hits = {(r.query_id, r.neighbor_id) for r in approx} & truth
     assert len(hits) / len(truth) >= 0.25
+
+
+def test_pinned_ann_twins_structure(spark, sf_dir):
+    """The pinned IVF/PQ/IVFPQ twins (batch 43) gate index MECHANICS:
+    each must return exactly k=5 ranked neighbors per query for all 8
+    queries, ranks 1..5, no self-neighbors, neighbors distinct per
+    query. (Value parity vs DuckDB is the oracle suite's job; fit
+    QUALITY stays the fitted entries' recall tests.)"""
+    from kafka_s3_etl_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    for name in ("q_sim_ivf_pinned", "q_sim_pq_pinned", "q_sim_ivfpq_pinned"):
+        rows = qs[name].fn(spark, sf_dir).collect()
+        per_q: dict = {}
+        for r in rows:
+            per_q.setdefault(r.query_id, []).append(r)
+            assert r.neighbor_id != r.query_id, name
+        assert set(per_q) == set(range(8)), name
+        for q, rs in per_q.items():
+            assert sorted(r.rank for r in rs) == [1, 2, 3, 4, 5], name
+            assert len({r.neighbor_id for r in rs}) == 5, name
