@@ -335,6 +335,9 @@ HEADLINE = [
     "q_sim_ivfpq_pinned",
     # round-10 batch 44: image dedup resolved to clusters
     "q_dedup_image_clusters",
+    # round-10 batch 45: exact substring-span dedup + mask transform
+    "q_dedup_substring_spans",
+    "q_dedup_substring_mask",
 ]
 
 

@@ -1157,3 +1157,114 @@ def containment_join_capped(
         .distinct()
     )
     return _containment_verify(toks, sizes, cand, threshold)
+
+
+def duplicate_substring_spans(documents: DataFrame, k: int = 12) -> DataFrame:
+    """Exact substring-span deduplication (the Lee et al. '22
+    "Deduplicating Training Data" ExactSubstr shape, re-expressed as
+    shuffles instead of a suffix array): every k-token window that
+    occurs more than once ANYWHERE in the corpus marks its token span
+    [pos, pos+k) as duplicated; overlapping marks merge into maximal
+    spans per document — the maskable interval list a training-data
+    pipeline consumes.
+
+    Scale shape: grams shuffle as md5 fingerprints (16 bytes, never
+    the token text); the duplicate test is one map-side-combined count
+    per gram plus an equi join back; span merging is a per-document
+    window (doc_id is high-cardinality, so it hash-partitions) over
+    ~n_tokens rows per doc. No all-pairs anything — a suffix array
+    finds the same spans in O(n log n) single-machine, this finds them
+    in two shuffles cluster-wide.
+
+    Returns (doc_id, span_start, span_end, span_tokens) with span_end
+    exclusive, 0-based token positions.
+    """
+    toks = documents.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= k)
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {k}), i ->"
+                f" md5(concat_ws(' ', slice(w, i + 1, {k}))))"
+            )
+        ).alias("pos", "g"),
+    )
+    counts = grams.groupBy("g").agg(F.count("*").alias("c"))
+    dup = (
+        grams.join(counts.filter(F.col("c") > 1).select("g"), "g")
+        .select("doc_id", "pos")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = dup.select(
+        "doc_id",
+        "pos",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.sum("new_island").over(w_doc).alias("island"),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + k).cast("int").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+def mask_duplicate_substrings(documents: DataFrame, k: int = 12) -> DataFrame:
+    """The transform stage over ``duplicate_substring_spans``: drop
+    every token covered by a merged duplicate span and reassemble the
+    remainder in order. Returns (doc_id, n_tokens, n_masked,
+    clean_text) — the deduplicated corpus a tokenizer trains on.
+
+    Span coverage is resolved by exploding spans to positions and one
+    (doc_id, pos) anti join — spans are bounded by document length, so
+    the explode is linear in masked tokens; reassembly is a sorted
+    collect within each doc (bodies never shuffle except grouped by
+    their own doc_id)."""
+    spans = duplicate_substring_spans(documents, k)
+    covered = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end") - 1)
+        ).alias("pos"),
+    )
+    toks = documents.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list("
+            "struct(pos, tok))), s -> s.tok))"
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    sizes = documents.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return (
+        sizes.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .alias("n_masked"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

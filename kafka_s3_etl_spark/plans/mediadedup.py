@@ -195,9 +195,9 @@ _FRAME_SIGS_CTE = """
     oracle=f"""
         WITH {_FRAME_SIGS_CTE}
         SELECT sim,
-               CAST(MIN({{'doc_id': doc_id, 'frame_idx': frame_idx}})['doc_id']
+               CAST(MIN(doc_id * 1048576 + frame_idx) // 1048576
                  AS BIGINT) AS rep_doc,
-               CAST(MIN({{'doc_id': doc_id, 'frame_idx': frame_idx}})['frame_idx']
+               CAST(MIN(doc_id * 1048576 + frame_idx) % 1048576
                  AS INTEGER) AS rep_frame,
                CAST(COUNT(*) AS BIGINT) AS n_frames,
                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_videos
@@ -207,10 +207,18 @@ _FRAME_SIGS_CTE = """
 def q_dedup_frame_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     sigs = frame_ahash(media.filter(F.col("media_type") == "video"))
-    rep = F.min(F.struct("doc_id", "frame_idx"))
+    # rep as min over a PACKED bigint, not min(struct): an unordered
+    # struct min forces SortAggregate (no codegen); the packed key
+    # keeps the whole rollup in whole-stage HashAggregate. frame_idx
+    # < 2^20 by generator contract (and any sane video), doc_id keeps
+    # 43 bits of headroom.
+    rep = F.min(F.shiftleft(F.col("doc_id"), 20) + F.col("frame_idx"))
+    # shiftright, not float division: doc_id*2^20 exceeds double's 53
+    # exact bits long before bigint overflows, and `/` goes through
+    # double in Spark SQL.
     return sigs.groupBy("sim").agg(
-        rep.getField("doc_id").alias("rep_doc"),
-        rep.getField("frame_idx").alias("rep_frame"),
+        F.shiftright(rep, 20).alias("rep_doc"),
+        (rep % 1048576).cast("int").alias("rep_frame"),
         F.count(F.lit(1)).alias("n_frames"),
         F.countDistinct("doc_id").alias("n_videos"),
     )

@@ -275,6 +275,11 @@ PROBE_QUERIES = [
     # round-10 batch 44 (identical-hash twins collapse into clusters;
     # CC rounds bounded by the shallow near-dup graph)
     "q_dedup_image_clusters",
+    # round-10 batch 45 (rides the 10x twinned documents: every gram
+    # in a twinned doc becomes corpus-duplicated, so the span/mask
+    # stages face maximal duplication density)
+    "q_dedup_substring_spans",
+    "q_dedup_substring_mask",
 ]
 
 

@@ -107,3 +107,39 @@ def test_frame_ahash_counts_and_keys(spark, sf_dir):
         assert n == 12 + d % 19
     # (doc_id, frame_idx) is a key
     assert sigs.count() == sigs.select("doc_id", "frame_idx").distinct().count()
+
+
+def test_substring_spans_find_planted_passage(spark):
+    """duplicate_substring_spans (batch 45): a 20-token passage planted
+    into two otherwise-unique documents is reported as one merged span
+    in each, covering exactly the passage (windows chain across the
+    full repeat); unique docs report nothing; mask accounting is
+    consistent (n_kept + n_masked == n_tokens)."""
+    from kafka_s3_etl_spark.operators.dedup import (
+        duplicate_substring_spans,
+        mask_duplicate_substrings,
+    )
+
+    passage = [f"dup{i}" for i in range(20)]
+    docs = []
+    for d in range(6):
+        uniq = [f"u{d}_{j}" for j in range(30)]
+        toks = uniq[:10] + (passage if d < 2 else []) + uniq[10:]
+        docs.append((d, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in duplicate_substring_spans(df, k=12).collect()
+    }
+    assert set(spans) == {0, 1}
+    for d in (0, 1):
+        assert spans[d] == (10, 30)  # exactly the planted passage
+    masked = {r.doc_id: r for r in mask_duplicate_substrings(df, k=12).collect()}
+    for d, text in docs:
+        r = masked[d]
+        assert r.n_tokens == len(text.split())
+        assert r.n_masked == (20 if d < 2 else 0)
+        if d < 2:
+            assert "dup0" not in r.clean_text and "u%d_9" % d in r.clean_text
+        else:
+            assert r.clean_text == text

@@ -1203,3 +1203,63 @@ def test_hash_sample_prunes_to_two_columns(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_sample_hash")
     assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
     assert "text" not in plan
+
+
+def test_image_phash_joins_on_chunks_no_python_after_decode(spark, sf_dir):
+    """q_dedup_image_phash (batch 40): the only Python in the plan is
+    the decode/hash mapInPandas; candidates come from the 16-bit-chunk
+    equi join with the bit_count(xor) integer Hamming — never a
+    nested-loop product, never a per-pair Python eval."""
+    df = _CAT["q_dedup_image_phash"].fn(spark, sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "bit_count" in plan
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_frame_phash_is_one_pass_group(spark, sf_dir):
+    """q_dedup_frame_phash: decode fan-out then ONE hash aggregation —
+    no join at all (the linear-output representative grouping)."""
+    df = _CAT["q_dedup_frame_phash"].fn(spark, sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" not in plan
+    assert "MapInPandas" in plan
+    # HASH aggregate, not SortAggregate: the representative is a min
+    # over a packed bigint key precisely so the rollup stays in
+    # whole-stage codegen (min(struct) would force sort-based agg)
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+
+
+def test_containment_capped_broadcasts_toplists(spark, sf_dir):
+    """q_containment_join_capped (batch 41): candidate generation is a
+    BROADCAST join of the |vocab|*17 toplist against the prefix rows —
+    the quadratic candidate set is never materialized, and the toplist
+    rank is the bucketed two-phase form (no PARTITION BY token
+    single-task window over the dense corpus)."""
+    df = _CAT["q_containment_join_capped"].fn(spark, sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pinned_ann_twins_broadcast_constants(spark, sf_dir):
+    """Batch 43: centroid/codebook tables are broadcast (fixed-size
+    constants at any corpus scale); no Python anywhere in the plan —
+    the pinned twins are pure JVM expressions."""
+    for name in ("q_sim_ivf_pinned", "q_sim_pq_pinned", "q_sim_ivfpq_pinned"):
+        df = _CAT[name].fn(spark, sf_dir)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "BroadcastExchange" in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
