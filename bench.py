@@ -338,6 +338,8 @@ HEADLINE = [
     # round-10 batch 45: exact substring-span dedup + mask transform
     "q_dedup_substring_spans",
     "q_dedup_substring_mask",
+    # round-10 batch 46: the fixed-round LPA twin
+    "q_label_propagation_kstep",
 ]
 
 

@@ -663,3 +663,59 @@ def label_propagation(
         if fr_n == 0:
             break
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def label_propagation_kstep(
+    pairs: DataFrame, nodes: DataFrame, iters: int = 4
+) -> DataFrame:
+    """Fixed-K-round synchronous label propagation: the oracle-
+    checkable twin of ``label_propagation`` (the pagerank_fixedpoint
+    move applied to LPA). The production operator iterates to a
+    fixpoint — a data-dependent round count no static SQL can restate —
+    and frontier-prunes; this twin runs EXACTLY ``iters`` full sweeps
+    of the same pure-integer update (adopt the most frequent label in
+    N(v) + {v}, ties to the smallest label), so a DuckDB oracle can
+    replay the rounds as a generated AS MATERIALIZED CTE chain and
+    hash-match every label.
+
+    ``nodes`` is one node id per row (isolated nodes keep their own
+    label — the self-loop gives every node a self-vote AND a vote row
+    even with no neighbors). Per round: one equi join (edges x labels,
+    partitioned on node id) + two map-side-combinable aggregations
+    (vote count, then arg-max-count/min-label via the min(struct)
+    house pattern — struct comparison is lexicographic in both
+    engines). localCheckpoint cuts the iterative lineage.
+
+    Returns (node, community) after ``iters`` rounds.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    base = nodes.select(F.col(nodes.columns[0]).alias("node"))
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    edges = (
+        sym.unionByName(base.select(F.col("node").alias("src"),
+                                    F.col("node").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = base.select("node", F.col("node").alias("lbl")).localCheckpoint()
+    for _ in range(iters):
+        votes = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), "lbl"), "dst"
+            )
+            .groupBy("src", "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            votes.groupBy("src")
+            .agg(F.min(F.struct((-F.col("c")).alias("c"),
+                                F.col("lbl").alias("l"))).alias("m"))
+            .select(F.col("src").alias("node"), F.col("m.l").alias("lbl"))
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kafka_s3_etl_spark.operators.dedup import band_hamming_pairs
 from kafka_s3_etl_spark.operators.multimodal import (
@@ -114,7 +115,12 @@ _CHUNKED_CTE = """
         "The oracle recomputes every hash bit from the generator's "
         "closed form (pixel byte i of doc d = (d + i) % 256) and "
         "replays the banding in SQL, so the driver hash gates decode "
-        "+ hash + banding + pairing end-to-end."
+        "+ hash + banding + pairing end-to-end. CAVEAT (the "
+        "q_dedup_embedding-pairs class): PAIR output is quadratic in "
+        "duplicate multiplicity by definition — the 30x twinned probe "
+        "measured 8.8x because 30-copy cliques emit 435 pairs each; "
+        "q_dedup_image_clusters (signature pre-pass, 1.4x at 30x) is "
+        "the shape a production pipeline consumes."
     ),
     oracle=f"""
         WITH {_IMAGE_SIGS_CTE},
@@ -283,9 +289,29 @@ def q_dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = documents_as_media(docs)
     sigs = image_ahash(media.filter(F.col("media_type") == "image"))
-    pairs = band_hamming_pairs(sigs, ("doc_id",), max_hamming=3).select(
-        F.col("a_doc_id").alias("doc_a"), F.col("b_doc_id").alias("doc_b")
+    # Exact-dup pre-pass (the q_dedup_embedding_clusters discipline):
+    # identical SIGNATURES have identical band buckets and Hamming 0,
+    # so collapsing each signature group to its min-id representative
+    # before the band self-join and re-attaching members via identity
+    # edges preserves components EXACTLY, while a k-copy clique stops
+    # contributing O(k^2) band pairs (30 exact twins per image on the
+    # 30x probe corpus = 435 pairs per clique before this pass). The
+    # oracle closes over the FULL pair set — components are equal by
+    # construction, so the hash gate is unaffected.
+    rep_w = Window.partitionBy("sim")
+    with_rep = sigs.select(
+        "doc_id", "sim", F.min("doc_id").over(rep_w).alias("rep")
+    ).localCheckpoint()
+    rep_sigs = with_rep.filter(F.col("doc_id") == F.col("rep")).select(
+        "doc_id", "sim"
     )
+    band_pairs = band_hamming_pairs(
+        rep_sigs, ("doc_id",), max_hamming=3
+    ).select(F.col("a_doc_id").alias("doc_a"), F.col("b_doc_id").alias("doc_b"))
+    identity_edges = with_rep.filter(F.col("doc_id") != F.col("rep")).select(
+        F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    pairs = band_pairs.unionByName(identity_edges)
     nodes = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
     cc = connected_components_star(pairs, nodes)
     return cc.select(

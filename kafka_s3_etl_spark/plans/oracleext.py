@@ -1173,3 +1173,78 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dropped
+
+
+# ---------------------------------------------------- round 10, batch 46
+
+_LPA_ITERS = 4
+
+
+def _lpa_kstep_oracle(iters: int = _LPA_ITERS) -> str:
+    """K full synchronous LPA sweeps over the md5-pair graph as a
+    generated AS MATERIALIZED CTE chain (the pagerank_fixedpoint
+    replay pattern): per round, vote counts via one join + group, then
+    arg-max-count/min-label via lexicographic struct MIN — all integer
+    arithmetic, bit-exact across engines."""
+    rounds = []
+    for t in range(iters):
+        rounds.append(f"""
+        r{t + 1} AS MATERIALIZED (
+          SELECT node, MIN({{'c': -c, 'l': lbl}})['l'] AS lbl FROM (
+            SELECT e.src AS node, r.lbl AS lbl,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM edges e JOIN r{t} r ON r.node = e.dst
+            GROUP BY e.src, r.lbl
+          ) GROUP BY node
+        )""")
+    chain = ",".join(rounds)
+    return f"""
+        WITH {_md5_pairs_ctes()},
+        sympairs AS (
+          SELECT doc_a AS src, doc_b AS dst FROM thr
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM thr
+        ),
+        edges AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM sympairs
+            UNION ALL
+            SELECT doc_id AS src, doc_id AS dst FROM documents
+          )
+        ),
+        r0 AS MATERIALIZED (
+          SELECT doc_id AS node, doc_id AS lbl FROM documents
+        ),{chain}
+        SELECT node, CAST(lbl AS BIGINT) AS community FROM r{iters}
+    """
+
+
+@register(
+    "q_label_propagation_kstep",
+    cost=3,
+    category="graph",
+    doc=(
+        "Fixed-4-round synchronous label propagation over the "
+        "md5-MinHash near-dup graph — the hash-verified twin of "
+        "q_label_propagation (the pagerank_fixedpoint move applied to "
+        "LPA: the production operator iterates to a data-dependent "
+        "fixpoint and frontier-prunes, which no static SQL can "
+        "restate; K full sweeps of the same pure-integer update — "
+        "most frequent label in N(v)+{v}, ties to the smallest — "
+        "replay as a MATERIALIZED CTE chain). Completes the "
+        "iterative-family twin set: pagerank/markov (r9 batch 34), "
+        "connected components (r9), LPA (r10)."
+    ),
+    oracle=_lpa_kstep_oracle(),
+)
+def q_label_propagation_kstep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.dedup import md5_minhash_near_dups
+    from kafka_s3_etl_spark.operators.graph import label_propagation_kstep
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = md5_minhash_near_dups(docs, threshold=_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    return label_propagation_kstep(
+        pairs, docs.select("doc_id"), iters=_LPA_ITERS
+    )

@@ -280,6 +280,8 @@ PROBE_QUERIES = [
     # stages face maximal duplication density)
     "q_dedup_substring_spans",
     "q_dedup_substring_mask",
+    # round-10 batch 46 (4 full vote sweeps over the md5 pair graph)
+    "q_label_propagation_kstep",
 ]
 
 
