@@ -340,6 +340,8 @@ HEADLINE = [
     "q_dedup_substring_mask",
     # round-10 batch 46: the fixed-round LPA twin
     "q_label_propagation_kstep",
+    # round-10 batch 47: JL random projection (map-only)
+    "q_embed_randproj",
 ]
 
 

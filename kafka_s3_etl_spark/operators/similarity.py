@@ -1363,3 +1363,50 @@ def ivfpq_pinned_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def random_projection(
+    embeddings: DataFrame, out_dim: int = 16, dim: int = 64
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: compress each embedding
+    to ``out_dim`` components via the seeded +-1 sign matrix scaled by
+    1/sqrt(out_dim) (Achlioptas '03 showed sign entries satisfy the JL
+    guarantee — no Gaussians needed, and +-1 keeps every value exactly
+    representable). The fit-free reduction path a pipeline uses for
+    embedding storage/IO compression ahead of ANN; PCA
+    (operators/similarity.py::pca_project) remains the data-adaptive
+    one.
+
+    Scale shape: ONE broadcast row carries the whole projection matrix
+    (out_dim array columns), so the pass is map-only — no shuffle, no
+    fit, no Python. Every output component is a single aggregate-fold
+    dot times an exactly-representable constant (1/4 for out_dim=16),
+    so the values are bit-exact across engines and the entry is
+    hash-gateable (the pinned-ANN-twin primitive).
+
+    Returns (vec_id, r0..r{out_dim-1}) as double columns.
+    """
+    spark = embeddings.sparkSession
+    scale = 1.0 / math.sqrt(out_dim)
+    signs = _plane_signs(1, out_dim, dim)
+    row = tuple([0] + [signs[0][p] for p in range(out_dim)])
+    schema = "one int, " + ", ".join(
+        f"s{p} array<double>" for p in range(out_dim)
+    )
+    mat = spark.createDataFrame([row], schema)
+    comps = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.col(f"s{p}"),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            * F.lit(scale)
+        ).alias(f"r{p}")
+        for p in range(out_dim)
+    ]
+    return embeddings.crossJoin(F.broadcast(mat)).select("vec_id", *comps)

@@ -697,6 +697,54 @@ def q_sim_ivfpq_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_pinned_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+def _randproj_oracle(out_dim: int = 16, dim: int = _ANN_DEDUP_DIM) -> str:
+    from kafka_s3_etl_spark.operators.similarity import _plane_signs
+
+    signs = _plane_signs(1, out_dim, dim)
+    rows = ", ".join(
+        f"({p}, [" + ",".join(str(int(v)) for v in signs[0][p]) + "]::DOUBLE[])"
+        for p in range(out_dim)
+    )
+    comps = ",\n               ".join(
+        f"MAX(CASE WHEN m.p = {p} THEN list_dot_product(b.e, m.s) END)"
+        f" * 0.25 AS r{p}"
+        for p in range(out_dim)
+    )
+    return f"""
+        WITH mat(p, s) AS (VALUES {rows}),
+        b AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        )
+        SELECT vec_id,
+               {comps}
+        FROM b, mat m GROUP BY vec_id, b.e
+    """
+
+
+@register(
+    "q_embed_randproj",
+    cost=1,
+    category="similarity",
+    doc=(
+        "Johnson-Lindenstrauss random projection 64 -> 16 dims "
+        "(Achlioptas '03 +-1 entries, scale 1/sqrt(16) = 0.25 — every "
+        "constant exactly representable), hash-verified VALUE-FOR-"
+        "VALUE: each output component is one aggregate-fold dot times "
+        "0.25, the primitive proven bit-exact across engines, so the "
+        "floats themselves enter the hash (unlike the rank-only ANN "
+        "twins). Map-only: one broadcast row carries the projection "
+        "matrix, no shuffle, no fit — the storage/IO compression step "
+        "ahead of ANN; PCA stays the data-adaptive (rows-only) path. "
+        "JL distortion property-tested in tests/test_llm_ops.py."
+    ),
+    oracle=_randproj_oracle(),
+)
+def q_embed_randproj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.similarity import random_projection
+
+    return random_projection(load_table(spark, sf_dir, "embeddings"))
+
+
 # ------------------------------------------------------------------- text
 
 

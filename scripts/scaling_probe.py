@@ -282,6 +282,8 @@ PROBE_QUERIES = [
     "q_dedup_substring_mask",
     # round-10 batch 46 (4 full vote sweeps over the md5 pair graph)
     "q_label_propagation_kstep",
+    # round-10 batch 47 (map-only over the 10x twinned embeddings)
+    "q_embed_randproj",
 ]
 
 

