@@ -190,7 +190,9 @@ _ORC_CACHE: dict[str, str] = {}
         "values must survive the format boundary bit-for-bit, so the "
         "oracle is simply the source table. The interop matrix this "
         "completes: parquet (everywhere), CSV (A1), JSON wire (A8), "
-        "XML (B3), ORC (here)."
+        "XML (B3), ORC (here); Avro is environment-gated (r10: the "
+        "spark-avro connector jar is absent — x_avro_roundtrip in "
+        "plans/storage.py self-enables when it appears)."
     ),
     oracle="SELECT * FROM orders",
 )

@@ -517,3 +517,71 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last_value("v", ignoreNulls=True).over(w_run).alias("v_last_good"),
         F.nth_value("v", 2, ignoreNulls=True).over(w_full).alias("v_second"),
     )
+
+
+# Round 10, batch 48 — capability-gated Avro round-trip (the
+# s_session_timeout_tws pattern): Spark
+# treats Avro as an external module, and this build carries no
+# spark-avro connector jar (probed r10: `format("avro")` raises
+# "Failed to find data source"). The entry self-enables the moment the
+# jar appears; until then registry.GATED records the live reason and
+# the SURVEY totals tripwire will prompt the docs update.
+import glob as _glob
+import os as _os
+
+import pyspark as _pyspark
+
+_AVRO_JARS = _glob.glob(
+    _os.path.join(_os.path.dirname(_pyspark.__file__), "jars", "spark-avro*")
+)
+
+if _AVRO_JARS:
+
+    _AVRO_CACHE: dict[str, str] = {}
+
+    @register(
+        "x_avro_roundtrip",
+        category="lakehouse",
+        cost=1,
+        doc=(
+            "Avro row-format round-trip: events written as Avro once "
+            "per process, read back and hash-matched against the "
+            "parquet truth — the row-oriented interchange format a "
+            "Kafka-adjacent warehouse speaks."
+        ),
+        oracle="""
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+                   event_type
+            FROM events WHERE value >= 50.0
+        """,
+    )
+    def x_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from kafka_s3_etl_spark.streaming.runner import scratch_dir
+
+        if sf_dir not in _AVRO_CACHE:
+            out = scratch_dir("events_avro")
+            load_table(spark, sf_dir, "events").select(
+                "event_id", "user_id", "ts", "value", "event_type"
+            ).write.mode("overwrite").format("avro").save(out)
+            _AVRO_CACHE[sf_dir] = out
+        return (
+            spark.read.format("avro")
+            .load(_AVRO_CACHE[sf_dir])
+            .filter(F.col("value") >= 50.0)
+            .select(
+                "event_id",
+                "user_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "value",
+                "event_type",
+            )
+        )
+
+else:
+    from kafka_s3_etl_spark.plans.registry import GATED
+
+    GATED["x_avro_roundtrip"] = (
+        "spark-avro connector jar absent (Avro is an external data "
+        "source module since Spark 2.4; installs disallowed) — "
+        "self-enables when the jar appears on the classpath"
+    )
