@@ -143,3 +143,35 @@ def test_substring_spans_find_planted_passage(spark):
             assert "dup0" not in r.clean_text and "u%d_9" % d in r.clean_text
         else:
             assert r.clean_text == text
+
+
+def test_band_hamming_pairs_composite_keys(spark):
+    """band_hamming_pairs with a composite id (doc_id, frame_idx):
+    ordering is the lexicographic struct comparison and results equal a
+    brute-force Hamming scan — pins the generic-key contract no
+    registered entry currently exercises directly (frames group by
+    exact hash instead), so the API cannot rot silently."""
+    import itertools
+
+    rows = []
+    sigs = {}
+    base = "01" * 32
+    for d in range(3):
+        for f in range(4):
+            s = list(base)
+            for flip in range((d * 4 + f) % 5):
+                s[flip * 7] = "1" if s[flip * 7] == "0" else "0"
+            sig = "".join(s)
+            rows.append((d, f, sig))
+            sigs[(d, f)] = sig
+    df = spark.createDataFrame(rows, "doc_id long, frame_idx int, sim string")
+    got = {
+        ((r.a_doc_id, r.a_frame_idx), (r.b_doc_id, r.b_frame_idx), r.hamming)
+        for r in band_hamming_pairs(df, ("doc_id", "frame_idx"), 3).collect()
+    }
+    expected = set()
+    for k1, k2 in itertools.combinations(sorted(sigs), 2):
+        ham = sum(a != b for a, b in zip(sigs[k1], sigs[k2]))
+        if ham <= 3:
+            expected.add((k1, k2, ham))
+    assert got == expected and expected
