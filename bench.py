@@ -342,6 +342,8 @@ HEADLINE = [
     "q_label_propagation_kstep",
     # round-10 batch 47: JL random projection (map-only)
     "q_embed_randproj",
+    # round-10 batch 48: BPE tokenizer application (map-only regex chain)
+    "q_bpe_encode",
 ]
 
 

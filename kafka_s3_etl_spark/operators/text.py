@@ -404,3 +404,48 @@ def lm_quality_score(documents: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+BPE_MERGES = [
+    ("table", "hash"),
+    ("part", "filter"),
+    ("customer", "join"),
+    ("merge", "group"),
+    ("slow", "key"),
+    ("big", "order"),
+]
+
+
+def bpe_encode(
+    documents, merges: list[tuple[str, str]] = BPE_MERGES
+):
+    """Apply a FIXED ordered BPE merge list to every document — the
+    ENCODE step a trained tokenizer performs (q_bpe_merges mines the
+    merge table; this applies it; fertility/OOV analyze the result).
+    Each merge rewrites every non-overlapping occurrence of 'a b' to
+    'ab' left-to-right via one JVM regexp_replace, chained in merge
+    order — the exact greedy semantics of BPE application at the word
+    level, whole-stage codegen'd, no Python. Java and RE2 agree on
+    literal-word \\b patterns and global left-to-right replacement, so
+    the encoded STRINGS are engine-exact and hash-gateable.
+
+    Merge tokens must be regex-safe (alphanumeric — asserted); the
+    pinned default list is the top adjacent pairs of the corpus (the
+    shipped-tokenizer shape: trained once, applied to any corpus).
+
+    Returns (doc_id, n_tokens, n_bpe_tokens, enc_text).
+    """
+    from pyspark.sql import functions as F
+
+    for a, b in merges:
+        if not (a.isalnum() and b.isalnum()):
+            raise ValueError(f"merge tokens must be alphanumeric: {a!r},{b!r}")
+    col = F.col("text")
+    for a, b in merges:
+        col = F.regexp_replace(col, rf"\b{a} {b}\b", a + b)
+    return documents.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.size(F.split(col, " ")).cast("bigint").alias("n_bpe_tokens"),
+        col.alias("enc_text"),
+    )

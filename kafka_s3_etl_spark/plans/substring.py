@@ -142,3 +142,47 @@ def q_dedup_substring_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mask_duplicate_substrings(
         load_table(spark, sf_dir, "documents"), k=_K
     )
+
+
+# ---------------------------------------------------- round 10, batch 48
+
+
+def _bpe_encode_oracle() -> str:
+    from kafka_s3_etl_spark.operators.text import BPE_MERGES
+
+    expr = "text"
+    for a, b in BPE_MERGES:
+        expr = f"regexp_replace({expr}, '\\b{a} {b}\\b', '{a}{b}', 'g')"
+    return f"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(string_split({expr}, ' ')) AS BIGINT)
+                 AS n_bpe_tokens,
+               {expr} AS enc_text
+        FROM documents
+    """
+
+
+@register(
+    "q_bpe_encode",
+    cost=1,
+    category="text",
+    doc=(
+        "BPE tokenizer APPLICATION (operators/text.py::bpe_encode): "
+        "the pinned 6-merge table rewrites every non-overlapping "
+        "'a b' -> 'ab' left-to-right as a chained JVM regexp_replace "
+        "— the encode step a trained tokenizer performs, completing "
+        "the tokenizer lifecycle in the catalog (q_bpe_merges MINES "
+        "the table, this APPLIES it, q_token_fertility/q_oov_rate "
+        "analyze the result). Encoded strings are engine-exact (Java "
+        "and RE2 agree on literal \\b patterns and global left-to-"
+        "right replacement — verified on overlap cases like "
+        "'the the quick quick'), so the full text enters the hash. "
+        "Map-only single pass, whole-stage codegen, no shuffle."
+    ),
+    oracle=_bpe_encode_oracle(),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.text import bpe_encode
+
+    return bpe_encode(load_table(spark, sf_dir, "documents"))

@@ -284,6 +284,8 @@ PROBE_QUERIES = [
     "q_label_propagation_kstep",
     # round-10 batch 47 (map-only over the 10x twinned embeddings)
     "q_embed_randproj",
+    # round-10 batch 48 (map-only over the 10x twinned documents)
+    "q_bpe_encode",
 ]
 
 

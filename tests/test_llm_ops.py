@@ -936,3 +936,31 @@ def test_random_projection_jl_distortion(spark, sf_dir):
     assert ratios and all(0.25 <= r <= 2.75 for r in ratios), ratios
     # median distortion should be mild even at 16 dims
     assert 0.6 <= sorted(ratios)[len(ratios) // 2] <= 1.6
+
+
+def test_bpe_encode_greedy_overlap_semantics(spark):
+    """q_bpe_encode (batch 48): merges apply left-to-right,
+    non-overlapping, in merge-table order — the greedy BPE contract —
+    and later merges see earlier merges' outputs. Token accounting is
+    exact."""
+    from kafka_s3_etl_spark.operators.text import bpe_encode
+
+    rows = [
+        (0, "table hash table hash table"),
+        (1, "part filter hash"),
+        (2, "slow slow key key"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in bpe_encode(df).collect()}
+    # non-overlapping left-to-right: positions 0-1 and 2-3 merge, the
+    # trailing 'table' survives
+    assert got[0].enc_text == "tablehash tablehash table"
+    assert (got[0].n_tokens, got[0].n_bpe_tokens) == (5, 3)
+    assert got[1].enc_text == "partfilter hash"
+    # 'slow key' merges only where adjacent: 'slow slow key key' has
+    # exactly one 'slow key' occurrence (middle)
+    assert got[2].enc_text == "slow slowkey key"
+    import pytest
+
+    with pytest.raises(ValueError):
+        bpe_encode(df, merges=[("a.b", "c")]).collect()
