@@ -344,6 +344,9 @@ HEADLINE = [
     "q_embed_randproj",
     # round-10 batch 48: BPE tokenizer application (map-only regex chain)
     "q_bpe_encode",
+    # round-10 batch 49: collocation lift + winnowing fingerprints
+    "q_collocations_lift",
+    "q_winnow_fingerprints",
 ]
 
 

@@ -449,3 +449,82 @@ def bpe_encode(
         F.size(F.split(col, " ")).cast("bigint").alias("n_bpe_tokens"),
         col.alias("enc_text"),
     )
+
+
+# ------------------------------------------------ winnowing (batch 49)
+
+
+def winnow_selected(
+    documents: DataFrame, k: int = 4, w: int = 4
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD '03 — the MOSS sketch): md5 hashes of the k-token grams, the
+    leftmost-minimal ``(hash, pos)`` of every window of ``w``
+    consecutive grams is selected. Guarantee: any run of ``w + k - 1``
+    tokens shared by two documents yields at least one shared
+    fingerprint, at ~``1/w`` storage density.
+
+    Returns distinct ``(doc_id, n_grams, sg, sp)`` selections. Single
+    corpus scan, single doc_id exchange: the gram window, the
+    doc-length count, and the winnow frame-min all ride the same
+    partitioning, and the gram md5 is projected once before the
+    frame-min (never recomputed per frame)."""
+    from pyspark.sql.window import Window
+
+    toks = documents.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(wd).alias(f"t{j}") for j in range(1, k)]
+    grams = (
+        toks.select("doc_id", "pos", "tok", *leads)
+        .filter(F.col(f"t{k - 1}").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(
+                F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, k)])
+            ).alias("g"),
+        )
+    )
+    wf = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    win = grams.select(
+        "doc_id",
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n_grams"),
+        F.min(F.struct("g", "pos")).over(wf).alias("sel"),
+        F.count("*").over(wf).alias("cnt"),
+    )
+    return (
+        win.filter(F.col("cnt") == w)
+        .select(
+            "doc_id",
+            "n_grams",
+            F.col("sel.g").alias("sg"),
+            F.col("sel.pos").alias("sp"),
+        )
+        .distinct()
+    )
+
+
+def winnow_fingerprints(
+    documents: DataFrame, k: int = 4, w: int = 4
+) -> DataFrame:
+    """Per-document winnowing summary over :func:`winnow_selected`:
+    counts plus an order-canonical md5 digest of the distinct selected
+    fingerprint SET (sorted concat), so a value hash over the output
+    pins the exact selection."""
+    return (
+        winnow_selected(documents, k=k, w=w)
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.count("*").alias("n_selected"),
+            F.countDistinct("sg").alias("n_distinct_fp"),
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_set("sg")))
+            ).alias("fp_digest"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_selected", "n_distinct_fp", "fp_digest"
+        )
+    )

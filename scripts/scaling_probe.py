@@ -286,6 +286,9 @@ PROBE_QUERIES = [
     "q_embed_randproj",
     # round-10 batch 48 (map-only over the 10x twinned documents)
     "q_bpe_encode",
+    # round-10 batch 49: collocation lift + winnowing fingerprints
+    "q_collocations_lift",
+    "q_winnow_fingerprints",
 ]
 
 

@@ -964,3 +964,32 @@ def test_bpe_encode_greedy_overlap_semantics(spark):
 
     with pytest.raises(ValueError):
         bpe_encode(df, merges=[("a.b", "c")]).collect()
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """Winnowing's core guarantee (Schleimer et al. '03): two documents
+    sharing a run of at least w + k - 1 tokens (k=4, w=4 -> 7) must
+    share at least one selected fingerprint, whatever surrounds the
+    run. Also pins the density bound: a doc selects at most one
+    fingerprint per full window and at least one overall."""
+    from kafka_s3_etl_spark.operators.text import winnow_selected
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"red blue {shared} green yellow purple orange pink"),
+            (3, "completely different words with no common run here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    sel = winnow_selected(docs, k=4, w=4)
+    rows = sel.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.sg)
+    assert by_doc[1] & by_doc[2], "shared 7-token run must share a fp"
+    for doc_id, fps in by_doc.items():
+        n_grams = [r.n_grams for r in rows if r.doc_id == doc_id][0]
+        n_windows = n_grams - 4 + 1
+        assert 1 <= len(fps) <= n_windows

@@ -1263,3 +1263,31 @@ def test_pinned_ann_twins_broadcast_constants(spark, sf_dir):
         assert "BroadcastExchange" in plan, name
         assert "BatchEvalPython" not in plan, name
         assert "MapInPandas" not in plan, name
+
+
+def test_collocations_single_pair_rollup(spark, sf_dir):
+    """q_collocations_lift (batch 49): the corpus-sized pair rollup is
+    materialized ONCE (localCheckpoint -> ExistingRDD scans downstream)
+    — the three marginal re-aggregations and the lift join must read
+    the tiny pair table, never re-run the scan+window lineage (the
+    naive plan measured 4 parquet scans / 22 exchanges). Top-20 is a
+    TakeOrdered, never a global sort."""
+    plan = plan_of(spark, sf_dir, "q_collocations_lift")
+    assert plan.count("Scan parquet") == 0  # pc is checkpointed
+    assert "Scan ExistingRDD" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_winnow_single_scan_single_exchange(spark, sf_dir):
+    """q_winnow_fingerprints (batch 49): one parquet scan, one doc_id
+    exchange shared by the gram window, the winnow frame, and the
+    rollups; the gram md5 is projected once BEFORE the frame-min (no
+    per-frame recompute); no joins, no Python."""
+    plan = plan_of(spark, sf_dir, "q_winnow_fingerprints")
+    # tree header + node detail each print the scan once -> count nodes
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
