@@ -204,3 +204,48 @@ def x_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders").write.mode("overwrite").orc(out)
         _ORC_CACHE[sf_dir] = out
     return spark.read.orc(_ORC_CACHE[sf_dir])
+
+
+_JSONL_CACHE: dict[str, str] = {}
+
+# Spark's DEFAULT timestampFormat truncates to milliseconds on write —
+# probed: 9995/10000 events rows failed the round-trip until the format
+# carried the full microseconds.
+_JSONL_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+@register(
+    "x_jsonl_roundtrip",
+    category="etl",
+    cost=1,
+    doc=(
+        "Row-format interop for THE LLM-corpus interchange format: "
+        "events written as JSON Lines by Spark's native JVM json "
+        "writer and read back schema-first — timestamps (micros; the "
+        "default format writes millis and silently truncates, hence "
+        "the pinned timestampFormat), doubles (Jackson emits the "
+        "shortest round-tripping decimal), and embedded-JSON strings "
+        "(props escaping) must all survive the text boundary exactly, "
+        "so the oracle is simply the source table. Completes the "
+        "interop matrix: parquet, CSV, JSON wire, JSONL files (here), "
+        "XML, ORC; Avro stays environment-gated."
+    ),
+    oracle="SELECT * FROM events",
+)
+def x_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.streaming.runner import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    if sf_dir not in _JSONL_CACHE:
+        out = scratch_dir("jsonl_events")
+        (
+            ev.write.mode("overwrite")
+            .option("timestampFormat", _JSONL_TS_FMT)
+            .json(out)
+        )
+        _JSONL_CACHE[sf_dir] = out
+    return (
+        spark.read.schema(ev.schema)
+        .option("timestampFormat", _JSONL_TS_FMT)
+        .json(_JSONL_CACHE[sf_dir])
+    )

@@ -189,3 +189,443 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(
         load_table(spark, sf_dir, "documents"), k=_GRAM_K, w=_WINNOW_W
     )
+
+
+# ---------------------------------------------------- round 10, batch 50
+
+_OVERLAP_MIN_SHARED = 2  # MOSS match threshold: >=2 shared fingerprints
+_CDC_THRESHOLD = "20000000"  # md5-hex boundary: ~1/8 of positions cut
+_CDC_TOPK = 50
+_RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+_RRF_TOPN = 100  # fuse the top-100 of each ranking
+_RRF_OUT = 20
+
+
+@register(
+    "q_winnow_overlap",
+    cost=1,
+    category="dedup",
+    doc=(
+        "The MOSS match report over q_winnow_fingerprints' selections: "
+        "document pairs sharing >= 2 winnow fingerprints with the "
+        "shared count (the plagiarism-detector output). The equi "
+        "self-join keys on the md5 fingerprint (measured on THIS "
+        "corpus before registering, per the round-10 banding rule: "
+        "max fingerprint df 6, 15.9k fanout pairs, 308 survivors at "
+        "sf0.1 — no mega-bucket); shuffle_hash hinted since the "
+        "output needs no sort order. Pair volume is quadratic in "
+        "duplicate multiplicity by DEFINITION of pair output (the "
+        "q_dedup_image_phash caveat class) — fingerprint df stays "
+        "bounded by near-dup group size, never corpus size."
+    ),
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, i AS pos,
+                 md5(list_aggregate(w[i+1 : i+{_GRAM_K}],
+                                    'string_agg', ' ')) AS g
+          FROM toks, UNNEST(range(len(w) - {_GRAM_K} + 1)) AS t(i)
+          WHERE len(w) >= {_GRAM_K}
+        ),
+        win AS (
+          SELECT doc_id, pos,
+                 min({{'g': g, 'pos': pos}}) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW
+                        AND {_WINNOW_W - 1} FOLLOWING) AS sel,
+                 COUNT(*) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW
+                        AND {_WINNOW_W - 1} FOLLOWING) AS cnt
+          FROM grams
+        ),
+        fp AS (
+          SELECT DISTINCT doc_id, struct_extract(sel, 'g') AS sg
+          FROM win WHERE cnt = {_WINNOW_W}
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+        FROM fp a JOIN fp b ON b.sg = a.sg AND b.doc_id > a.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= {_OVERLAP_MIN_SHARED}
+    """,
+)
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.text import winnow_selected
+
+    fp = (
+        winnow_selected(
+            load_table(spark, sf_dir, "documents"),
+            k=_GRAM_K,
+            w=_WINNOW_W,
+        )
+        .select("doc_id", "sg")
+        .distinct()
+    )
+    # Both join sides are the IDENTICAL subplan shuffled on sg, so the
+    # executed plan reuses one exchange (the minhash_near_dups
+    # discipline) — the winnow selection runs once, not twice.
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("b.sg") == F.col("a.sg"))
+            & (F.col("b.doc_id") > F.col("a.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= _OVERLAP_MIN_SHARED)
+    )
+
+
+# Shared CDC chunk derivation (oracle side), reused by q_chunk_cdc and
+# q_cdc_dedup_ratio — one source of truth for the boundary rule.
+_CDC_CTES = f"""
+        toks AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        tp AS (
+          SELECT doc_id, i AS pos, w[i+1] AS tok, len(w) AS n
+          FROM toks, UNNEST(range(len(w))) AS t(i)
+        ),
+        fl AS (
+          SELECT doc_id, pos, tok,
+                 CASE WHEN pos >= {_GRAM_K - 1} AND
+                      md5(list_aggregate(w[pos - {_GRAM_K - 2} : pos + 1],
+                                         'string_agg', ' '))
+                        < '{_CDC_THRESHOLD}'
+                      THEN 1 ELSE 0 END AS cut
+          FROM tp JOIN toks USING (doc_id)
+        ),
+        ch AS (
+          SELECT doc_id, pos, tok,
+                 SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS chunk_id
+          FROM fl
+        ),
+        chunks AS (
+          SELECT doc_id,
+                 md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_g,
+                 CAST(COUNT(*) AS BIGINT) AS tok_len
+          FROM ch GROUP BY doc_id, COALESCE(chunk_id, 0)
+        )
+"""
+
+
+def _cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of the shared CDC derivation: (doc_id, chunk_id,
+    chunk_g, tok_len) per content-defined chunk. Single corpus scan,
+    one doc_id exchange for the boundary-flag and prefix-sum windows,
+    one map-side-combined chunk rebuild."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    lags = [F.lag("tok", j).over(wd).alias(f"l{j}")
+            for j in range(1, _GRAM_K)]
+    ctx = toks.select("doc_id", "pos", "tok", *lags).select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.when(
+            F.col(f"l{_GRAM_K - 1}").isNotNull()
+            & (
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        *[f"l{j}" for j in range(_GRAM_K - 1, 0, -1)],
+                        "tok",
+                    )
+                )
+                < _CDC_THRESHOLD
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("cut"),
+    )
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ch = ctx.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.coalesce(F.sum("cut").over(wprev), F.lit(0)).alias("chunk_id"),
+    )
+    return ch.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.expr(
+                "concat_ws(' ', transform(array_sort(collect_list("
+                "struct(pos, tok))), s -> s.tok))"
+            )
+        ).alias("chunk_g"),
+        F.count("*").alias("tok_len"),
+    )
+
+
+@register(
+    "q_chunk_cdc",
+    cost=1,
+    category="text",
+    doc=(
+        "Content-defined chunking (the rolling-hash boundary rule of "
+        "storage/dataset dedup systems like LBFS/restic, at token "
+        "granularity): a chunk boundary falls AFTER any position whose "
+        "4-token context md5 sorts below a fixed hex threshold (~1/8 "
+        "of positions -> ~8-token expected chunks), so an insertion "
+        "re-chunks only its neighborhood — unlike fixed windows, "
+        "chunk identity survives shifts (the property that makes CDC "
+        "dedup work). Chunks rebuild order-exactly per (doc, chunk "
+        "id = prefix sum of boundary flags), then roll up by chunk "
+        "md5: the top-50 most duplicated chunks with occurrence/doc "
+        "counts via TakeOrdered. Single corpus scan, one doc_id "
+        "exchange for the windows, one map-side-combined chunk rollup."
+    ),
+    oracle=f"""
+        WITH {_CDC_CTES}
+        SELECT chunk_g, tok_len,
+               CAST(COUNT(*) AS BIGINT) AS n_occ,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM chunks
+        GROUP BY chunk_g, tok_len
+        HAVING COUNT(*) > 1
+        ORDER BY n_occ DESC, chunk_g LIMIT {_CDC_TOPK}
+    """,
+)
+def q_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _cdc_chunks(spark, sf_dir)
+        .groupBy("chunk_g", "tok_len")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occ") > 1)
+        .orderBy(F.desc("n_occ"), "chunk_g")
+        .limit(_CDC_TOPK)
+    )
+
+
+def _rrf_oracle() -> str:
+    from kafka_s3_etl_spark.operators.text import BPE_MERGES  # noqa: F401
+    from kafka_s3_etl_spark.plans.llm import BM25_QUERY_TERMS
+
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+          FROM documents
+        ),
+        dl AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS doc_len
+          FROM documents
+        ),
+        consts AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 SUM(doc_len) / COUNT(*) AS avgdl
+          FROM dl
+        ),
+        tf AS (
+          SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM toks WHERE token IN ({terms})
+          GROUP BY doc_id, token
+        ),
+        dfq AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+        ),
+        bm25 AS (
+          SELECT tf.doc_id,
+                 ROUND(SUM(
+                   ln(CAST(1.0 AS DOUBLE)
+                      + (consts.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * ((tf.tf * CAST(2.2 AS DOUBLE))
+                      / (tf.tf + CAST(1.2 AS DOUBLE)
+                         * (CAST(0.25 AS DOUBLE)
+                            + (CAST(0.75 AS DOUBLE) * dl.doc_len)
+                              / consts.avgdl)))
+                 ), 4) AS bm25
+          FROM tf
+          JOIN dfq USING (token)
+          JOIN dl USING (doc_id)
+          CROSS JOIN consts
+          GROUP BY tf.doc_id
+        ),
+        vocab AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+        tot AS (SELECT SUM(c) AS t FROM vocab),
+        lpq AS (
+          SELECT token,
+                 CAST(ROUND(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+                            * 1000000) AS BIGINT) AS lpq
+          FROM vocab, tot
+        ),
+        dt AS (
+          SELECT doc_id, token, COUNT(*) AS ndt
+          FROM toks GROUP BY doc_id, token
+        ),
+        lm AS (
+          SELECT doc_id,
+                 CAST(SUM(ndt * lpq) AS DOUBLE) / 1e6
+                     / CAST(CAST(SUM(ndt) AS BIGINT) AS DOUBLE)
+                   AS avg_logprob
+          FROM dt JOIN lpq USING (token) GROUP BY doc_id
+        ),
+        ra AS (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                      AS INTEGER) AS rank_bm25
+          FROM (SELECT * FROM bm25 ORDER BY bm25 DESC, doc_id
+                LIMIT {_RRF_TOPN})
+        ),
+        rb AS (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY avg_logprob DESC, doc_id)
+                      AS INTEGER) AS rank_lm
+          FROM (SELECT * FROM lm ORDER BY avg_logprob DESC, doc_id
+                LIMIT {_RRF_TOPN})
+        )
+        SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+               rank_bm25, rank_lm,
+               COALESCE(CAST(1.0 AS DOUBLE)
+                          / CAST({_RRF_K} + rank_bm25 AS DOUBLE),
+                        CAST(0.0 AS DOUBLE))
+               + COALESCE(CAST(1.0 AS DOUBLE)
+                            / CAST({_RRF_K} + rank_lm AS DOUBLE),
+                          CAST(0.0 AS DOUBLE)) AS rrf
+        FROM ra FULL JOIN rb ON rb.doc_id = ra.doc_id
+        ORDER BY rrf DESC, doc_id LIMIT {_RRF_OUT}
+    """
+
+
+@register(
+    "q_rrf_fusion",
+    cost=1,
+    category="text",
+    doc=(
+        "Reciprocal-rank fusion (Cormack et al. '09 — the standard "
+        "score-free way to combine retrieval rankings): the BM25 "
+        "ranking (q_bm25's scorer, operators/text.py::bm25_scores) "
+        "fused with the unigram-LM quality ranking (q_lm_score's "
+        "scorer) as sum(1/(60+rank)). Both scorers are already "
+        "hash-exact across engines, so rank equality follows from "
+        "value equality; ranks come from the top-100 of each list "
+        "(TakeOrdered — the global row_number runs on the 100-row "
+        "result, a bounded constant at any corpus scale, never on the "
+        "corpus). The scorers keep their own registered plan shapes "
+        "(q_bm25 / q_lm_score); the fusion itself adds only a 100-row "
+        "full outer join and a top-20 TakeOrdered. All float terms "
+        "evaluate with pinned association (and CAST .. AS DOUBLE "
+        "everywhere a bare literal would type DECIMAL)."
+    ),
+    oracle=_rrf_oracle(),
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.text import (
+        bm25_scores,
+        lm_quality_score,
+    )
+    from kafka_s3_etl_spark.plans.llm import BM25_QUERY_TERMS
+
+    docs = load_table(spark, sf_dir, "documents")
+    wa = Window.orderBy(F.desc("bm25"), "doc_id")
+    ra = (
+        bm25_scores(docs, BM25_QUERY_TERMS)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_RRF_TOPN)
+        .select(
+            "doc_id", F.row_number().over(wa).cast("int").alias("rank_bm25")
+        )
+    )
+    wb = Window.orderBy(F.desc("avg_logprob"), "doc_id")
+    rb = (
+        lm_quality_score(docs)
+        .orderBy(F.desc("avg_logprob"), "doc_id")
+        .limit(_RRF_TOPN)
+        .select(
+            "doc_id", F.row_number().over(wb).cast("int").alias("rank_lm")
+        )
+    )
+    rrf = F.coalesce(
+        F.expr(f"CAST(1.0 AS DOUBLE) / CAST({_RRF_K} + rank_bm25 AS DOUBLE)"),
+        F.expr("CAST(0.0 AS DOUBLE)"),
+    ) + F.coalesce(
+        F.expr(f"CAST(1.0 AS DOUBLE) / CAST({_RRF_K} + rank_lm AS DOUBLE)"),
+        F.expr("CAST(0.0 AS DOUBLE)"),
+    )
+    return (
+        ra.join(rb, "doc_id", "full")
+        .select("doc_id", "rank_bm25", "rank_lm", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(_RRF_OUT)
+    )
+
+
+# ---------------------------------------------------- round 10, batch 51
+
+
+@register(
+    "q_cdc_dedup_ratio",
+    cost=1,
+    category="text",
+    doc=(
+        "The storage-dedup report over the shared CDC derivation "
+        "(_cdc_chunks / _CDC_CTES — one source of truth with "
+        "q_chunk_cdc): chunk and unique-chunk counts, total vs unique "
+        "token volume, and the dedup ratio a CDC store would achieve "
+        "on this corpus. One pass over the chunk table: the per-chunk "
+        "rollup carries (n_occ, tok_len), the global aggregate "
+        "derives everything — unique token volume is sum(tok_len) of "
+        "one representative per chunk identity, never a second corpus "
+        "scan. The ratio divides two exact BIGINTs once (pinned "
+        "association, hashable DOUBLE)."
+    ),
+    oracle=f"""
+        WITH {_CDC_CTES},
+        per AS (
+          SELECT chunk_g,
+                 CAST(COUNT(*) AS BIGINT) AS n_occ,
+                 CAST(MAX(tok_len) AS BIGINT) AS tok_len
+          FROM chunks GROUP BY chunk_g
+        )
+        SELECT CAST(SUM(n_occ) AS BIGINT) AS n_chunks,
+               CAST(COUNT(*) AS BIGINT) AS n_unique_chunks,
+               CAST(SUM(n_occ * tok_len) AS BIGINT) AS total_tokens,
+               CAST(SUM(tok_len) AS BIGINT) AS unique_tokens,
+               CAST(CAST(SUM(n_occ * tok_len) AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(SUM(tok_len) AS BIGINT) AS DOUBLE)
+                 AS dedup_ratio
+        FROM per
+    """,
+)
+def q_cdc_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        _cdc_chunks(spark, sf_dir)
+        .groupBy("chunk_g")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.max("tok_len").alias("tok_len"),
+        )
+    )
+    return per.agg(
+        F.sum("n_occ").cast("bigint").alias("n_chunks"),
+        F.count("*").alias("n_unique_chunks"),
+        F.sum(F.col("n_occ") * F.col("tok_len"))
+        .cast("bigint")
+        .alias("total_tokens"),
+        F.sum("tok_len").cast("bigint").alias("unique_tokens"),
+    ).select(
+        "*",
+        F.expr(
+            "CAST(total_tokens AS DOUBLE) / CAST(unique_tokens AS DOUBLE)"
+        ).alias("dedup_ratio"),
+    )

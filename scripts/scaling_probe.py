@@ -289,6 +289,13 @@ PROBE_QUERIES = [
     # round-10 batch 49: collocation lift + winnowing fingerprints
     "q_collocations_lift",
     "q_winnow_fingerprints",
+    # round-10 batch 50: MOSS overlap, CDC chunking, rank fusion
+    "q_winnow_overlap",
+    "q_chunk_cdc",
+    "q_rrf_fusion",
+    # round-10 batch 51: CDC storage report + JSONL interop
+    "q_cdc_dedup_ratio",
+    "x_jsonl_roundtrip",
 ]
 
 

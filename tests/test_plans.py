@@ -1291,3 +1291,42 @@ def test_winnow_single_scan_single_exchange(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_winnow_overlap_reuses_selfjoin_exchange(spark, sf_dir):
+    """q_winnow_overlap (batch 50): both self-join sides are the
+    identical winnow-selection subplan shuffled on the fingerprint, so
+    the EXECUTED plan reuses one exchange (the minhash_near_dups
+    discipline) and hash-joins (shuffle_hash hint — output needs no
+    sort order)."""
+    df = _CAT["q_winnow_overlap"].fn(spark, sf_dir)
+    df.collect()  # AQE decides reuse at runtime: execute, then read
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "ReusedExchange" in plan
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_chunk_cdc_single_scan_takeordered(spark, sf_dir):
+    """q_chunk_cdc (batch 50): one parquet scan, the boundary-flag and
+    prefix-sum windows plus the chunk rebuild all ride the doc_id
+    exchange, and the top-50 duplicated chunks come from a TakeOrdered
+    — never a global sort of the chunk table."""
+    plan = plan_of(spark, sf_dir, "q_chunk_cdc")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_rrf_fusion_bounded_rank_windows(spark, sf_dir):
+    """q_rrf_fusion (batch 50): both rankings reach the fusion through
+    TakeOrdered top-100 extractions (the unpartitioned row_number
+    windows run AFTER a limit, on a bounded constant never the
+    corpus); no Python, no cartesian."""
+    plan = plan_of(spark, sf_dir, "q_rrf_fusion")
+    assert plan.count("TakeOrderedAndProject") >= 3  # 2 top-100 + top-20
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
