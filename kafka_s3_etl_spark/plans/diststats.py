@@ -335,3 +335,132 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (CAST(n_open AS DOUBLE) * CAST(n_filled AS DOUBLE))"
         ).alias("ks_stat"),
     )
+
+
+# ---------------------------------------------------- round 10, batch 52
+
+_PSI_SPLIT = "2024-07-01 00:00:00"  # H1 2024 = baseline, H2 = current
+
+
+@register(
+    "q_drift_psi",
+    category="statistics",
+    cost=1,
+    doc=(
+        "Population Stability Index per event_type between the H1 and "
+        "H2 2024 event-value distributions — the drift monitor a "
+        "production feature pipeline runs between snapshots. Unit-wide "
+        "integer value bins, Laplace-smoothed so single-sided bins "
+        "stay finite; the per-bin probability DIFFERENCE is the exact "
+        "integer (ca+1)*Db - (cb+1)*Da over the common denominator "
+        "Da*Db, and the log-ratio is quantized to integer micro-nats "
+        "ONCE per bin (the q_lm_score discipline — the only float "
+        "hazard is a quantization boundary within ~1 ulp of a "
+        "cross-engine ln difference), so PSI accumulates in exact "
+        "BIGINT products and divides once at the end. Two "
+        "aggregations with map-side combine, no window over the "
+        "corpus, no Python."
+    ),
+    oracle=f"""
+        WITH b AS (
+          SELECT event_type AS t,
+                 CAST(FLOOR(value) AS BIGINT) AS bin,
+                 CAST(SUM(CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                 CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_PSI_SPLIT}'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          FROM events GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT t,
+                 CAST(SUM(ca) AS BIGINT) AS na,
+                 CAST(SUM(cb) AS BIGINT) AS nb,
+                 CAST(COUNT(*) AS BIGINT) AS nbins
+          FROM b GROUP BY t
+        ),
+        terms AS (
+          SELECT b.t,
+                 (b.ca + 1) * (tot.nb + tot.nbins)
+                   - (b.cb + 1) * (tot.na + tot.nbins) AS dnum,
+                 CAST(ROUND(ln(
+                     (CAST(b.ca + 1 AS DOUBLE)
+                        * CAST(tot.nb + tot.nbins AS DOUBLE))
+                     / (CAST(b.cb + 1 AS DOUBLE)
+                          * CAST(tot.na + tot.nbins AS DOUBLE))
+                   ) * 1000000) AS BIGINT) AS lq
+          FROM b JOIN tot USING (t)
+        )
+        SELECT terms.t AS event_type,
+               CAST(MAX(tot.na) AS BIGINT) AS n_baseline,
+               CAST(MAX(tot.nb) AS BIGINT) AS n_current,
+               CAST(MAX(tot.nbins) AS BIGINT) AS n_bins,
+               CAST(SUM(terms.dnum * terms.lq) AS BIGINT) AS psi_num,
+               CAST(CAST(SUM(terms.dnum * terms.lq) AS BIGINT) AS DOUBLE)
+                 / 1e6
+                 / CAST(MAX(tot.na + tot.nbins) AS DOUBLE)
+                 / CAST(MAX(tot.nb + tot.nbins) AS DOUBLE) AS psi
+        FROM terms JOIN tot ON tot.t = terms.t
+        GROUP BY terms.t
+    """,
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # The bin rollup feeds BOTH the totals re-agg and the term join:
+    # materialize it once (types x unit-bins rows — tiny) so the
+    # totals branch never re-scans the corpus (the q_collocations_lift
+    # lesson).
+    b = events.groupBy(
+        F.col("event_type").alias("t"),
+        F.expr("CAST(FLOOR(value) AS BIGINT)").alias("bin"),
+    ).agg(
+        F.sum(
+            F.expr(f"CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' "
+                   "THEN 1 ELSE 0 END")
+        ).cast("bigint").alias("ca"),
+        F.sum(
+            F.expr(f"CASE WHEN ts >= TIMESTAMP '{_PSI_SPLIT}' "
+                   "THEN 1 ELSE 0 END")
+        ).cast("bigint").alias("cb"),
+    ).localCheckpoint()
+    tot = b.groupBy("t").agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.count("*").alias("nbins"),
+    )
+    terms = b.join(F.broadcast(tot), "t").select(
+        "t",
+        F.expr(
+            "(ca + 1) * (nb + nbins) - (cb + 1) * (na + nbins)"
+        ).alias("dnum"),
+        F.expr(
+            "CAST(ROUND(ln((CAST(ca + 1 AS DOUBLE)"
+            " * CAST(nb + nbins AS DOUBLE))"
+            " / (CAST(cb + 1 AS DOUBLE)"
+            " * CAST(na + nbins AS DOUBLE))) * 1000000) AS BIGINT)"
+        ).alias("lq"),
+        "na",
+        "nb",
+        "nbins",
+    )
+    return (
+        terms.groupBy(F.col("t").alias("event_type"))
+        .agg(
+            F.max("na").cast("bigint").alias("n_baseline"),
+            F.max("nb").cast("bigint").alias("n_current"),
+            F.max("nbins").cast("bigint").alias("n_bins"),
+            F.sum(F.expr("dnum * lq")).cast("bigint").alias("psi_num"),
+            F.max(F.expr("na + nbins")).alias("_da"),
+            F.max(F.expr("nb + nbins")).alias("_db"),
+        )
+        .select(
+            "event_type",
+            "n_baseline",
+            "n_current",
+            "n_bins",
+            "psi_num",
+            F.expr(
+                "CAST(psi_num AS DOUBLE) / 1e6"
+                " / CAST(_da AS DOUBLE) / CAST(_db AS DOUBLE)"
+            ).alias("psi"),
+        )
+    )

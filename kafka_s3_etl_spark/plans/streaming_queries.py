@@ -603,3 +603,55 @@ def s_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("window.start").alias("ws"), "src", "n")
     )
     return run_available_now(agg, output_mode="complete")
+
+
+# ---------------------------------------------------- round 10, batch 52
+
+_JSONL_STREAM_SRC: dict[str, str] = {}
+
+
+@register(
+    "s_jsonl_autoload",
+    category="streaming",
+    cost=3,
+    doc=(
+        "Incremental ingestion of a JSON Lines drop directory through "
+        "Spark's NATIVE json file-stream source (readStream.json — the "
+        "format cell between the parquet file stream the other s_* "
+        "entries ride and the boto3-backed S3 autoloader): events "
+        "staged as JSONL with the microsecond timestampFormat pin from "
+        "x_jsonl_roundtrip, streamed availableNow through a projection "
+        "+ filter, memory sink. The oracle is the same relational "
+        "predicate over the source table — the stream boundary must "
+        "be value-invisible."
+    ),
+    oracle="""
+        SELECT event_id, ts, user_id, event_type, value
+        FROM events WHERE event_type <> 'view'
+    """,
+)
+def s_jsonl_autoload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.plans.etl import _JSONL_TS_FMT
+    from kafka_s3_etl_spark.sources.tables import load_table
+    from kafka_s3_etl_spark.streaming.runner import (
+        run_available_now,
+        scratch_dir,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    if sf_dir not in _JSONL_STREAM_SRC:
+        out = scratch_dir("jsonl_stream_events")
+        (
+            events.write.mode("overwrite")
+            .option("timestampFormat", _JSONL_TS_FMT)
+            .json(out)
+        )
+        _JSONL_STREAM_SRC[sf_dir] = out
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("timestampFormat", _JSONL_TS_FMT)
+        .json(_JSONL_STREAM_SRC[sf_dir])
+        .filter(F.col("event_type") != "view")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    return run_available_now(stream)

@@ -629,3 +629,152 @@ def q_cdc_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(total_tokens AS DOUBLE) / CAST(unique_tokens AS DOUBLE)"
         ).alias("dedup_ratio"),
     )
+
+
+# ---------------------------------------------------- round 10, batch 53
+
+_ZIPF_Q = 1000  # millinat quantization of ln(rank)/ln(freq)
+
+
+@register(
+    "q_zipf_slope",
+    cost=1,
+    category="text",
+    doc=(
+        "Zipf's-law slope of the token frequency distribution — the "
+        "one-number corpus health check (natural text sits near -1; "
+        "template/boilerplate corpora flatten). Least squares over "
+        "(ln rank, ln freq), both quantized to integer millinats ONCE "
+        "per vocab word (the q_lm_score discipline); the regression "
+        "sums accumulate in exact BIGINT and the slope divides the "
+        "CAST-to-DOUBLE sums with pinned association. Ranks come from "
+        "operators/ranks.py::bucketed_global_row_number — never a "
+        "single-task sort over the vocabulary (millions of rows on a "
+        "real corpus). One corpus explode, one vocab rollup, one "
+        "bucket-rank pass, one global aggregate."
+    ),
+    oracle=f"""
+        WITH toks AS (
+          SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+        ),
+        vocab AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+          FROM toks GROUP BY token
+        ),
+        ranked AS (
+          SELECT token, c,
+                 CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token)
+                      AS BIGINT) AS rn
+          FROM vocab
+        ),
+        q AS (
+          SELECT CAST(ROUND(ln(CAST(rn AS DOUBLE)) * {_ZIPF_Q})
+                      AS BIGINT) AS x,
+                 CAST(ROUND(ln(CAST(c AS DOUBLE)) * {_ZIPF_Q})
+                      AS BIGINT) AS y
+          FROM ranked
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               (CAST(COUNT(*) AS DOUBLE) * CAST(CAST(SUM(x * y) AS BIGINT)
+                                                AS DOUBLE)
+                  - CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE)
+                      * CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE))
+               / (CAST(COUNT(*) AS DOUBLE) * CAST(CAST(SUM(x * x) AS BIGINT)
+                                                  AS DOUBLE)
+                    - CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE)
+                        * CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE))
+                 AS zipf_slope
+        FROM q
+    """,
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.ranks import bucketed_global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    ranked = bucketed_global_row_number(vocab, "c", "token", shift=0)
+    q = ranked.select(
+        F.expr(f"CAST(ROUND(ln(CAST(rn AS DOUBLE)) * {_ZIPF_Q}) AS BIGINT)")
+        .alias("x"),
+        F.expr(f"CAST(ROUND(ln(CAST(c AS DOUBLE)) * {_ZIPF_Q}) AS BIGINT)")
+        .alias("y"),
+    )
+    agg = q.agg(
+        F.count("*").alias("n_vocab"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+    )
+    return agg.select(
+        "n_vocab",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        F.expr(
+            "(CAST(n_vocab AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / (CAST(n_vocab AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        ).alias("zipf_slope"),
+    )
+
+
+@register(
+    "q_embedding_norm_hist",
+    cost=1,
+    category="similarity",
+    doc=(
+        "Embedding-norm QA histogram: per-vector squared L2 norm as "
+        "the exact left-fold self-dot (Spark aggregate(zip_with) == "
+        "DuckDB list_dot_product, the bit-exact primitive), bucketed "
+        "at 0.1 granularity with per-bucket count and min/max — the "
+        "sanity check a pipeline runs before cosine ANN (zero or "
+        "wildly-scaled norms poison similarity search). Map-only "
+        "fold + one map-side-combined rollup; FLOOR on bit-exact "
+        "doubles lands every vector in the same bucket on both "
+        "engines, and the min/max extremes are hashable because the "
+        "fold itself is."
+    ),
+    oracle="""
+        WITH n AS (
+          SELECT vec_id,
+                 list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])) AS norm2
+          FROM embeddings
+        )
+        SELECT CAST(FLOOR(norm2 * 10) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               MIN(norm2) AS min_norm2,
+               MAX(norm2) AS max_norm2
+        FROM n GROUP BY 1
+    """,
+)
+def q_embedding_norm_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "embedding",
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    n = emb.select(norm2.alias("norm2"))
+    return n.groupBy(
+        F.expr("CAST(FLOOR(norm2 * 10) AS BIGINT)").alias("bucket")
+    ).agg(
+        F.count("*").alias("n_vecs"),
+        F.min("norm2").alias("min_norm2"),
+        F.max("norm2").alias("max_norm2"),
+    )

@@ -296,6 +296,12 @@ PROBE_QUERIES = [
     # round-10 batch 51: CDC storage report + JSONL interop
     "q_cdc_dedup_ratio",
     "x_jsonl_roundtrip",
+    # round-10 batch 52: PSI drift + native JSONL file stream
+    "q_drift_psi",
+    "s_jsonl_autoload",
+    # round-10 batch 53: Zipf slope + embedding-norm QA
+    "q_zipf_slope",
+    "q_embedding_norm_hist",
 ]
 
 

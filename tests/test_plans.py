@@ -1330,3 +1330,15 @@ def test_rrf_fusion_bounded_rank_windows(spark, sf_dir):
     assert plan.count("TakeOrderedAndProject") >= 3  # 2 top-100 + top-20
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_drift_psi_two_rollups_broadcast_totals(spark, sf_dir):
+    """q_drift_psi (batch 52): the bin rollup and the per-type totals
+    are both map-side-combined HashAggregates, totals ride a broadcast
+    join back onto the bin table, and nothing windows over the corpus
+    (the PSI accumulation is a plain aggregation)."""
+    plan = plan_of(spark, sf_dir, "q_drift_psi")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
