@@ -528,3 +528,70 @@ def winnow_fingerprints(
             "doc_id", "n_grams", "n_selected", "n_distinct_fp", "fp_digest"
         )
     )
+
+
+# ------------------------------------- content-defined chunking (batch 50)
+
+
+def cdc_chunks(
+    documents: DataFrame, k: int = 4, threshold: str = "20000000"
+) -> DataFrame:
+    """Content-defined chunking at token granularity (the LBFS/restic
+    rolling-hash boundary rule): a chunk boundary falls AFTER any
+    position whose k-token context md5 sorts below ``threshold`` (a
+    fixed-width hex prefix; '20000000' cuts ~1/8 of positions). Because
+    the boundary test looks only at a local context window, an
+    insertion re-chunks just its neighborhood — chunk identity
+    survives shifts, the property that makes CDC dedup work (property-
+    tested in tests/test_llm_ops.py).
+
+    Returns (doc_id, chunk_id, chunk_g = md5 of the chunk text,
+    tok_len). Single corpus scan, one doc_id exchange for the
+    boundary-flag and prefix-sum windows, one map-side-combined chunk
+    rebuild."""
+    from pyspark.sql.window import Window
+
+    toks = documents.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    lags = [F.lag("tok", j).over(wd).alias(f"l{j}") for j in range(1, k)]
+    ctx = toks.select("doc_id", "pos", "tok", *lags).select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.when(
+            F.col(f"l{k - 1}").isNotNull()
+            & (
+                F.md5(
+                    F.concat_ws(
+                        " ", *[f"l{j}" for j in range(k - 1, 0, -1)], "tok"
+                    )
+                )
+                < threshold
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("cut"),
+    )
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ch = ctx.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.coalesce(F.sum("cut").over(wprev), F.lit(0)).alias("chunk_id"),
+    )
+    return ch.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.expr(
+                "concat_ws(' ', transform(array_sort(collect_list("
+                "struct(pos, tok))), s -> s.tok))"
+            )
+        ).alias("chunk_g"),
+        F.count("*").alias("tok_len"),
+    )

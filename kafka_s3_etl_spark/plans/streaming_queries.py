@@ -655,3 +655,56 @@ def s_jsonl_autoload(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "ts", "user_id", "event_type", "value")
     )
     return run_available_now(stream)
+
+
+@register(
+    "s_jsonl_stream_sink",
+    category="streaming",
+    cost=3,
+    doc=(
+        "The WRITE direction of the JSONL matrix (batch read/write = "
+        "x_jsonl_roundtrip, stream read = s_jsonl_autoload, stream "
+        "write = here): a filtered event stream lands in a JSON Lines "
+        "sink via writeStream.format('json') with the microsecond "
+        "timestampFormat pin, then reads back schema-first — the "
+        "text-format boundary plus the streaming commit protocol "
+        "(availableNow, checkpointed) must both be value-invisible, "
+        "so the oracle is the same relational predicate over the "
+        "source table."
+    ),
+    oracle="""
+        SELECT event_id, ts, user_id, event_type, value
+        FROM events WHERE value >= 50
+    """,
+)
+def s_jsonl_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.plans.etl import _JSONL_TS_FMT
+    from kafka_s3_etl_spark.streaming.runner import (
+        _await_or_fail,
+        _pinned_stream_partitions,
+        scratch_dir,
+        stream_table,
+    )
+
+    stream = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("value") >= 50)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    out = scratch_dir("jsonl_sink_events")
+    with _pinned_stream_partitions(stream):
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("json")
+            .option("path", out)
+            .option("timestampFormat", _JSONL_TS_FMT)
+            .option("checkpointLocation", scratch_dir("ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+    _await_or_fail(q, 120)
+    return (
+        spark.read.schema(stream.schema)
+        .option("timestampFormat", _JSONL_TS_FMT)
+        .json(out)
+    )

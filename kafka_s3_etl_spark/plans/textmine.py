@@ -319,57 +319,15 @@ _CDC_CTES = f"""
 
 
 def _cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark side of the shared CDC derivation: (doc_id, chunk_id,
-    chunk_g, tok_len) per content-defined chunk. Single corpus scan,
-    one doc_id exchange for the boundary-flag and prefix-sum windows,
-    one map-side-combined chunk rebuild."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    )
-    wd = Window.partitionBy("doc_id").orderBy("pos")
-    lags = [F.lag("tok", j).over(wd).alias(f"l{j}")
-            for j in range(1, _GRAM_K)]
-    ctx = toks.select("doc_id", "pos", "tok", *lags).select(
-        "doc_id",
-        "pos",
-        "tok",
-        F.when(
-            F.col(f"l{_GRAM_K - 1}").isNotNull()
-            & (
-                F.md5(
-                    F.concat_ws(
-                        " ",
-                        *[f"l{j}" for j in range(_GRAM_K - 1, 0, -1)],
-                        "tok",
-                    )
-                )
-                < _CDC_THRESHOLD
-            ),
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .alias("cut"),
-    )
-    wprev = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ch = ctx.select(
-        "doc_id",
-        "pos",
-        "tok",
-        F.coalesce(F.sum("cut").over(wprev), F.lit(0)).alias("chunk_id"),
-    )
-    return ch.groupBy("doc_id", "chunk_id").agg(
-        F.md5(
-            F.expr(
-                "concat_ws(' ', transform(array_sort(collect_list("
-                "struct(pos, tok))), s -> s.tok))"
-            )
-        ).alias("chunk_g"),
-        F.count("*").alias("tok_len"),
+    """Shared CDC derivation over the corpus table — delegates to
+    :func:`operators.text.cdc_chunks` (which carries the property
+    tests: boundary locality under insertion)."""
+    from kafka_s3_etl_spark.operators.text import cdc_chunks
+
+    return cdc_chunks(
+        load_table(spark, sf_dir, "documents"),
+        k=_GRAM_K,
+        threshold=_CDC_THRESHOLD,
     )
 
 
@@ -777,4 +735,127 @@ def q_embedding_norm_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vecs"),
         F.min("norm2").alias("min_norm2"),
         F.max("norm2").alias("max_norm2"),
+    )
+
+
+# ---------------------------------------------------- round 10, batch 54
+
+_LM2_LAMBDA_NUM = 3  # interpolation 3/4 bigram, 1/4 unigram
+_LM2_Q = 1000000  # micro-nat quantization (the q_lm_score discipline)
+
+
+@register(
+    "q_bigram_lm_score",
+    cost=1,
+    category="text",
+    doc=(
+        "Interpolated bigram-LM quality score — the stronger "
+        "perplexity filter over q_lm_score's unigram model: p(y|x) = "
+        "0.75*c_xy/c_x + 0.25*c_y/T from exact integer counts, ln "
+        "computed ONCE per distinct bigram and quantized to integer "
+        "micro-nats (both ratio terms evaluate with pinned division "
+        "association before the one ln call), per-document totals "
+        "accumulate count x quantized-logprob in exact BIGINT and "
+        "divide once. Scale shape: bigram/unigram rollups with "
+        "map-side combine, the probability join keys on the "
+        "vocab^2-bounded bigram table, one doc-keyed aggregation — "
+        "no window over the corpus, no Python."
+    ),
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        bg AS (
+          SELECT doc_id, w[i+1] AS x, w[i+2] AS y
+          FROM toks, UNNEST(range(len(w) - 1)) AS t(i)
+          WHERE len(w) >= 2
+        ),
+        c2 AS (
+          SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cxy
+          FROM bg GROUP BY x, y
+        ),
+        c1 AS (
+          SELECT x, CAST(SUM(cxy) AS BIGINT) AS cx FROM c2 GROUP BY x
+        ),
+        cu AS (
+          SELECT y, CAST(SUM(cxy) AS BIGINT) AS cy FROM c2 GROUP BY y
+        ),
+        tot AS (SELECT CAST(SUM(cxy) AS BIGINT) AS t FROM c2),
+        lp AS (
+          SELECT x, y,
+                 CAST(ROUND(ln(
+                   CAST({_LM2_LAMBDA_NUM} AS DOUBLE) / CAST(4 AS DOUBLE)
+                     * (CAST(cxy AS DOUBLE) / CAST(cx AS DOUBLE))
+                   + CAST(1.0 AS DOUBLE) / CAST(4 AS DOUBLE)
+                     * (CAST(cy AS DOUBLE) / CAST(t AS DOUBLE))
+                 ) * {_LM2_Q}) AS BIGINT) AS lpq
+          FROM c2 JOIN c1 USING (x) JOIN cu USING (y) CROSS JOIN tot
+        ),
+        db AS (
+          SELECT doc_id, x, y, CAST(COUNT(*) AS BIGINT) AS ndt
+          FROM bg GROUP BY doc_id, x, y
+        )
+        SELECT doc_id,
+               CAST(SUM(ndt) AS BIGINT) AS n_bigrams,
+               CAST(SUM(ndt * lpq) AS DOUBLE) / 1e6
+                   / CAST(CAST(SUM(ndt) AS BIGINT) AS DOUBLE)
+                 AS avg_logprob2
+        FROM db JOIN lp USING (x, y) GROUP BY doc_id
+    """,
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    bg = toks.select(
+        "doc_id",
+        F.col("tok").alias("x"),
+        F.lead("tok").over(wd).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    # One corpus pass: the per-doc bigram rollup is the finest grain;
+    # every model table (global bigram, left/right marginals, total)
+    # re-aggregates IT (localCheckpointed — vocab^2-bounded), so the
+    # corpus is scanned exactly once.
+    db = (
+        bg.groupBy("doc_id", "x", "y")
+        .agg(F.count("*").cast("bigint").alias("ndt"))
+        .localCheckpoint()
+    )
+    c2 = db.groupBy("x", "y").agg(F.sum("ndt").cast("bigint").alias("cxy"))
+    c1 = c2.groupBy("x").agg(F.sum("cxy").cast("bigint").alias("cx"))
+    cu = c2.groupBy("y").agg(F.sum("cxy").cast("bigint").alias("cy"))
+    tot = c2.agg(F.sum("cxy").cast("bigint").alias("t"))
+    lp = (
+        c2.join(F.broadcast(c1), "x")
+        .join(F.broadcast(cu), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "y",
+            F.expr(
+                f"CAST(ROUND(ln("
+                f"CAST({_LM2_LAMBDA_NUM} AS DOUBLE) / CAST(4 AS DOUBLE)"
+                f" * (CAST(cxy AS DOUBLE) / CAST(cx AS DOUBLE))"
+                f" + CAST(1.0 AS DOUBLE) / CAST(4 AS DOUBLE)"
+                f" * (CAST(cy AS DOUBLE) / CAST(t AS DOUBLE))"
+                f") * {_LM2_Q}) AS BIGINT)"
+            ).alias("lpq"),
+        )
+    )
+    return (
+        db.join(F.broadcast(lp), ["x", "y"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("ndt").cast("bigint").alias("n_bigrams"),
+            F.sum(F.expr("ndt * lpq")).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr(
+                "CAST(s AS DOUBLE) / 1e6 / CAST(n_bigrams AS DOUBLE)"
+            ).alias("avg_logprob2"),
+        )
     )

@@ -302,6 +302,9 @@ PROBE_QUERIES = [
     # round-10 batch 53: Zipf slope + embedding-norm QA
     "q_zipf_slope",
     "q_embedding_norm_hist",
+    # round-10 batches 54-55: bigram LM + JSONL stream sink
+    "q_bigram_lm_score",
+    "s_jsonl_stream_sink",
 ]
 
 

@@ -993,3 +993,48 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
         n_grams = [r.n_grams for r in rows if r.doc_id == doc_id][0]
         n_windows = n_grams - 4 + 1
         assert 1 <= len(fps) <= n_windows
+
+
+def test_cdc_chunks_boundary_locality_under_insertion(spark):
+    """The CDC property: prepending ONE token to a document re-chunks
+    only the prefix neighborhood — every boundary whose context window
+    lies past the insertion survives (fixed-width chunking would shift
+    every chunk). The two versions must share all chunk hashes except
+    the first few."""
+    import random
+
+    from kafka_s3_etl_spark.operators.text import cdc_chunks
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(40)}" for _ in range(400)]
+    base = " ".join(words)
+    shifted = "zzz " + base
+    docs = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id long, text string"
+    )
+    chunks = cdc_chunks(docs).collect()
+    a = sorted(
+        (r.chunk_id, r.chunk_g) for r in chunks if r.doc_id == 1
+    )
+    b = sorted(
+        (r.chunk_id, r.chunk_g) for r in chunks if r.doc_id == 2
+    )
+    ga, gb = {g for _, g in a}, {g for _, g in b}
+    shared = ga & gb
+    # all but the first chunk (whose text absorbs the insertion) and
+    # at most one neighbor (a boundary whose context straddles the
+    # insertion point) must survive verbatim
+    assert len(shared) >= len(ga) - 2, (len(ga), len(gb), len(shared))
+    assert len(ga) > 5  # the corpus actually chunked
+
+
+def test_drift_psi_nonnegative(spark, sf_dir):
+    """PSI terms are (pa-pb)*ln(pa/pb) — each >= 0 by construction, so
+    every per-type PSI (and its exact integer numerator) must be
+    non-negative."""
+    from kafka_s3_etl_spark.plans.registry import all_queries
+
+    rows = all_queries()["q_drift_psi"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.psi_num >= 0 and r.psi >= 0.0, r
