@@ -249,3 +249,43 @@ def x_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("timestampFormat", _JSONL_TS_FMT)
         .json(_JSONL_CACHE[sf_dir])
     )
+
+
+_CSV_CACHE: dict[str, str] = {}
+
+
+@register(
+    "x_csv_roundtrip",
+    category="etl",
+    cost=1,
+    doc=(
+        "CSV write+read round-trip (the flagship A1 parity covers the "
+        "READ side over the reference's own file; this pins Spark's "
+        "writer against its reader): orders through the native CSV "
+        "writer with header and the microsecond timestampFormat pin "
+        "(same truncation trap as JSONL — the default format drops "
+        "sub-millisecond digits), read back schema-first; quote/escape "
+        "handling is exercised by the string columns. Oracle = the "
+        "source table."
+    ),
+    oracle="SELECT * FROM orders",
+)
+def x_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.streaming.runner import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    if sf_dir not in _CSV_CACHE:
+        out = scratch_dir("csv_orders")
+        (
+            orders.write.mode("overwrite")
+            .option("header", True)
+            .option("timestampFormat", _JSONL_TS_FMT)
+            .csv(out)
+        )
+        _CSV_CACHE[sf_dir] = out
+    return (
+        spark.read.schema(orders.schema)
+        .option("header", True)
+        .option("timestampFormat", _JSONL_TS_FMT)
+        .csv(_CSV_CACHE[sf_dir])
+    )

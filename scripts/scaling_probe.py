@@ -305,6 +305,8 @@ PROBE_QUERIES = [
     # round-10 batches 54-55: bigram LM + JSONL stream sink
     "q_bigram_lm_score",
     "s_jsonl_stream_sink",
+    # round-10 batch 56: CSV write round-trip
+    "x_csv_roundtrip",
 ]
 
 
