@@ -365,6 +365,8 @@ HEADLINE = [
     "s_jsonl_stream_sink",
     # round-10 batch 56: CSV write round-trip
     "x_csv_roundtrip",
+    # round-10 batch 57: winnow clusters
+    "q_winnow_clusters",
 ]
 
 
@@ -537,6 +539,14 @@ KNOWN_SLOWER = {
         "3-job chain (bounds action + two shuffled stages) whose cost "
         "is per-job scheduling at sf0.1 — the sub-second swing is the "
         "q_graph_pagerank variance class, and its 10x probe is 1.4x."
+    ),
+    "q_chunk_cdc": (
+        "new in r10; its first two same-day measurements of identical "
+        "code landed 0.78s (min-of-2, mid-session) vs 1.21s (quiet "
+        "rerun), and an idle 3-run re-check lands 1.3-2.0s — a 2-job "
+        "window+rollup chain at sf0.1 whose swing is per-job "
+        "scheduling, the q_graph_pagerank variance class; its 10x "
+        "probe is 1.4x."
     ),
     "q_sim_pq": (
         "r9 flapped 1.49s->2.63s between two same-day runs of identical "

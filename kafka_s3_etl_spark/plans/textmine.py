@@ -859,3 +859,113 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob2"),
         )
     )
+
+
+# ---------------------------------------------------- round 10, batch 57
+
+# Shared winnow-selection CTE body (docs -> distinct (doc_id, sg)),
+# reused by q_winnow_overlap's oracle above and the clusters closure.
+_WINNOW_FP_CTES = f"""
+        toks AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, i AS pos,
+                 md5(list_aggregate(w[i+1 : i+{_GRAM_K}],
+                                    'string_agg', ' ')) AS g
+          FROM toks, UNNEST(range(len(w) - {_GRAM_K} + 1)) AS t(i)
+          WHERE len(w) >= {_GRAM_K}
+        ),
+        win AS (
+          SELECT doc_id, pos,
+                 min({{'g': g, 'pos': pos}}) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW
+                        AND {_WINNOW_W - 1} FOLLOWING) AS sel,
+                 COUNT(*) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW
+                        AND {_WINNOW_W - 1} FOLLOWING) AS cnt
+          FROM grams
+        ),
+        fp AS (
+          SELECT DISTINCT doc_id, struct_extract(sel, 'g') AS sg
+          FROM win WHERE cnt = {_WINNOW_W}
+        )
+"""
+
+
+@register(
+    "q_winnow_clusters",
+    cost=2,
+    category="dedup",
+    doc=(
+        "MOSS overlap resolved to CLUSTERS — the keep-one-"
+        "representative deliverable over q_winnow_overlap's pair "
+        "report (the q_dedup_embedding_clusters / q_dedup_image_"
+        "clusters shape applied to winnow fingerprints): pairs "
+        "sharing >= 2 selected fingerprints close under connected "
+        "components (alternating-star contraction, O(log n) rounds "
+        "at any graph diameter) into (doc_id, cluster_id, keep) over "
+        "ALL documents — untouched docs are singleton clusters. No "
+        "exact-dup pre-pass: the winnow pair graph measured 308 "
+        "edges / max fingerprint df 6 at sf0.1 (no cliques to "
+        "collapse — the pre-pass would buy nothing here). Oracle: "
+        "the winnow CTEs + a recursive-CTE min-label closure."
+    ),
+    oracle=f"""
+        WITH RECURSIVE {_WINNOW_FP_CTES},
+        prs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM fp a JOIN fp b ON b.sg = a.sg AND b.doc_id > a.doc_id
+          GROUP BY a.doc_id, b.doc_id
+          HAVING COUNT(*) >= {_OVERLAP_MIN_SHARED}
+        ),
+        sym AS (
+          SELECT doc_a AS src, doc_b AS dst FROM prs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM prs
+        ),
+        reach AS (
+          SELECT doc_id AS node, doc_id AS lbl FROM documents
+          UNION
+          SELECT s.dst AS node, r.lbl
+          FROM reach r JOIN sym s ON r.node = s.src
+          WHERE r.lbl < s.dst
+        )
+        SELECT node AS doc_id, MIN(lbl) AS cluster_id,
+               node = MIN(lbl) AS keep
+        FROM reach GROUP BY node
+    """,
+)
+def q_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.dedup import connected_components_star
+    from kafka_s3_etl_spark.operators.text import winnow_selected
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = (
+        winnow_selected(docs, k=_GRAM_K, w=_WINNOW_W)
+        .select("doc_id", "sg")
+        .distinct()
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("b.sg") == F.col("a.sg"))
+            & (F.col("b.doc_id") > F.col("a.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= _OVERLAP_MIN_SHARED)
+        .select("doc_a", "doc_b")
+    )
+    cc = connected_components_star(pairs, docs.select("doc_id"))
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )

@@ -307,6 +307,8 @@ PROBE_QUERIES = [
     "s_jsonl_stream_sink",
     # round-10 batch 56: CSV write round-trip
     "x_csv_roundtrip",
+    # round-10 batch 57: winnow clusters
+    "q_winnow_clusters",
 ]
 
 
