@@ -367,6 +367,9 @@ HEADLINE = [
     "x_csv_roundtrip",
     # round-10 batch 57: winnow clusters
     "q_winnow_clusters",
+    # round-10 batch 58: tokenizer-design curves
+    "q_vocab_coverage_curve",
+    "q_distinct_ngrams",
 ]
 
 

@@ -1013,3 +1013,171 @@ def q_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
     )
+
+
+# ---------------------------------------------------- round 10, batch 58
+
+_COVERAGE_KS = [1, 2, 4, 8, 16, 24, 31]  # vocab-size spine
+
+
+@register(
+    "q_vocab_coverage_curve",
+    cost=1,
+    category="text",
+    doc=(
+        "Token-mass coverage at every candidate vocabulary size — the "
+        "curve that sizes a tokenizer's vocab (what fraction of the "
+        "corpus the top-k types cover): one vocab rollup, exact ranks "
+        "via bucketed_global_row_number (no single-task sort over a "
+        "millions-row vocabulary), then a broadcast k-spine cross "
+        "join rolls covered token mass per k in exact BIGINT; the "
+        "coverage fraction divides once. The whole curve costs ONE "
+        "corpus pass + vocab-bounded work (the q_dedup_threshold_"
+        "curve shape: never re-run per knob setting)."
+    ),
+    oracle=f"""
+        WITH toks AS (
+          SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+        ),
+        vocab AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+          FROM toks GROUP BY token
+        ),
+        ranked AS (
+          SELECT c,
+                 CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token)
+                      AS BIGINT) AS rn
+          FROM vocab
+        ),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM vocab),
+        ks AS (SELECT UNNEST(ARRAY{_COVERAGE_KS}) AS k)
+        SELECT CAST(ks.k AS BIGINT) AS k,
+               CAST(SUM(CASE WHEN rn <= ks.k THEN c ELSE 0 END)
+                    AS BIGINT) AS covered_tokens,
+               CAST(MAX(tot.t) AS BIGINT) AS total_tokens,
+               CAST(CAST(SUM(CASE WHEN rn <= ks.k THEN c ELSE 0 END)
+                         AS BIGINT) AS DOUBLE)
+                 / CAST(MAX(tot.t) AS DOUBLE) AS coverage
+        FROM ranked CROSS JOIN ks CROSS JOIN tot
+        GROUP BY ks.k
+    """,
+)
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.ranks import bucketed_global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    ranked = bucketed_global_row_number(vocab, "c", "token", shift=0)
+    tot = vocab.agg(F.sum("c").cast("bigint").alias("t"))
+    ks = spark.createDataFrame(
+        [(k,) for k in _COVERAGE_KS], "k bigint"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.sum(F.expr("CASE WHEN rn <= k THEN c ELSE 0 END"))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            F.max("t").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            "k",
+            "covered_tokens",
+            "total_tokens",
+            F.expr(
+                "CAST(covered_tokens AS DOUBLE)"
+                " / CAST(total_tokens AS DOUBLE)"
+            ).alias("coverage"),
+        )
+    )
+
+
+@register(
+    "q_distinct_ngrams",
+    cost=1,
+    category="text",
+    doc=(
+        "Distinct-n diversity (the n-gram uniqueness ratios used to "
+        "detect templated/generated corpora — low distinct-2/3 means "
+        "boilerplate): totals and distinct counts for n = 1, 2, 3 "
+        "from ONE token explode + one doc_id window pass (the n-gram "
+        "strings materialize once via leads, the three aggregates "
+        "re-read the localCheckpointed gram table); ratios divide "
+        "exact BIGINTs once."
+    ),
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        g AS (
+          SELECT doc_id, i AS pos,
+                 w[i+1] AS g1,
+                 CASE WHEN i + 2 <= len(w)
+                      THEN w[i+1] || ' ' || w[i+2] END AS g2,
+                 CASE WHEN i + 3 <= len(w)
+                      THEN w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                      END AS g3
+          FROM toks, UNNEST(range(len(w))) AS t(i)
+        )
+        SELECT 1 AS n, CAST(COUNT(g1) AS BIGINT) AS total_ngrams,
+               CAST(COUNT(DISTINCT g1) AS BIGINT) AS distinct_ngrams,
+               CAST(COUNT(DISTINCT g1) AS DOUBLE)
+                 / CAST(COUNT(g1) AS DOUBLE) AS distinct_ratio
+        FROM g
+        UNION ALL
+        SELECT 2, CAST(COUNT(g2) AS BIGINT),
+               CAST(COUNT(DISTINCT g2) AS BIGINT),
+               CAST(COUNT(DISTINCT g2) AS DOUBLE)
+                 / CAST(COUNT(g2) AS DOUBLE)
+        FROM g
+        UNION ALL
+        SELECT 3, CAST(COUNT(g3) AS BIGINT),
+               CAST(COUNT(DISTINCT g3) AS BIGINT),
+               CAST(COUNT(DISTINCT g3) AS DOUBLE)
+                 / CAST(COUNT(g3) AS DOUBLE)
+        FROM g
+    """,
+)
+def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    g = toks.select(
+        "doc_id",
+        F.col("tok").alias("g1"),
+        F.lead("tok", 1).over(wd).alias("t1"),
+        F.lead("tok", 2).over(wd).alias("t2"),
+    ).select(
+        "g1",
+        F.when(
+            F.col("t1").isNotNull(), F.concat_ws(" ", "g1", "t1")
+        ).alias("g2"),
+        F.when(
+            F.col("t2").isNotNull(), F.concat_ws(" ", "g1", "t1", "t2")
+        ).alias("g3"),
+    ).localCheckpoint()
+
+    def one(n: int, col: str) -> DataFrame:
+        return g.agg(
+            F.count(col).alias("total_ngrams"),
+            F.countDistinct(col).alias("distinct_ngrams"),
+        ).select(
+            F.lit(n).cast("int").alias("n"),
+            "total_ngrams",
+            "distinct_ngrams",
+            F.expr(
+                "CAST(distinct_ngrams AS DOUBLE)"
+                " / CAST(total_ngrams AS DOUBLE)"
+            ).alias("distinct_ratio"),
+        )
+
+    return one(1, "g1").unionByName(one(2, "g2")).unionByName(one(3, "g3"))
