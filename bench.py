@@ -370,6 +370,8 @@ HEADLINE = [
     # round-10 batch 58: tokenizer-design curves
     "q_vocab_coverage_curve",
     "q_distinct_ngrams",
+    # round-10 batch 59: multi-probe LSH
+    "q_sim_ann_multiprobe",
 ]
 
 

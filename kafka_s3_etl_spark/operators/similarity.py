@@ -1410,3 +1410,75 @@ def random_projection(
         for p in range(out_dim)
     ]
     return embeddings.crossJoin(F.broadcast(mat)).select("vec_id", *comps)
+
+
+def ann_lsh_multiprobe_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    planes: int = 6,
+    tables: int = 2,
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., VLDB '07): each query probes
+    its own bucket PLUS every bucket at Hamming distance 1 (one
+    sign-bit flip) in each table. The probe fan-out buys the recall
+    that single-probe LSH gets from MORE tables — here 2 tables x 7
+    probes replace 8-14 single-probe tables, an ~4x smaller index (at
+    100 TB the bucket table IS the index; tables multiply its rows,
+    probes only multiply the tiny query side).
+
+    Same pinned sign-matrix machinery as :func:`ann_lsh_topk`
+    (`_sign_table` broadcast, fold-dot bucket bits); the probe spine
+    (0, 1, 2, 4, ...) rides a broadcast literal table and the probe
+    bucket is ``bucket XOR flip`` — integer-exact on any engine.
+    Exact cosine re-ranks candidates only."""
+    dim = embeddings.select(F.size("embedding")).first()[0]
+    sign_df = _sign_table(embeddings.sparkSession, tables, planes, dim)
+    base = with_norm(embeddings)
+    bucketed = base.crossJoin(F.broadcast(sign_df)).select(
+        "vec_id",
+        "embedding",
+        "norm",
+        "table_id",
+        _bucket_bits(F.col("embedding"), planes).alias("bucket"),
+    )
+    flips = embeddings.sparkSession.createDataFrame(
+        [(0,)] + [(1 << p,) for p in range(planes)], "flip long"
+    )
+    queries = (
+        bucketed.filter(F.col("vec_id") < n_queries)
+        .crossJoin(F.broadcast(flips))
+        .select(
+            F.col("vec_id"),
+            F.col("embedding"),
+            F.col("norm"),
+            F.col("table_id"),
+            F.expr("bucket ^ flip").alias("bucket"),
+        )
+    )
+    cands = (
+        bucketed.alias("c")
+        .join(
+            F.broadcast(queries.alias("q")),
+            (F.col("c.table_id") == F.col("q.table_id"))
+            & (F.col("c.bucket") == F.col("q.bucket"))
+            & (F.col("c.vec_id") != F.col("q.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            (
+                _dot(F.col("q.embedding"), F.col("c.embedding"))
+                / (F.col("q.norm") * F.col("c.norm"))
+            ).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1181,3 +1181,84 @@ def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return one(1, "g1").unionByName(one(2, "g2")).unionByName(one(3, "g3"))
+
+
+# ---------------------------------------------------- round 10, batch 59
+
+_MP_PLANES = 6
+_MP_TABLES = 2
+
+
+def _ann_multiprobe_oracle(n_queries: int = 8, k: int = 5) -> str:
+    from kafka_s3_etl_spark.plans.llm import ann_sign_rows
+
+    rows = ann_sign_rows(tables=_MP_TABLES, planes=_MP_PLANES)
+    flips = ", ".join(["0"] + [str(1 << p) for p in range(_MP_PLANES)])
+    return f"""
+        WITH signs(table_id, bit, s) AS (VALUES {rows}),
+        base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        b AS (
+          SELECT vec_id, table_id,
+                 CAST(SUM(CASE WHEN list_dot_product(e, s) > 0
+                               THEN bit ELSE 0 END) AS BIGINT) AS bucket
+          FROM base, signs GROUP BY vec_id, table_id
+        ),
+        q AS (
+          SELECT vec_id, table_id, xor(bucket, f.flip) AS bucket
+          FROM b, UNNEST(ARRAY[{flips}]) AS f(flip)
+          WHERE vec_id < {n_queries}
+        ),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM b c JOIN q
+            ON c.table_id = q.table_id AND c.bucket = q.bucket
+               AND c.vec_id != q.vec_id
+        ),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 list_cosine_similarity(eq.e, ec.e) AS c
+          FROM cand
+          JOIN base eq ON eq.vec_id = cand.query_id
+          JOIN base ec ON ec.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY query_id ORDER BY c DESC, neighbor_id
+                 ) AS rnk
+          FROM scored) WHERE rnk <= {k}
+    """
+
+
+@register(
+    "q_sim_ann_multiprobe",
+    cost=2,
+    category="similarity",
+    doc=(
+        "Multi-probe LSH ANN top-5 (Lv et al. '07): each query probes "
+        "its own bucket plus every Hamming-1 neighbor bucket (one "
+        "sign-bit flip), so 2 tables x 7 probes buy the recall that "
+        "single-probe LSH needs 8+ tables for — at 100 TB the bucket "
+        "table IS the index and tables multiply its ROWS, while "
+        "probes only multiply the tiny broadcast query side (~4x "
+        "smaller index than q_sim_ann_lsh's 8-table layout for "
+        "comparable recall, measured in the property test). Pinned "
+        "2x6 sign layout; probe bucket = bucket XOR flip, integer-"
+        "exact on both engines; rank-only output. The recall-vs-"
+        "single-probe superset property is asserted in "
+        "tests/test_llm_ops.py."
+    ),
+    oracle=_ann_multiprobe_oracle(),
+)
+def q_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.similarity import (
+        ann_lsh_multiprobe_topk,
+    )
+
+    return ann_lsh_multiprobe_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        planes=_MP_PLANES,
+        tables=_MP_TABLES,
+    ).select("query_id", "neighbor_id", "rank")

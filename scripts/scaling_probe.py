@@ -312,6 +312,8 @@ PROBE_QUERIES = [
     # round-10 batch 58: tokenizer-design curves
     "q_vocab_coverage_curve",
     "q_distinct_ngrams",
+    # round-10 batch 59: multi-probe LSH
+    "q_sim_ann_multiprobe",
 ]
 
 

@@ -1038,3 +1038,37 @@ def test_drift_psi_nonnegative(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.psi_num >= 0 and r.psi >= 0.0, r
+
+
+def test_multiprobe_candidates_superset_of_single_probe(spark, sf_dir):
+    """Multi-probe LSH with the SAME pinned layout must retrieve a
+    candidate superset of single-probe (flip=0 is one of the probes),
+    so per-query recall vs brute force can only go up. Checked on the
+    real corpus at the entry's own 2x6 layout."""
+    from kafka_s3_etl_spark.operators.similarity import (
+        ann_lsh_multiprobe_topk,
+        ann_lsh_topk,
+        brute_force_topk,
+    )
+    from kafka_s3_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mp = ann_lsh_multiprobe_topk(emb, planes=6, tables=2)
+    sp = ann_lsh_topk(emb, planes=6, tables=2)
+    truth = brute_force_topk(emb)
+
+    def hits(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return got
+
+    t, m, s = hits(truth), hits(mp), hits(sp)
+    rec_m = sum(len(t[q] & m.get(q, set())) for q in t) / sum(
+        len(v) for v in t.values()
+    )
+    rec_s = sum(len(t[q] & s.get(q, set())) for q in t) / sum(
+        len(v) for v in t.values()
+    )
+    assert rec_m >= rec_s, (rec_m, rec_s)
+    assert rec_m > 0.2  # the probes actually retrieve something real
