@@ -708,3 +708,48 @@ def s_jsonl_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("timestampFormat", _JSONL_TS_FMT)
         .json(out)
     )
+
+
+# ---------------------------------------------------- round 10, batch 60
+
+
+@register(
+    "s_window_tumbling_rocksdb",
+    category="streaming",
+    cost=3,
+    doc=(
+        "s_window_tumbling with the RocksDB state-store provider "
+        "pinned — the second executed RocksDB cell (batch 42 proved "
+        "it for keyed SESSION state via applyInPandasWithState; this "
+        "proves the built-in WINDOW aggregation's state rides the "
+        "same provider): event-time 5-minute tumbling counts whose "
+        "window state spills to local disk instead of the HDFS "
+        "provider's in-heap map. Same aggregation, same oracle, same "
+        "result set; tests/test_streaming.py asserts the provider "
+        "loaded via rocksdb* progress metrics."
+    ),
+    oracle="""
+        SELECT make_timestamp(CAST(floor(epoch(ts)/300)*300*1000000 AS BIGINT)) AS ws,
+               make_timestamp(CAST((floor(epoch(ts)/300)+1)*300*1000000 AS BIGINT)) AS we,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+)
+def s_window_tumbling_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.streaming import session_close
+    from kafka_s3_etl_spark.streaming.tws import pinned_rocksdb_state_store
+
+    agg = tumbling_counts(stream_table(spark, sf_dir, "events"))
+    progress: list = []
+    with pinned_rocksdb_state_store(agg):
+        out = run_available_now(
+            agg, output_mode="complete", progress_sink=progress
+        )
+    if progress:
+        # expose the final progress dict the way session_close does, so
+        # the provider-loaded assertion reads one well-known place
+        session_close.LAST_PROGRESS = progress[-1]
+    return out

@@ -314,6 +314,8 @@ PROBE_QUERIES = [
     "q_distinct_ngrams",
     # round-10 batch 59: multi-probe LSH
     "q_sim_ann_multiprobe",
+    # round-10 batch 60: RocksDB window state
+    "s_window_tumbling_rocksdb",
 ]
 
 
