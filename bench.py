@@ -374,6 +374,9 @@ HEADLINE = [
     "q_sim_ann_multiprobe",
     # round-10 batch 60: RocksDB window state
     "s_window_tumbling_rocksdb",
+    # round-10 batch 61: langid eval + partition-pruned JSONL
+    "q_langid_confusion",
+    "x_jsonl_partitioned",
 ]
 
 

@@ -289,3 +289,45 @@ def x_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("timestampFormat", _JSONL_TS_FMT)
         .csv(_CSV_CACHE[sf_dir])
     )
+
+
+_JSONL_PART_CACHE: dict[str, str] = {}
+
+
+@register(
+    "x_jsonl_partitioned",
+    category="etl",
+    cost=1,
+    doc=(
+        "Partition-pruned reading through a TEXT format: documents "
+        "written as JSONL partitioned by lang (partitionBy directory "
+        "layout), read back schema-first with a lang filter — the "
+        "listing must prune to the one lang=en directory before any "
+        "byte of JSON parses (PartitionFilters in the scan, pinned by "
+        "tests/test_plans.py), the same pruning contract "
+        "x_partitioned_write proves for parquet. The partition column "
+        "round-trips from the DIRECTORY name, not the file body; "
+        "oracle = the filtered source table."
+    ),
+    oracle="""
+        SELECT doc_id, text, source, n_chars, lang
+        FROM documents WHERE lang = 'en'
+    """,
+)
+def x_jsonl_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.streaming.runner import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    if sf_dir not in _JSONL_PART_CACHE:
+        out = scratch_dir("jsonl_docs_by_lang")
+        docs.write.mode("overwrite").partitionBy("lang").json(out)
+        _JSONL_PART_CACHE[sf_dir] = out
+    body_schema = docs.drop("lang").schema
+    return (
+        spark.read.schema(
+            body_schema.add("lang", "string")
+        )
+        .json(_JSONL_PART_CACHE[sf_dir])
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "text", "source", "n_chars", "lang")
+    )

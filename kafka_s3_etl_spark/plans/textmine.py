@@ -1262,3 +1262,85 @@ def q_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         planes=_MP_PLANES,
         tables=_MP_TABLES,
     ).select("query_id", "neighbor_id", "rank")
+
+
+# ---------------------------------------------------- round 10, batch 61
+
+_LANGID_CASE = """
+      CASE WHEN GREATEST(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'en'
+           WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+           WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+           WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+           WHEN s_es = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+           ELSE 'zh' END
+"""
+
+
+@register(
+    "q_langid_confusion",
+    cost=1,
+    category="text",
+    doc=(
+        "The language-ID confusion matrix — the standard eval "
+        "artifact over q_text_langid's marker heuristic against the "
+        "labeled lang column: (actual, predicted, n, share-of-actual) "
+        "per cell. One scan (the per-doc scorer is map-only), one "
+        "map-side-combined rollup on a |langs|^2-bounded key space, "
+        "the per-actual share via a broadcast re-aggregation of the "
+        "cell table (the q_collocations_lift marginal pattern); the "
+        "share divides two exact BIGINTs once."
+    ),
+    oracle=f"""
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 len(regexp_extract_all(' ' || text || ' ',
+                     ' the | and | with | for ')) AS s_en,
+                 len(regexp_extract_all(' ' || text || ' ',
+                     ' der | und | nicht | das ')) AS s_de,
+                 len(regexp_extract_all(' ' || text || ' ',
+                     ' le | et | pas | les ')) AS s_fr,
+                 len(regexp_extract_all(' ' || text || ' ',
+                     ' el | que | los | por ')) AS s_es,
+                 len(regexp_extract_all(' ' || text || ' ',
+                     ' de5 | shi4 | bu4 | le5 ')) AS s_zh
+          FROM documents
+        ),
+        cells AS (
+          SELECT lang AS actual, {_LANGID_CASE} AS predicted,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM scored GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT actual, CAST(SUM(n) AS BIGINT) AS n_actual
+          FROM cells GROUP BY actual
+        )
+        SELECT actual, predicted, n, n_actual,
+               CAST(n AS DOUBLE) / CAST(n_actual AS DOUBLE) AS share
+        FROM cells JOIN tot USING (actual)
+    """,
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.text import language_id
+
+    pred = language_id(load_table(spark, sf_dir, "documents"))
+    cells = (
+        pred.groupBy(
+            F.col("lang").alias("actual"),
+            F.col("pred_lang").alias("predicted"),
+        )
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
+    tot = cells.groupBy("actual").agg(F.sum("n").cast("bigint").alias("n_actual"))
+    return (
+        cells.join(F.broadcast(tot), "actual")
+        .select(
+            "actual",
+            "predicted",
+            "n",
+            "n_actual",
+            F.expr("CAST(n AS DOUBLE) / CAST(n_actual AS DOUBLE)").alias(
+                "share"
+            ),
+        )
+    )

@@ -1342,3 +1342,15 @@ def test_drift_psi_two_rollups_broadcast_totals(spark, sf_dir):
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_jsonl_partitioned_prunes_listing(spark, sf_dir):
+    """x_jsonl_partitioned (batch 61): the lang filter must land in the
+    scan's PartitionFilters (directory pruning) — only the lang=en
+    partition's JSON files parse, on a TEXT format."""
+    plan = plan_of(spark, sf_dir, "x_jsonl_partitioned")
+    assert "PartitionFilters" in plan
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "lang" in m.group(1), plan[:2000]
