@@ -263,7 +263,12 @@ HEADLINE = [
     # round-9: scale-hardened twins + ANN dedup upgrade. q_decile_lift
     # (naive NTILE twin) dropped from the headline — its scalable
     # hash-matched sibling q_decile_lift_scalable represents the shape.
-    "q_dedup_embedding",
+    # r11: q_dedup_embedding (PAIRS) moved out of the headline set with
+    # the other two pairs-output oracle gates (see the PAIRS-output
+    # rule in SCALE.md): pair emission is quadratic in duplicate
+    # multiplicity BY DEFINITION, so benching it alongside linear
+    # deliverables reads as an undocumented scale flag; its clusters
+    # sibling q_dedup_embedding_clusters stays headline.
     "q_interval_overlap_scalable",
     "q_label_propagation_capped",
     "q_kcore_peeled",
@@ -321,7 +326,9 @@ HEADLINE = [
     # round-9 batch 39
     "q_dedup_threshold_curve",
     # round-10 batch 40: perceptual-hash multimodal dedup
-    "q_dedup_image_phash",
+    # (q_dedup_image_phash emits PAIRS — headline-excluded r11, same
+    # rule as q_dedup_embedding; q_dedup_image_clusters represents the
+    # family below)
     "q_dedup_frame_phash",
     # round-10 batch 41: bounded containment join (the uncapped
     # original stays correctness-tier / headline-excluded)
@@ -335,6 +342,8 @@ HEADLINE = [
     "q_sim_ivfpq_pinned",
     # round-10 batch 44: image dedup resolved to clusters
     "q_dedup_image_clusters",
+    # round-11 batch 62: audio dedup resolved to clusters
+    "q_dedup_audio_hash",
     # round-10 batch 45: exact substring-span dedup + mask transform
     "q_dedup_substring_spans",
     "q_dedup_substring_mask",
@@ -348,7 +357,8 @@ HEADLINE = [
     "q_collocations_lift",
     "q_winnow_fingerprints",
     # round-10 batch 50: MOSS overlap, CDC chunking, rank fusion
-    "q_winnow_overlap",
+    # (q_winnow_overlap emits PAIRS — headline-excluded r11, same rule
+    # as q_dedup_embedding; q_winnow_clusters represents the family)
     "q_chunk_cdc",
     "q_rrf_fusion",
     # round-10 batch 51: CDC storage report + JSONL interop

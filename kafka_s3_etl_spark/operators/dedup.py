@@ -797,7 +797,9 @@ def decontaminate_bloom(
 
 
 def set_similarity_join(
-    documents: DataFrame, threshold: float = 0.6
+    documents: DataFrame,
+    threshold: float = 0.6,
+    collapse_identical_sets: bool = False,
 ) -> DataFrame:
     """Exact all-pairs set-similarity join with PREFIX FILTERING (the
     PPJoin family, cf. Xiao et al., WWW'08): every document pair whose
@@ -848,6 +850,41 @@ def set_similarity_join(
         .filter(F.col("token") != "")
         .distinct()
     )
+    membership = None
+    if collapse_identical_sets:
+        # Identical token-SET collapse (the winnow fingerprint-set
+        # pattern applied to PPJoin): Jaccard depends only on the token
+        # SET, so docs sharing a set are interchangeable — run the
+        # whole prefix pipeline on one representative per distinct set
+        # and re-expand afterwards. Output-preserving on ANY corpus
+        # (identical sets have identical similarity to everything);
+        # the win is quadratic in the collapse factor because both the
+        # candidate join and the verify join shrink per side. The set
+        # key is md5 of the sorted token list — exact, no hash-mixing
+        # collision risk.
+        keyed = documents.select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.sort_array(
+                        F.array_distinct(
+                            F.filter(
+                                F.split("text", " "), lambda t: t != ""
+                            )
+                        )
+                    ),
+                )
+            ).alias("sk"),
+        )
+        wrep = Window.partitionBy("sk")
+        membership = keyed.select(
+            "doc_id", "sk", F.min("doc_id").over(wrep).alias("rep")
+        ).localCheckpoint()
+        reps = membership.filter(F.col("doc_id") == F.col("rep")).select(
+            "doc_id"
+        )
+        toks = toks.join(reps, "doc_id")
     df_rank = toks.groupBy("token").agg(F.count("*").alias("df"))
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     w = Window.partitionBy("doc_id").orderBy("df", "token")
@@ -912,7 +949,7 @@ def set_similarity_join(
     sb = sizes.select(
         F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b")
     )
-    return (
+    res = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(
@@ -929,6 +966,60 @@ def set_similarity_join(
             ).alias("jaccard"),
         )
     )
+    if membership is None:
+        return res
+    # Re-expansion. Cross-group: every member pair inherits the rep
+    # pair's stats verbatim (same sets => same sizes/overlap); the
+    # (doc_a < doc_b) ordering must be re-established per member pair,
+    # swapping n_a/n_b along with it. Intra-group: identical sets are
+    # Jaccard 1 >= any threshold, so all within-group pairs qualify
+    # with n_a = n_b = n_common = |set| — computed through the SAME
+    # jaccard expression so the double is bit-identical (exactly 1.0).
+    ma = membership.select(
+        F.col("rep").alias("doc_a"), F.col("doc_id").alias("a")
+    )
+    mb = membership.select(
+        F.col("rep").alias("doc_b"), F.col("doc_id").alias("b")
+    )
+    swap = F.col("a") > F.col("b")
+    cross = (
+        res.join(ma.hint("shuffle_hash"), "doc_a")
+        .join(mb.hint("shuffle_hash"), "doc_b")
+        .select(
+            F.least("a", "b").alias("doc_a"),
+            F.greatest("a", "b").alias("doc_b"),
+            F.when(swap, F.col("n_b")).otherwise(F.col("n_a")).alias("n_a"),
+            F.when(swap, F.col("n_a")).otherwise(F.col("n_b")).alias("n_b"),
+            "n_common",
+            "jaccard",
+        )
+    )
+    rep_sz = sizes.join(
+        membership.filter(F.col("doc_id") == F.col("rep")).select(
+            "doc_id", "sk"
+        ),
+        "doc_id",
+    ).select("sk", F.col("n_tok").cast("bigint").alias("n"))
+    m1 = membership.select("sk", F.col("doc_id").alias("doc_a"))
+    m2 = membership.select("sk", F.col("doc_id").alias("doc_b"))
+    intra = (
+        m1.join(m2.hint("shuffle_hash"), "sk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # same-key join rides the sk exchange already in place; at
+        # corpus scale the distinct-set table can exceed broadcast size
+        .join(rep_sz, "sk")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n").alias("n_a"),
+            F.col("n").alias("n_b"),
+            F.col("n").alias("n_common"),
+            F.expr(
+                "CAST(n AS DOUBLE) / (n + n - n)"
+            ).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def containment_join(

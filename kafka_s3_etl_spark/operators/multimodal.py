@@ -74,18 +74,79 @@ def _ppm_bytes(doc_id: int) -> bytes:
 
 WAV_RATE = 8000
 
+# Audio corpus structure (r11): the r1-r10 generator was a modular ramp
+# (sample i = ((d + i) % 65536) - 32768) whose 64-segment energy
+# envelope is near-uniform for EVERY document — the obvious audio
+# fingerprint thresholded to one corpus-wide signature (measured r10:
+# all 1.39M audio pairs within Hamming 3), so audio dedup could not be
+# registered at all. The r11 closed form keeps every sample an exact
+# integer (so DuckDB recomputes each one from doc_id alone) but gives
+# each document spectral-envelope STRUCTURE plus a planted duplicate
+# topology:
+#
+#   audio ordinal k = (doc_id - 1) // 3, family u = k // 8, j = k % 8
+#   segment width m = 4 + u % 3  (n = 64 * m samples, 64 segments)
+#   amp(base, seg) = 1 + ((base*2654435761 + seg*97) % 1009) % 13
+#   phase p(i)     = ((i*2654435761 + u) % 7) - 3
+#   sample i       = amp(BASE, i // m) * (16 + j) * p(i)      [int16]
+#   BASE = u for j <= 6 (members j in 5..6 additionally SWAP the
+#   amplitudes of segments i0 = (u*31) % 64 and i1 = i0 +- 7 — an
+#   "edited" variant), and 1000003 + k for j = 7 (an unrelated
+#   singleton).
+#
+# The per-segment energy amp^2 * (16+j)^2 * sum(p^2) divided by the
+# total is INDEPENDENT of the gain term (16+j), so the five j in 0..4
+# members of a family share their energy-sign fingerprint bit-for-bit
+# while their payload BYTES all differ — exactly the near-duplicate
+# structure a fingerprint must recover, with no float anywhere. The
+# edited variant's swap partners sit exactly 7 segments apart because
+# the phase pattern has period 7 in i (2654435761 % 7 = 5, gcd(5,7)=1
+# ... the windows [s*m, s*m + m) and [(s+7)*m, (s+7)*m + m) see the
+# SAME p values since 7*m = 0 mod 7), so the two segments have equal
+# phase weight sum(p^2), the swap preserves both segment-pair and
+# total energy, and the variant's fingerprint differs from the base in
+# AT MOST the two swapped bits — a guaranteed Hamming <= 2 planted
+# near-duplicate (a naive single-slot amplitude override shifts the
+# global mean and flips an unbounded bit set; measured ham 0..5+).
+AUDIO_SEGS = 64
+_AUDIO_FAMILY = 8
+
+
+def _audio_params(doc_id: int) -> tuple[int, int, int, int, int]:
+    """(k, u, j, m, gain) for an audio document — the integer closed
+    form mirrored by every audio DuckDB oracle."""
+    k = (doc_id - 1) // 3
+    u = k // _AUDIO_FAMILY
+    j = k % _AUDIO_FAMILY
+    m = 4 + u % 3
+    return k, u, j, m, 16 + j
+
+
+def _wav_samples(doc_id: int) -> np.ndarray:
+    """The exact int16 sample vector of an audio document (see the
+    closed-form comment above)."""
+    k, u, j, m, gain = _audio_params(doc_id)
+    idx = np.arange(AUDIO_SEGS * m, dtype=np.int64)
+    seg = idx // m
+    base = 1000003 + k if j == _AUDIO_FAMILY - 1 else u
+    aseg = seg
+    if 5 <= j <= 6:
+        i0 = (u * 31) % AUDIO_SEGS
+        i1 = i0 + 7 if i0 + 7 < AUDIO_SEGS else i0 - 7
+        aseg = np.where(seg == i0, i1, np.where(seg == i1, i0, seg))
+    amp = 1 + ((base * 2654435761 + aseg * 97) % 1009) % 13
+    p = ((idx * 2654435761 + u) % 7) - 3
+    return (amp * gain * p).astype("<i2")
+
 
 def _wav_bytes(doc_id: int) -> bytes:
     """Deterministic REAL WAV (RIFF/PCM16 mono) file for a document:
-    n_samples from the doc id, sample i = ((doc_id + i) % 65536) - 32768
-    — a closed form the decoder test and the DuckDB oracle recompute
-    independently."""
+    samples from the integer closed form in ``_wav_samples`` — exactly
+    recomputable by the decoder tests and the DuckDB oracles."""
     import struct
 
-    n = 200 + doc_id % 300
-    samples = (
-        ((np.arange(n, dtype=np.int64) + doc_id) % 65536) - 32768
-    ).astype("<i2")
+    samples = _wav_samples(doc_id)
+    n = len(samples)
     fmt = struct.pack("<HHIIHH", 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16)
     return (
         b"RIFF"
@@ -569,3 +630,41 @@ def frame_ahash(media: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "sim": sigs})
 
     return media.mapInPandas(hash_batch, schema=FRAME_AHASH_SCHEMA)
+
+
+def _audio_sig(samples: np.ndarray, n_segs: int = AUDIO_SEGS) -> str:
+    """Integer-exact energy-sign fingerprint of a PCM sample vector:
+    the vector is cut into ``n_segs`` equal segments (sample count must
+    divide evenly — the generator guarantees n = 64*m), bit s is 1 iff
+    segment s's energy exceeds the per-segment mean, compared by exact
+    cross multiplication (e_s * n_segs > total_energy) so ANSI SQL
+    recomputes the identical bit. Energies are int64 sums of squared
+    int16 samples — exact, no float. Any uniform GAIN applied to the
+    whole signal cancels out of the comparison, so re-mastered /
+    volume-normalized copies fingerprint identically; the 64-char
+    '0'/'1' output rides the shared banded-Hamming machinery
+    (operators/dedup.py::band_hamming_pairs) like the image/frame
+    aHashes."""
+    s64 = samples.astype(np.int64)
+    m = s64.size // n_segs
+    e = (s64[: m * n_segs] ** 2).reshape(n_segs, m).sum(axis=1)
+    total = int(e.sum())
+    bits = e * n_segs > total
+    return "".join("1" if b else "0" for b in bits)
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Acoustic fingerprint per audio document over the REAL decoded
+    WAV samples — partition-preserving mapInPandas, the seam a
+    soundfile/ffmpeg-decoded corpus would use. Returns (doc_id, sim)
+    with sim the 64-char energy-sign signature of ``_audio_sig``."""
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for pl in pdf["payload"]:
+                _, _, samples = parse_wav(bytes(pl))
+                sigs.append(_audio_sig(samples))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sim": sigs})
+
+    return media.mapInPandas(hash_batch, schema=AHASH_SCHEMA)

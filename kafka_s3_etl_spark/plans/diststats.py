@@ -351,15 +351,19 @@ _PSI_SPLIT = "2024-07-01 00:00:00"  # H1 2024 = baseline, H2 = current
         "H2 2024 event-value distributions — the drift monitor a "
         "production feature pipeline runs between snapshots. Unit-wide "
         "integer value bins, Laplace-smoothed so single-sided bins "
-        "stay finite; the per-bin probability DIFFERENCE is the exact "
-        "integer (ca+1)*Db - (cb+1)*Da over the common denominator "
-        "Da*Db, and the log-ratio is quantized to integer micro-nats "
+        "stay finite; the log-ratio is quantized to integer micro-nats "
         "ONCE per bin (the q_lm_score discipline — the only float "
         "hazard is a quantization boundary within ~1 ulp of a "
-        "cross-engine ln difference), so PSI accumulates in exact "
-        "BIGINT products and divides once at the end. Two "
-        "aggregations with map-side combine, no window over the "
-        "corpus, no Python."
+        "cross-engine ln difference), and PSI accumulates as TWO "
+        "linear BIGINT sums sa=SUM((ca+1)*lq), sb=SUM((cb+1)*lq) "
+        "combined at the end by the fixed-order IEEE chain "
+        "(sa/Da - sb/Db)/1e6 — algebraically equal to the r10 "
+        "quadratic form SUM(dnum*lq)/(1e6*Da*Db) but with BIGINT "
+        "products bounded by corpus_size * max|lq| (~N*6e7: safe to "
+        "~1e11 events per type) instead of the square of the corpus "
+        "(the r10 form overflowed once per-type counts reached ~1e9 — "
+        "ADVICE r10). Two aggregations with map-side combine, no "
+        "window over the corpus, no Python."
     ),
     oracle=f"""
         WITH b AS (
@@ -380,8 +384,7 @@ _PSI_SPLIT = "2024-07-01 00:00:00"  # H1 2024 = baseline, H2 = current
         ),
         terms AS (
           SELECT b.t,
-                 (b.ca + 1) * (tot.nb + tot.nbins)
-                   - (b.cb + 1) * (tot.na + tot.nbins) AS dnum,
+                 b.ca, b.cb,
                  CAST(ROUND(ln(
                      (CAST(b.ca + 1 AS DOUBLE)
                         * CAST(tot.nb + tot.nbins AS DOUBLE))
@@ -394,11 +397,15 @@ _PSI_SPLIT = "2024-07-01 00:00:00"  # H1 2024 = baseline, H2 = current
                CAST(MAX(tot.na) AS BIGINT) AS n_baseline,
                CAST(MAX(tot.nb) AS BIGINT) AS n_current,
                CAST(MAX(tot.nbins) AS BIGINT) AS n_bins,
-               CAST(SUM(terms.dnum * terms.lq) AS BIGINT) AS psi_num,
-               CAST(CAST(SUM(terms.dnum * terms.lq) AS BIGINT) AS DOUBLE)
-                 / 1e6
-                 / CAST(MAX(tot.na + tot.nbins) AS DOUBLE)
-                 / CAST(MAX(tot.nb + tot.nbins) AS DOUBLE) AS psi
+               CAST(SUM((terms.ca + 1) * terms.lq) AS BIGINT) AS psi_a_num,
+               CAST(SUM((terms.cb + 1) * terms.lq) AS BIGINT) AS psi_b_num,
+               (CAST(CAST(SUM((terms.ca + 1) * terms.lq) AS BIGINT)
+                     AS DOUBLE)
+                  / CAST(MAX(tot.na + tot.nbins) AS DOUBLE)
+                - CAST(CAST(SUM((terms.cb + 1) * terms.lq) AS BIGINT)
+                       AS DOUBLE)
+                    / CAST(MAX(tot.nb + tot.nbins) AS DOUBLE))
+                 / 1e6 AS psi
         FROM terms JOIN tot ON tot.t = terms.t
         GROUP BY terms.t
     """,
@@ -429,9 +436,8 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     terms = b.join(F.broadcast(tot), "t").select(
         "t",
-        F.expr(
-            "(ca + 1) * (nb + nbins) - (cb + 1) * (na + nbins)"
-        ).alias("dnum"),
+        "ca",
+        "cb",
         F.expr(
             "CAST(ROUND(ln((CAST(ca + 1 AS DOUBLE)"
             " * CAST(nb + nbins AS DOUBLE))"
@@ -448,7 +454,8 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("na").cast("bigint").alias("n_baseline"),
             F.max("nb").cast("bigint").alias("n_current"),
             F.max("nbins").cast("bigint").alias("n_bins"),
-            F.sum(F.expr("dnum * lq")).cast("bigint").alias("psi_num"),
+            F.sum(F.expr("(ca + 1) * lq")).cast("bigint").alias("psi_a_num"),
+            F.sum(F.expr("(cb + 1) * lq")).cast("bigint").alias("psi_b_num"),
             F.max(F.expr("na + nbins")).alias("_da"),
             F.max(F.expr("nb + nbins")).alias("_db"),
         )
@@ -457,10 +464,12 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_baseline",
             "n_current",
             "n_bins",
-            "psi_num",
+            "psi_a_num",
+            "psi_b_num",
             F.expr(
-                "CAST(psi_num AS DOUBLE) / 1e6"
-                " / CAST(_da AS DOUBLE) / CAST(_db AS DOUBLE)"
+                "(CAST(psi_a_num AS DOUBLE) / CAST(_da AS DOUBLE)"
+                " - CAST(psi_b_num AS DOUBLE) / CAST(_db AS DOUBLE))"
+                " / 1e6"
             ).alias("psi"),
         )
     )

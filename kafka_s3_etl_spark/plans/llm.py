@@ -203,7 +203,9 @@ def _ann_dedup_oracle(threshold: float) -> str:
         "1.6x) — the scalable deliverable is q_dedup_embedding_"
         "clusters (plans/oracleext.py), whose exact-dup pre-pass "
         "collapses identity cliques before LSH. Copy that shape, not "
-        "this one, into a production pipeline."
+        "this one, into a production pipeline. PAIRS-output rule "
+        "(SCALE.md): this entry is an oracle gate, headline-excluded "
+        "since r11."
     ),
     oracle=_ann_dedup_oracle(0.2),
 )
@@ -1021,7 +1023,8 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                               + length(CAST(8 + doc_id % 7 AS VARCHAR))
                               + (8 + doc_id % 9) * (8 + doc_id % 7) * 3
                          WHEN doc_id % 3 = 1
-                         THEN 44 + 2 * (200 + doc_id % 300)
+                         THEN 44 + 2 * 64
+                              * (4 + (((doc_id - 1) // 3) // 8) % 3)
                          ELSE 33 + length(CAST(8 + doc_id % 5 AS VARCHAR))
                               + length(CAST(8 + doc_id % 3 AS VARCHAR))
                               + (12 + doc_id % 19)
@@ -1037,7 +1040,8 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ELSE 8 + doc_id % 3
                     END AS INTEGER) AS height,
                CAST(CASE WHEN doc_id % 3 = 0 THEN 1
-                         WHEN doc_id % 3 = 1 THEN 200 + doc_id % 300
+                         WHEN doc_id % 3 = 1
+                         THEN 64 * (4 + (((doc_id - 1) // 3) // 8) % 3)
                          ELSE 12 + doc_id % 19 END AS INTEGER) AS n_frames
         FROM documents
     """,
@@ -1310,26 +1314,53 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "parsed to int16 sample arrays by the pure-numpy RIFF decoder "
         "(operators/multimodal.py::parse_wav) inside mapInPandas, "
         "reduced to decode-proving statistics. The oracle recomputes "
-        "rate/count and the exact sample sum and peak from the "
-        "generator's closed form (sample i of doc d = "
-        "((d + i) % 65536) - 32768) without touching the binary."
+        "rate/count and the exact sample sum and peak from the r11 "
+        "structured generator's integer closed form (family/variant "
+        "amplitude-phase product, operators/multimodal.py::"
+        "_wav_samples) without touching the binary."
     ),
     oracle="""
         WITH m AS (
-          SELECT doc_id, 200 + doc_id % 300 AS n
+          SELECT doc_id, (doc_id - 1) // 3 AS k
           FROM documents WHERE doc_id % 3 = 1
         ),
-        s AS (
-          SELECT doc_id, n,
-                 ((doc_id + UNNEST(range(0, n))) % 65536) - 32768 AS v
+        par AS (
+          SELECT doc_id, k, k // 8 AS u, k % 8 AS j,
+                 4 + (k // 8) % 3 AS msz
           FROM m
+        ),
+        par2 AS (
+          SELECT doc_id, k, u, j, msz,
+                 CASE WHEN j = 7 THEN 1000003 + k ELSE u END AS base,
+                 (u * 31) % 64 AS i0,
+                 CASE WHEN (u * 31) % 64 + 7 < 64
+                      THEN (u * 31) % 64 + 7
+                      ELSE (u * 31) % 64 - 7 END AS i1
+          FROM par
+        ),
+        s AS (
+          SELECT doc_id, u, j, msz, base, i0, i1,
+                 UNNEST(range(0, 64 * msz)) AS i
+          FROM par2
+        ),
+        sv AS (
+          SELECT doc_id,
+                 (1 + ((base * 2654435761
+                        + (CASE WHEN j BETWEEN 5 AND 6
+                                     AND (i // msz) = i0 THEN i1
+                                WHEN j BETWEEN 5 AND 6
+                                     AND (i // msz) = i1 THEN i0
+                                ELSE i // msz END) * 97) % 1009) % 13)
+                 * (16 + j)
+                 * (((i * 2654435761 + u) % 7) - 3) AS v
+          FROM s
         )
         SELECT doc_id,
                CAST(8000 AS INTEGER) AS sample_rate,
-               CAST(MIN(n) AS INTEGER) AS n_samples,
+               CAST(COUNT(*) AS INTEGER) AS n_samples,
                CAST(SUM(v) AS BIGINT) AS sample_sum,
                CAST(MAX(abs(v)) AS INTEGER) AS peak
-        FROM s GROUP BY doc_id
+        FROM sv GROUP BY doc_id
     """,
 )
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -23,15 +23,21 @@ Scale shapes (the 100 TB story):
   per distinct frame hash with its deterministic representative and
   multiplicity — exactly the "keep one copy per perceptual identity"
   reduction a frame-level feature extractor wants upstream.
-* AUDIO has no dedup entry, deliberately: the obvious fingerprint
-  (64-frame energy envelope, mean-thresholded like aHash) is
-  degenerate on the closed-form PCM ramps — every document's
-  near-monotone |sample| envelope thresholds to the same half-zeros/
-  half-ones signature (measured: ALL 1.39M audio pairs at sf0.1 land
-  within Hamming 3 of each other, one corpus-wide clique). A useful
-  audio fingerprint keys on spectral structure the synthetic corpus
-  lacks; registering the envelope hash would ship a mega-clique as if
-  it were a dedup operator.
+* AUDIO rides the same machinery since r11: the r10 blocker was the
+  GENERATOR (modular PCM ramps gave every document the same
+  near-uniform energy envelope — ALL 1.39M audio pairs at sf0.1
+  within Hamming 3, one corpus-wide clique, so no entry was
+  registered). The r11 structured generator
+  (operators/multimodal.py::_wav_samples: per-family pseudo-random
+  segment amplitudes x per-variant gain, all integer) plants a real
+  duplicate topology — gain-scaled copies share the energy-sign
+  fingerprint bit-for-bit, "re-mastered" variants sit a couple of
+  Hamming bits away, salted singletons ~30 bits away — and the
+  measured distribution is healthy (sf0.1: 1667 audio docs -> 542
+  distinct signatures, largest signature group 15, largest 16-bit
+  band bucket 179 pre-collapse; recorded in SCALE.md). The registered
+  shape is CLUSTERS (signature collapse -> band pairs on
+  representatives -> star closure), never pairs.
 """
 
 from __future__ import annotations
@@ -120,7 +126,9 @@ _CHUNKED_CTE = """
         "duplicate multiplicity by definition — the 30x twinned probe "
         "measured 8.8x because 30-copy cliques emit 435 pairs each; "
         "q_dedup_image_clusters (signature pre-pass, 1.4x at 30x) is "
-        "the shape a production pipeline consumes."
+        "the shape a production pipeline consumes. PAIRS-output rule "
+        "(SCALE.md): this entry is an oracle gate, headline-excluded "
+        "since r11."
     ),
     oracle=f"""
         WITH {_IMAGE_SIGS_CTE},
@@ -313,6 +321,158 @@ def q_dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = band_pairs.unionByName(identity_edges)
     nodes = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    cc = connected_components_star(pairs, nodes)
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
+# Shared oracle CTE: the integer-exact 64-segment energy-sign
+# fingerprint of every audio document, recomputed from the r11
+# structured generator's closed form (operators/multimodal.py::
+# _wav_samples). Bit s is e_s * 64 > total_energy (cross-multiplied
+# mean comparison — no division, engine-exact); the per-variant gain
+# (16 + j) squares into every term and cancels, which is exactly why
+# gain-twin family members j in 0..4 share the signature.
+_AUDIO_SIGS_CTE = """
+        m AS (
+          SELECT doc_id, (doc_id - 1) // 3 AS k
+          FROM documents WHERE doc_id % 3 = 1
+        ),
+        par AS (
+          SELECT doc_id, k, k // 8 AS u, k % 8 AS j,
+                 4 + (k // 8) % 3 AS msz
+          FROM m
+        ),
+        par2 AS (
+          SELECT doc_id, k, u, j, msz,
+                 CASE WHEN j = 7 THEN 1000003 + k ELSE u END AS base,
+                 (u * 31) % 64 AS i0,
+                 CASE WHEN (u * 31) % 64 + 7 < 64
+                      THEN (u * 31) % 64 + 7
+                      ELSE (u * 31) % 64 - 7 END AS i1
+          FROM par
+        ),
+        samp AS (
+          SELECT doc_id, u, j, msz, base, i0, i1,
+                 UNNEST(range(0, 64 * msz)) AS i
+          FROM par2
+        ),
+        sv AS (
+          SELECT doc_id, i // msz AS seg,
+                 (1 + ((base * 2654435761
+                        + (CASE WHEN j BETWEEN 5 AND 6
+                                     AND (i // msz) = i0 THEN i1
+                                WHEN j BETWEEN 5 AND 6
+                                     AND (i // msz) = i1 THEN i0
+                                ELSE i // msz END) * 97) % 1009) % 13)
+                 * (16 + j)
+                 * (((i * 2654435761 + u) % 7) - 3) AS v
+          FROM samp
+        ),
+        e AS (
+          SELECT doc_id, seg, SUM(v * v) AS es
+          FROM sv GROUP BY doc_id, seg
+        ),
+        te AS (SELECT doc_id, SUM(es) AS ts FROM e GROUP BY doc_id),
+        sigs AS MATERIALIZED (
+          SELECT e.doc_id,
+                 string_agg(CASE WHEN e.es * 64 > t.ts
+                            THEN '1' ELSE '0' END, '' ORDER BY e.seg) AS sim
+          FROM e JOIN te t USING (doc_id)
+          GROUP BY e.doc_id
+        )
+"""
+
+
+@register(
+    "q_dedup_audio_hash",
+    cost=2,
+    category="dedup",
+    doc=(
+        "Acoustic-fingerprint audio dedup resolved to CLUSTERS over "
+        "the REAL decoded WAV samples: pure-numpy RIFF/PCM16 parse "
+        "(operators/multimodal.py::parse_wav) -> integer-exact "
+        "64-segment energy-sign fingerprint (_audio_sig: bit = "
+        "segment energy over per-segment mean by cross "
+        "multiplication, int64 sums of squared int16 samples — any "
+        "uniform gain cancels, so volume-normalized copies "
+        "fingerprint identically) inside partition-preserving "
+        "mapInPandas, then the media-dedup discipline end-to-end: "
+        "identical-signature collapse to min-id representatives, "
+        "banded-Hamming candidate pairs on representatives only "
+        "(band_hamming_pairs, 16-bit chunks, Hamming <= 3), "
+        "identity-edge re-attachment, alternating-star connected "
+        "components, (doc_id, cluster_id, keep) out — linear output, "
+        "never pairs. The r10 energy-envelope hash was measured "
+        "degenerate on the ramp generator and NOT registered; the "
+        "r11 structured generator plants a real duplicate topology "
+        "(gain twins Hamming 0, re-mastered variants Hamming ~1, "
+        "salted singletons ~30; measured sf0.1: 542 distinct sigs "
+        "over 1667 docs, largest band bucket 179 pre-collapse — "
+        "SCALE.md) and the oracle recomputes every bit from doc_id "
+        "alone, replays the banding, and closes with a recursive-CTE "
+        "min-label closure, so the driver hash gates decode + "
+        "fingerprint + banding + closure end-to-end."
+    ),
+    oracle=f"""
+        WITH RECURSIVE {_AUDIO_SIGS_CTE},
+        {_CHUNKED_CTE},
+        prs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM chunked a JOIN chunked b
+            ON b.chunk_id = a.chunk_id AND b.chunk = a.chunk
+               AND b.doc_id > a.doc_id
+          WHERE hamming(a.sim, b.sim) <= 3
+        ),
+        sym AS (
+          SELECT doc_a AS src, doc_b AS dst FROM prs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM prs
+        ),
+        reach AS (
+          SELECT doc_id AS node, doc_id AS lbl
+          FROM documents WHERE doc_id % 3 = 1
+          UNION
+          SELECT s.dst AS node, r.lbl
+          FROM reach r JOIN sym s ON r.node = s.src
+          WHERE r.lbl < s.dst
+        )
+        SELECT node AS doc_id, MIN(lbl) AS cluster_id,
+               node = MIN(lbl) AS keep
+        FROM reach GROUP BY node
+    """,
+)
+def q_dedup_audio_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.dedup import connected_components_star
+    from kafka_s3_etl_spark.operators.multimodal import audio_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    sigs = audio_fingerprint(media.filter(F.col("media_type") == "audio"))
+    # Identical-signature collapse (the q_dedup_image_clusters
+    # discipline): gain-twin families are Hamming-0 cliques BY
+    # GENERATOR DESIGN, so collapsing each signature group to its
+    # min-id representative before the band self-join removes the
+    # O(k^2) intra-clique band pairs while identity edges keep the
+    # components exactly equal to the oracle's full-pair closure.
+    rep_w = Window.partitionBy("sim")
+    with_rep = sigs.select(
+        "doc_id", "sim", F.min("doc_id").over(rep_w).alias("rep")
+    ).localCheckpoint()
+    rep_sigs = with_rep.filter(F.col("doc_id") == F.col("rep")).select(
+        "doc_id", "sim"
+    )
+    band_pairs = band_hamming_pairs(
+        rep_sigs, ("doc_id",), max_hamming=3
+    ).select(F.col("a_doc_id").alias("doc_a"), F.col("b_doc_id").alias("doc_b"))
+    identity_edges = with_rep.filter(F.col("doc_id") != F.col("rep")).select(
+        F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    pairs = band_pairs.unionByName(identity_edges)
+    nodes = docs.filter(F.col("doc_id") % 3 == 1).select("doc_id")
     cc = connected_components_star(pairs, nodes)
     return cc.select(
         "doc_id",

@@ -748,8 +748,11 @@ def s_window_tumbling_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = run_available_now(
             agg, output_mode="complete", progress_sink=progress
         )
-    if progress:
-        # expose the final progress dict the way session_close does, so
-        # the provider-loaded assertion reads one well-known place
-        session_close.LAST_PROGRESS = progress[-1]
+    # Expose the final progress dict the way session_close does, so the
+    # provider-loaded assertion reads one well-known place.  Assign
+    # UNCONDITIONALLY (None when recentProgress came back empty) —
+    # otherwise a stale LAST_PROGRESS from a previously-run entry would
+    # survive and the rocksdb metric test could assert against another
+    # query's metrics (test-order-dependent false pass).
+    session_close.LAST_PROGRESS = progress[-1] if progress else None
     return out

@@ -40,7 +40,13 @@ from pyspark.sql.window import Window
 from kafka_s3_etl_spark.plans.registry import register
 from kafka_s3_etl_spark.sources.tables import load_table
 
-_MIN_PAIR = 100  # collocation support floor (c_xy below this is noise)
+# Collocation support floor, RELATIVE to corpus size: keep pairs with
+# c_xy >= n_pairs / _PAIR_FLOOR_DENOM (0.05% of all adjacent pairs).
+# An absolute floor (the r10 _MIN_PAIR=100) filtered EVERYTHING at the
+# sf0.01 driver-gate scale, making the oracle check vacuous (ADVICE
+# r10); the relative form is expressed as the integer cross-multiply
+# c_xy * DENOM >= n_pairs so no division enters either engine.
+_PAIR_FLOOR_DENOM = 2000
 _GRAM_K = 4  # winnowing k-gram width in tokens
 _WINNOW_W = 4  # winnowing window: one fingerprint per w consecutive grams
 
@@ -57,8 +63,10 @@ _WINNOW_W = 4  # winnowing window: one fingerprint per w consecutive grams
         "vocab^2-row pair table (never a second corpus pass) and ride "
         "broadcast joins back on. lift = (c_xy*N)/(c_x*c_y) as DOUBLE "
         "with pinned association — bit-exact across engines, so the "
-        "float is hashable. Top-20 on the (lift DESC, x, y) total "
-        "order via TakeOrdered, never a global sort."
+        "float is hashable. Support floor is RELATIVE (c_xy*2000 >= "
+        "n_pairs, i.e. 0.05% of all pairs) so the filter is non-vacuous "
+        "at every SF the oracle runs at. Top-20 on the (lift DESC, x, "
+        "y) total order via TakeOrdered, never a global sort."
     ),
     oracle=f"""
         WITH toks AS (
@@ -81,7 +89,7 @@ _WINNOW_W = 4  # winnowing window: one fingerprint per w consecutive grams
                (CAST(c_xy AS DOUBLE) * CAST(n_pairs AS DOUBLE))
                  / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE)) AS lift
         FROM pc JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN n
-        WHERE c_xy >= {_MIN_PAIR}
+        WHERE c_xy * {_PAIR_FLOOR_DENOM} >= n_pairs
         ORDER BY lift DESC, x, y LIMIT 20
     """,
 )
@@ -114,7 +122,7 @@ def q_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         pc.join(F.broadcast(cx), "x")
         .join(F.broadcast(cy), "y")
         .crossJoin(F.broadcast(n))
-        .filter(F.col("c_xy") >= _MIN_PAIR)
+        .filter(F.col("c_xy") * _PAIR_FLOOR_DENOM >= F.col("n_pairs"))
         .select(
             "x", "y", "c_xy", "c_x", "c_y", "n_pairs", lift.alias("lift")
         )
@@ -219,7 +227,8 @@ _RRF_OUT = 20
         "bounded by near-dup group size, never corpus size "
         "(measured 6.9x at the 30x twin probe — the pair COUNT is "
         "the quadratic part; q_winnow_clusters is the scale "
-        "deliverable)."
+        "deliverable). PAIRS-output rule (SCALE.md): this entry is an "
+        "oracle gate, headline-excluded since r11."
     ),
     oracle=f"""
         WITH toks AS (

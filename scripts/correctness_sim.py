@@ -113,6 +113,10 @@ def main() -> int:
             "spark_rows": None,
             "oracle_rows": None,
             "err": None,
+            # which scale factor THIS verification actually ran at —
+            # the artifact-level claim ("all entries verified at
+            # sf0.01") becomes per-entry evidence (VERDICT r10 #7)
+            "sf": os.path.basename(sf_dir.rstrip("/")),
         }
         records[name] = rec
         try:

@@ -275,6 +275,10 @@ PROBE_QUERIES = [
     # round-10 batch 44 (identical-hash twins collapse into clusters;
     # CC rounds bounded by the shallow near-dup graph)
     "q_dedup_image_clusters",
+    # round-11 batch 62 (audio clusters: gain-twin families are
+    # Hamming-0 cliques by generator design — the signature collapse
+    # absorbs them before banding)
+    "q_dedup_audio_hash",
     # round-10 batch 45 (rides the 10x twinned documents: every gram
     # in a twinned doc becomes corpus-duplicated, so the span/mask
     # stages face maximal duplication density)

@@ -682,7 +682,7 @@ def test_session_timeout_rocksdb_entry_loads_rocksdb(spark, sf_dir):
     assert any(m.lower().startswith("rocksdb") for m in metrics), metrics
 
 
-def test_window_tumbling_rocksdb_entry_loads_rocksdb(spark):
+def test_window_tumbling_rocksdb_entry_loads_rocksdb(spark, sf_dir):
     """s_window_tumbling_rocksdb (batch 60): the built-in window
     aggregation's state rides the RocksDB provider — the entry must
     produce rows AND leave rocksdb* custom metrics in the final
@@ -690,9 +690,7 @@ def test_window_tumbling_rocksdb_entry_loads_rocksdb(spark):
     from kafka_s3_etl_spark.plans.registry import all_queries
     from kafka_s3_etl_spark.streaming import session_close
 
-    df = all_queries()["s_window_tumbling_rocksdb"].fn(
-        spark, "/root/testdata/sf0.001"
-    )
+    df = all_queries()["s_window_tumbling_rocksdb"].fn(spark, sf_dir)
     assert df.count() > 0
     prog = session_close.LAST_PROGRESS
     assert prog is not None

@@ -99,3 +99,35 @@ def test_capability_gated_entries_are_exclusive():
         assert "s_session_timeout_tws" in qs
     else:
         assert "s_session_timeout_tws" in GATED
+
+
+def test_survey_table_ids_and_readme_counts_match_registry():
+    """VERDICT r10 #8: the totals line is pinned above, but a drifted
+    query id inside a SURVEY batch-table ROW (or a stale README count)
+    would still pass. Assert (a) every backticked q_/s_/x_ id used as
+    the FIRST cell of a SURVEY.md table row is a live registry or
+    GATED entry, (b) every registry entry appears somewhere in
+    SURVEY.md, and (c) README.md's "N of M catalog queries" sentence
+    matches the registry exactly."""
+    from kafka_s3_etl_spark.plans.registry import GATED
+
+    qs = all_queries()
+    survey = open(os.path.join(REPO, "SURVEY.md")).read()
+
+    table_ids = set(
+        re.findall(r"^\|\s*`([qsx]_[a-z0-9_]+)`\s*\|", survey, re.M)
+    )
+    known = set(qs) | set(GATED)
+    ghost = sorted(table_ids - known)
+    assert not ghost, f"SURVEY.md table rows name unknown entries: {ghost}"
+
+    missing = sorted(n for n in qs if f"`{n}`" not in survey and n not in survey)
+    assert not missing, f"registry entries absent from SURVEY.md: {missing}"
+
+    readme = open(os.path.join(REPO, "README.md")).read()
+    m = re.search(r"(\d+) of (\d+) catalog queries", readme)
+    assert m, "README.md lost the 'N of M catalog queries' sentence"
+    n_oracle = sum(1 for q in qs.values() if getattr(q, "oracle", None))
+    assert (int(m.group(1)), int(m.group(2))) == (n_oracle, len(qs)), (
+        "README catalog counts drifted from plans/registry.py"
+    )

@@ -11,6 +11,8 @@ catalog)."""
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -181,3 +183,51 @@ def test_tws_sessionizer_live(spark, sf_dir):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_tws_plan_construction_contract(spark, sf_dir):
+    """API-drift tripwire for the one streaming surface this container
+    cannot EXECUTE (google.protobuf is absent; the proto imports in
+    pyspark's stateful_processor_api_client are lazy, inside the
+    worker-side methods — verified r11): gap_sessions_tws must still
+    CONSTRUCT its streaming plan against the live Spark version. This
+    pins the transformWithStateInPandas keyword signature, the output
+    schema contract, the event-time watermark, and the analyzed plan
+    node, so a Spark upgrade that renames/retypes any of them fails
+    here instead of silently rotting behind the gated live test."""
+    import inspect
+
+    from pyspark.sql.pandas.group_ops import PandasGroupedOpsMixin
+
+    from kafka_s3_etl_spark.streaming.runner import stream_table
+    from kafka_s3_etl_spark.streaming.tws import gap_sessions_tws
+
+    # 1. the API surface tws.py targets still exists with the exact
+    # keywords it passes
+    params = inspect.signature(
+        PandasGroupedOpsMixin.transformWithStateInPandas
+    ).parameters
+    for kw in ("statefulProcessor", "outputStructType", "outputMode",
+               "timeMode"):
+        assert kw in params, f"transformWithStateInPandas lost {kw}"
+
+    # 2. the plan constructs (no protobuf needed until execution) and
+    # is a streaming frame with the declared output schema
+    df = gap_sessions_tws(stream_table(spark, sf_dir, "events"))
+    assert df.isStreaming
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema] == [
+        ("user_id", "bigint"),
+        ("session_start", "timestamp"),
+        ("session_end", "timestamp"),
+        ("n_events", "bigint"),
+    ]
+
+    # 3. the analyzed plan carries the stateful node and the watermark
+    # that drives its event-time timers
+    plan = df._jdf.queryExecution().analyzed().toString()
+    # Spark 4.1 prints the node as TransformWithStateInPySpark (4.0
+    # used ...InPandas) — accept the family, pin the stateful node
+    assert re.search(r"TransformWithStateIn(PySpark|Pandas)", plan), (
+        plan[:2000]
+    )
+    assert "EventTimeWatermark" in plan, plan[:2000]
