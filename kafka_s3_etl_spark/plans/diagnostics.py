@@ -498,4 +498,11 @@ def q_simjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "text")
     )
-    return set_similarity_join(uniq, threshold=0.9)
+    # identical token-SET collapse (r11): distinct texts that share a
+    # token set are interchangeable for Jaccard, so the prefix+verify
+    # joins run on one representative per set and re-expand after —
+    # measured 1.60x at sf0.1 with bit-identical output (963,966 rows,
+    # float-repr equal; SCALE.md round-11)
+    return set_similarity_join(
+        uniq, threshold=0.9, collapse_identical_sets=True
+    )

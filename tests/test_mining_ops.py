@@ -706,3 +706,36 @@ def test_label_propagation_capped_exact_on_induced_subgraph(spark):
     }
     assert capped == expected
     assert hub not in capped
+
+
+def test_set_similarity_join_collapse_is_output_identical(spark):
+    """collapse_identical_sets (r11) must be a pure plan optimization:
+    on a corpus with repeated token SETS across distinct texts (word
+    order / multiplicity shuffles), the collapsed pipeline returns the
+    EXACT row multiset of the uncollapsed one, floats included."""
+    from kafka_s3_etl_spark.operators.dedup import set_similarity_join
+
+    rows = []
+    # 6 base sets x 4 surface forms each (reordered / repeated words:
+    # same SET, different text), plus near-misses one token off
+    for b in range(6):
+        toks = [f"w{b}", f"w{b+1}", f"x{b}", "common", f"y{b % 3}"]
+        rows.append((100 * b, " ".join(toks)))
+        rows.append((100 * b + 1, " ".join(reversed(toks))))
+        rows.append((100 * b + 2, " ".join(toks + toks[:2])))
+        rows.append((100 * b + 3, toks[0] + " " + " ".join(toks)))
+        rows.append((100 * b + 4, " ".join(toks[:-1] + ["zzz"])))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for t in (0.6, 0.9, 1.0):
+        a = sorted(
+            (r.doc_a, r.doc_b, r.n_a, r.n_b, r.n_common, repr(r.jaccard))
+            for r in set_similarity_join(df, t).collect()
+        )
+        b_ = sorted(
+            (r.doc_a, r.doc_b, r.n_a, r.n_b, r.n_common, repr(r.jaccard))
+            for r in set_similarity_join(
+                df, t, collapse_identical_sets=True
+            ).collect()
+        )
+        assert a == b_, f"threshold {t}: {len(a)} vs {len(b_)} rows"
+    assert len(a) > 0  # the t=1.0 case actually exercises intra pairs
