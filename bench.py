@@ -344,6 +344,9 @@ HEADLINE = [
     "q_dedup_image_clusters",
     # round-11 batch 62: audio dedup resolved to clusters
     "q_dedup_audio_hash",
+    # round-11 batch 63: temperature mix + audio band features
+    "q_sample_temperature",
+    "q_audio_band_energies",
     # round-10 batch 45: exact substring-span dedup + mask transform
     "q_dedup_substring_spans",
     "q_dedup_substring_mask",

@@ -336,7 +336,7 @@ def q_dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mean comparison — no division, engine-exact); the per-variant gain
 # (16 + j) squares into every term and cancels, which is exactly why
 # gain-twin family members j in 0..4 share the signature.
-_AUDIO_SIGS_CTE = """
+_AUDIO_ENERGY_CTE = """
         m AS (
           SELECT doc_id, (doc_id - 1) // 3 AS k
           FROM documents WHERE doc_id % 3 = 1
@@ -376,7 +376,12 @@ _AUDIO_SIGS_CTE = """
           SELECT doc_id, seg, SUM(v * v) AS es
           FROM sv GROUP BY doc_id, seg
         ),
-        te AS (SELECT doc_id, SUM(es) AS ts FROM e GROUP BY doc_id),
+        te AS (SELECT doc_id, SUM(es) AS ts FROM e GROUP BY doc_id)
+"""
+
+_AUDIO_SIGS_CTE = (
+    _AUDIO_ENERGY_CTE
+    + """,
         sigs AS MATERIALIZED (
           SELECT e.doc_id,
                  string_agg(CASE WHEN e.es * 64 > t.ts
@@ -385,6 +390,7 @@ _AUDIO_SIGS_CTE = """
           GROUP BY e.doc_id
         )
 """
+)
 
 
 @register(
@@ -478,4 +484,56 @@ def q_dedup_audio_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
+# ---------------------------------------------------- round 11, batch 63
+
+
+@register(
+    "q_audio_band_energies",
+    cost=1,
+    category="multimodal",
+    doc=(
+        "Band-energy audio features over the REAL decoded WAV samples "
+        "— the dense-feature sibling of q_dedup_audio_hash's sign "
+        "fingerprint (same parse_wav seam inside partition-preserving "
+        "mapInPandas): the sample vector splits into 8 equal time "
+        "bands, each band's energy is the exact int64 sum of squared "
+        "int16 samples, and the only float is the single share-of-"
+        "total division, computed JVM-side with the identical IEEE op "
+        "in both engines. The oracle recomputes every energy from the "
+        "generator's integer closed form. This is the shape an audio "
+        "quality filter / loudness normalizer consumes upstream of "
+        "training; 8 rows per doc, map-only plus nothing — no "
+        "shuffle beyond the rollup-free emission."
+    ),
+    oracle=f"""
+        WITH {_AUDIO_ENERGY_CTE},
+        bands AS (
+          SELECT doc_id, CAST(seg // 8 AS INTEGER) AS band,
+                 CAST(SUM(es) AS BIGINT) AS energy
+          FROM e GROUP BY doc_id, seg // 8
+        )
+        SELECT b.doc_id, b.band, b.energy,
+               CAST(t.ts AS BIGINT) AS total_energy,
+               CAST(b.energy AS DOUBLE) / CAST(t.ts AS DOUBLE) AS share
+        FROM bands b JOIN te t USING (doc_id)
+    """,
+)
+def q_audio_band_energies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.multimodal import audio_band_energies
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    feats = audio_band_energies(
+        media.filter(F.col("media_type") == "audio")
+    )
+    return feats.select(
+        "doc_id",
+        "band",
+        "energy",
+        "total_energy",
+        F.expr(
+            "CAST(energy AS DOUBLE) / CAST(total_energy AS DOUBLE)"
+        ).alias("share"),
     )

@@ -73,6 +73,7 @@ _PLAN_MODULES = [
     "kafka_s3_etl_spark.plans.mediadedup",
     "kafka_s3_etl_spark.plans.substring",
     "kafka_s3_etl_spark.plans.textmine",
+    "kafka_s3_etl_spark.plans.mixing",
 ]
 
 

@@ -279,6 +279,9 @@ PROBE_QUERIES = [
     # Hamming-0 cliques by generator design — the signature collapse
     # absorbs them before banding)
     "q_dedup_audio_hash",
+    # round-11 batch 63
+    "q_sample_temperature",
+    "q_audio_band_energies",
     # round-10 batch 45 (rides the 10x twinned documents: every gram
     # in a twinned doc becomes corpus-duplicated, so the span/mask
     # stages face maximal duplication density)

@@ -1081,3 +1081,42 @@ def test_multiprobe_candidates_superset_of_single_probe(spark, sf_dir):
     )
     assert rec_m >= rec_s, (rec_m, rec_s)
     assert rec_m > 0.2  # the probes actually retrieve something real
+
+
+def test_sample_temperature_flattens_head_languages(spark, sf_dir):
+    """alpha=0.5 temperature sampling: the smallest language keeps
+    everything (threshold == 2^20, rate 1.0), every other language's
+    realized keep rate decreases as its corpus share grows, and rates
+    land near sqrt(n_min/n_l) (binomial tolerance)."""
+    from kafka_s3_etl_spark.plans.registry import all_queries
+
+    rows = all_queries()["q_sample_temperature"].fn(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    by_n = sorted(rows, key=lambda r: r.n_docs)
+    assert by_n[0].t_threshold == 1 << 20
+    assert by_n[0].n_kept == by_n[0].n_docs
+    n_min = by_n[0].n_docs
+    for r in rows:
+        target = (n_min / r.n_docs) ** 0.5
+        sd = (target * (1 - target) / r.n_docs) ** 0.5
+        assert abs(r.keep_rate - target) <= max(4 * sd, 2 / r.n_docs), (
+            r.lang, r.keep_rate, target,
+        )
+    # thresholds are monotone non-increasing in corpus size
+    ts = [r.t_threshold for r in by_n]
+    assert ts == sorted(ts, reverse=True)
+
+
+def test_audio_band_energies_shares_sum_to_one(spark, sf_dir):
+    """8 bands per audio doc; integer energies sum exactly to the
+    total, and the float shares sum to 1 within ulps."""
+    from kafka_s3_etl_spark.plans.registry import all_queries
+
+    rows = all_queries()["q_audio_band_energies"].fn(spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.doc_id, []).append(r)
+    for doc, rs in per.items():
+        assert len(rs) == 8
+        assert sum(r.energy for r in rs) == rs[0].total_energy
+        assert abs(sum(r.share for r in rs) - 1.0) < 1e-9
