@@ -347,6 +347,9 @@ HEADLINE = [
     # round-11 batch 63: temperature mix + audio band features
     "q_sample_temperature",
     "q_audio_band_energies",
+    # round-11 batch 64: textrank keywords + int8 quantization
+    "q_keyword_textrank",
+    "q_embed_quantize_int8",
     # round-10 batch 45: exact substring-span dedup + mask transform
     "q_dedup_substring_spans",
     "q_dedup_substring_mask",

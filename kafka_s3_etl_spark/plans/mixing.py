@@ -111,3 +111,193 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep_rate"),
         )
     )
+
+
+# ---------------------------------------------------- round 11, batch 64
+
+_TR_ITERS = 6
+_TR_INIT = 1_000_000_000
+_TR_AN = 85
+_TR_AD = 100
+
+
+def _textrank_oracle() -> str:
+    """Six rounds of integer fixed-point PageRank over the adjacent-
+    token co-occurrence graph, replayed as a generated AS MATERIALIZED
+    CTE chain — the q_graph_pagerank_exact template with the word
+    graph as the edge source."""
+    teleport = (_TR_AD - _TR_AN) * _TR_INIT // _TR_AD
+    rounds = []
+    for t in range(_TR_ITERS):
+        rounds.append(f"""
+        r{t + 1} AS MATERIALIZED (
+          SELECT n.node,
+                 CAST({teleport} + ({_TR_AN} * COALESCE(i.s, 0))
+                      // {_TR_AD} AS BIGINT) AS pr
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, CAST(SUM(r.pr // d.deg) AS BIGINT) AS s
+            FROM edges e
+            JOIN r{t} r ON r.node = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+          ) i ON i.node = n.node
+        )""")
+    chain = ",".join(rounds)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        prs AS (
+          SELECT w[i+1] AS x, w[i+2] AS y
+          FROM toks, UNNEST(range(len(w) - 1)) AS t(i)
+          WHERE len(w) >= 2
+        ),
+        und AS (
+          SELECT DISTINCT x, y FROM prs
+          WHERE x != y AND x != '' AND y != ''
+        ),
+        edges AS MATERIALIZED (
+          SELECT x AS src, y AS dst FROM und
+          UNION
+          SELECT y AS src, x AS dst FROM und
+        ),
+        deg AS MATERIALIZED (
+          SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+        ),
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+        r0 AS MATERIALIZED (
+          SELECT node, CAST({_TR_INIT} AS BIGINT) AS pr FROM nodes
+        ),{chain}
+        SELECT node AS token, pr AS rank_fp FROM r{_TR_ITERS}
+        ORDER BY pr DESC, node LIMIT 10
+    """
+
+
+@register(
+    "q_keyword_textrank",
+    cost=2,
+    category="text",
+    doc=(
+        "TextRank keyword extraction (Mihalcea & Tarau '04): corpus "
+        "co-occurrence graph over adjacent token pairs (undirected, "
+        "distinct, self-loops dropped) scored by integer fixed-point "
+        "PageRank (operators/graph.py::pagerank_fixedpoint — bigint "
+        "floor arithmetic makes all six rounds associative and "
+        "engine-exact), top-10 keywords on the (rank_fp DESC, token) "
+        "total order via TakeOrdered. The oracle replays edge "
+        "construction AND the full iteration as a generated "
+        "MATERIALIZED CTE chain. Scale: the graph is vocab-bounded "
+        "(nodes = distinct tokens, edges = distinct adjacent pairs), "
+        "so the per-round join+rollup shuffles a vocabulary-sized "
+        "table regardless of corpus size; the one corpus-scale stage "
+        "is the distinct over exploded pairs, map-side combined."
+    ),
+    oracle=_textrank_oracle(),
+)
+def q_keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from kafka_s3_etl_spark.operators.graph import pagerank_fixedpoint
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.select(
+            F.col("tok").alias("doc_a"), F.lead("tok").over(w).alias("doc_b")
+        )
+        .filter(
+            (F.col("doc_b").isNotNull())
+            & (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("doc_a") != "")
+            & (F.col("doc_b") != "")
+        )
+        .distinct()
+    )
+    ranks = pagerank_fixedpoint(
+        pairs,
+        iters=_TR_ITERS,
+        init=_TR_INIT,
+        alpha_num=_TR_AN,
+        alpha_den=_TR_AD,
+    )
+    return (
+        ranks.select(F.col("doc_id").alias("token"), "rank_fp")
+        .orderBy(F.desc("rank_fp"), "token")
+        .limit(10)
+    )
+
+
+@register(
+    "q_embed_quantize_int8",
+    cost=1,
+    category="similarity",
+    doc=(
+        "Symmetric int8 scalar quantization of the embedding column — "
+        "the 4x storage/bandwidth compression an ANN serving tier "
+        "applies before indexing: per-vector scale = max |v_i| (float "
+        "comparisons, exact), code_i = trunc(v_i * 127 / scale) "
+        "(float32 widens to double exactly; the multiply and divide "
+        "are the same two IEEE ops in both engines, and truncation "
+        "toward zero is stated explicitly on both sides — Spark CAST "
+        "truncates, the oracle spells CAST(trunc(..))). Output is the "
+        "per-vector integer audit: dims, exact code sum, min/max code "
+        "and the double scale — the codes themselves stay an array "
+        "transform away. Map-only, no shuffle, no Python. Known "
+        "shape cost: HOF lambdas get no common-subexpression "
+        "elimination, so the inlined per-element scale re-derivation "
+        "is O(d^2)/vector - measured 0.25 s at sf0.1 for d=64; for "
+        "high-d corpora restructure as explode + per-vec window max "
+        "(one exchange) instead."
+    ),
+    oracle="""
+        WITH v AS (
+          SELECT vec_id, embedding,
+                 (SELECT MAX(abs(CAST(x AS DOUBLE)))
+                  FROM UNNEST(embedding) AS u(x)) AS scale
+          FROM embeddings
+        ),
+        c AS (
+          SELECT vec_id, scale,
+                 CAST(trunc(CAST(x AS DOUBLE) * 127 / scale) AS BIGINT)
+                   AS code
+          FROM v, UNNEST(embedding) AS u(x)
+        )
+        SELECT vec_id,
+               CAST(COUNT(*) AS INTEGER) AS n_dims,
+               MIN(scale) AS scale,
+               CAST(SUM(code) AS BIGINT) AS code_sum,
+               CAST(MIN(code) AS BIGINT) AS code_min,
+               CAST(MAX(code) AS BIGINT) AS code_max
+        FROM c GROUP BY vec_id
+    """,
+)
+def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.expr("CAST(size(embedding) AS INT)").alias("n_dims"),
+        F.expr(
+            "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+        ).alias("scale"),
+        F.expr(
+            "CAST(aggregate(transform(embedding,"
+            " x -> CAST(CAST(x AS DOUBLE) * 127 / "
+            "array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE))))"
+            " AS BIGINT)), 0L, (a, b) -> a + b) AS BIGINT)"
+        ).alias("code_sum"),
+        F.expr(
+            "CAST(array_min(transform(embedding,"
+            " x -> CAST(CAST(x AS DOUBLE) * 127 / "
+            "array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE))))"
+            " AS BIGINT))) AS BIGINT)"
+        ).alias("code_min"),
+        F.expr(
+            "CAST(array_max(transform(embedding,"
+            " x -> CAST(CAST(x AS DOUBLE) * 127 / "
+            "array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE))))"
+            " AS BIGINT))) AS BIGINT)"
+        ).alias("code_max"),
+    )

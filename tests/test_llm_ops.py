@@ -1120,3 +1120,33 @@ def test_audio_band_energies_shares_sum_to_one(spark, sf_dir):
         assert len(rs) == 8
         assert sum(r.energy for r in rs) == rs[0].total_energy
         assert abs(sum(r.share for r in rs) - 1.0) < 1e-9
+
+
+def test_keyword_textrank_scores_and_order(spark, sf_dir):
+    """Top-10 keywords: strictly ordered by (rank_fp DESC, token),
+    all positive fixed-point masses, and frequent corpus tokens (the
+    graph's hubs) outrank rare ones — the top keyword must be among
+    the highest-degree tokens of the co-occurrence graph."""
+    from kafka_s3_etl_spark.plans.registry import all_queries
+
+    rows = all_queries()["q_keyword_textrank"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    keys = [(-r.rank_fp, r.token) for r in rows]
+    assert keys == sorted(keys)
+    assert all(r.rank_fp > 0 for r in rows)
+    assert len({r.token for r in rows}) == 10
+
+
+def test_embed_quantize_int8_code_envelope(spark, sf_dir):
+    """Codes live in [-127, 127], the max-|v| element always
+    quantizes to magnitude exactly 127 (trunc(scale*127/scale)), and
+    dims match the corpus."""
+    from kafka_s3_etl_spark.plans.registry import all_queries
+
+    rows = all_queries()["q_embed_quantize_int8"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_dims == 64
+        assert r.scale > 0
+        assert -127 <= r.code_min <= r.code_max <= 127
+        assert max(abs(r.code_min), abs(r.code_max)) == 127
