@@ -350,6 +350,9 @@ HEADLINE = [
     # round-11 batch 64: textrank keywords + int8 quantization
     "q_keyword_textrank",
     "q_embed_quantize_int8",
+    # round-11 batch 65: padding audit + sliding-window chunking
+    "q_padding_waste",
+    "q_chunk_fixed_overlap",
     # round-10 batch 45: exact substring-span dedup + mask transform
     "q_dedup_substring_spans",
     "q_dedup_substring_mask",

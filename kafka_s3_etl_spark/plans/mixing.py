@@ -301,3 +301,185 @@ def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT))) AS BIGINT)"
         ).alias("code_max"),
     )
+
+
+# ---------------------------------------------------- round 11, batch 65
+
+_BATCH_B = 32  # training micro-batch size for the padding audit
+_CHUNK_W = 16  # fixed chunk width in tokens
+_CHUNK_S = 8  # stride (50% overlap)
+
+
+@register(
+    "q_padding_waste",
+    cost=1,
+    category="prep",
+    doc=(
+        "Padding-efficiency audit for length-bucketed batching — the "
+        "measurement behind every 'sort by length before batching' "
+        "training-throughput win: documents are grouped into batches "
+        "of 32 either in arrival (doc_id) order or in (token count, "
+        "doc_id) order, each batch pads to its max length, and the "
+        "entry reports total vs padded tokens and the waste ratio per "
+        "strategy. Exact integers throughout (the ratio is the single "
+        "terminal division); both global total orders ride "
+        "bucketed_global_row_number — exact ROW_NUMBER with no "
+        "single-task sort, the operators/ranks.py machinery."
+    ),
+    oracle=f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '),
+                                      x -> x != '')) AS BIGINT) AS n_tok
+          FROM documents
+        ),
+        naive AS (
+          SELECT doc_id, n_tok,
+                 (ROW_NUMBER() OVER (ORDER BY doc_id) - 1)
+                   // {_BATCH_B} AS b
+          FROM d
+        ),
+        srt AS (
+          SELECT doc_id, n_tok,
+                 (ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) - 1)
+                   // {_BATCH_B} AS b
+          FROM d
+        ),
+        nb AS (
+          SELECT b, MAX(n_tok) AS mx, COUNT(*) AS c, SUM(n_tok) AS s
+          FROM naive GROUP BY b
+        ),
+        sb AS (
+          SELECT b, MAX(n_tok) AS mx, COUNT(*) AS c, SUM(n_tok) AS s
+          FROM srt GROUP BY b
+        ),
+        agg AS (
+          SELECT 'naive' AS strategy,
+                 CAST(SUM(c) AS BIGINT) AS n_docs,
+                 CAST(COUNT(*) AS BIGINT) AS n_batches,
+                 CAST(SUM(s) AS BIGINT) AS total_tokens,
+                 CAST(SUM(c * mx) AS BIGINT) AS padded_tokens
+          FROM nb
+          UNION ALL
+          SELECT 'sorted',
+                 CAST(SUM(c) AS BIGINT),
+                 CAST(COUNT(*) AS BIGINT),
+                 CAST(SUM(s) AS BIGINT),
+                 CAST(SUM(c * mx) AS BIGINT)
+          FROM sb
+        )
+        SELECT strategy, n_docs, n_batches, total_tokens, padded_tokens,
+               CAST(padded_tokens - total_tokens AS BIGINT)
+                 AS waste_tokens,
+               CAST(padded_tokens - total_tokens AS DOUBLE)
+                 / CAST(padded_tokens AS DOUBLE) AS waste_ratio
+        FROM agg
+    """,
+)
+def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.ranks import bucketed_global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)"
+        ).alias("n_tok"),
+    )
+
+    def audit(value: str, label: str) -> DataFrame:
+        ranked = bucketed_global_row_number(
+            docs, value, "doc_id", shift=0, descending=False
+        )
+        per_batch = (
+            ranked.withColumn(
+                "b", F.expr(f"(rn - 1) div {_BATCH_B}")
+            )
+            .groupBy("b")
+            .agg(
+                F.max("n_tok").alias("mx"),
+                F.count("*").alias("c"),
+                F.sum("n_tok").alias("s"),
+            )
+        )
+        return per_batch.agg(
+            F.lit(label).alias("strategy"),
+            F.sum("c").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_batches"),
+            F.sum("s").cast("bigint").alias("total_tokens"),
+            F.sum(F.expr("c * mx")).cast("bigint").alias("padded_tokens"),
+        )
+
+    out = audit("doc_id", "naive").unionByName(audit("n_tok", "sorted"))
+    return out.select(
+        "strategy",
+        "n_docs",
+        "n_batches",
+        "total_tokens",
+        "padded_tokens",
+        (F.col("padded_tokens") - F.col("total_tokens"))
+        .cast("bigint")
+        .alias("waste_tokens"),
+        F.expr(
+            "CAST(padded_tokens - total_tokens AS DOUBLE)"
+            " / CAST(padded_tokens AS DOUBLE)"
+        ).alias("waste_ratio"),
+    )
+
+
+@register(
+    "q_chunk_fixed_overlap",
+    cost=1,
+    category="text",
+    doc=(
+        "Fixed-size sliding-window chunking (width 16 tokens, stride "
+        "8 = 50% overlap) — the RAG/embedding chunker every retrieval "
+        "pipeline ships beside the content-defined q_chunk_cdc: "
+        "chunk starts via sequence(0, len-1, stride), token slices "
+        "via slice(), identity via md5 of the joined tokens. One "
+        "explode, wholly JVM, embarrassingly parallel; the oracle "
+        "replays starts/slices with UNNEST(range(...)) + 1-based "
+        "list slicing."
+    ),
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x != '') AS w
+          FROM documents
+        ),
+        st AS (
+          SELECT doc_id, w, UNNEST(range(0, len(w), {_CHUNK_S})) AS s
+          FROM toks WHERE len(w) > 0
+        )
+        SELECT doc_id,
+               CAST(s // {_CHUNK_S} AS INTEGER) AS chunk_idx,
+               CAST(s AS INTEGER) AS start_pos,
+               CAST(least({_CHUNK_W}, len(w) - s) AS INTEGER) AS n_tokens,
+               md5(list_aggregate(w[s + 1 : s + {_CHUNK_W}],
+                                  'string_agg', ' ')) AS chunk_md5
+        FROM st
+    """,
+)
+def q_chunk_fixed_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("w"),
+    ).filter(F.expr("size(w) > 0"))
+    st = toks.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.expr(f"sequence(0, size(w) - 1, {_CHUNK_S})")
+        ).alias("s"),
+    )
+    return st.select(
+        "doc_id",
+        F.expr(f"CAST(s div {_CHUNK_S} AS INT)").alias("chunk_idx"),
+        F.col("s").cast("int").alias("start_pos"),
+        F.expr(f"CAST(least({_CHUNK_W}, size(w) - s) AS INT)").alias(
+            "n_tokens"
+        ),
+        F.expr(
+            f"md5(concat_ws(' ', slice(w, s + 1, {_CHUNK_W})))"
+        ).alias("chunk_md5"),
+    )

@@ -1150,3 +1150,59 @@ def test_embed_quantize_int8_code_envelope(spark, sf_dir):
         assert r.scale > 0
         assert -127 <= r.code_min <= r.code_max <= 127
         assert max(abs(r.code_min), abs(r.code_max)) == 127
+
+
+def test_padding_waste_sorted_never_worse(spark, sf_dir):
+    """Length-sorted batching can only reduce padding: same doc/token
+    totals per strategy, sorted waste <= naive waste, and padded =
+    total + waste exactly."""
+    from kafka_s3_etl_spark.plans.registry import all_queries
+
+    rows = {
+        r.strategy: r
+        for r in all_queries()["q_padding_waste"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"naive", "sorted"}
+    n, s = rows["naive"], rows["sorted"]
+    assert n.n_docs == s.n_docs and n.total_tokens == s.total_tokens
+    assert n.n_batches == s.n_batches
+    for r in (n, s):
+        assert r.padded_tokens == r.total_tokens + r.waste_tokens
+        assert 0 <= r.waste_ratio < 1
+    assert s.waste_tokens <= n.waste_tokens
+
+
+def test_chunk_fixed_overlap_covers_and_overlaps(spark, sf_dir):
+    """Every token position is covered by >= 1 chunk, consecutive
+    chunks overlap by W - S tokens (except tails), and chunk_md5
+    equals the md5 of the actual token slice."""
+    import hashlib
+
+    from kafka_s3_etl_spark.plans.registry import all_queries
+    from kafka_s3_etl_spark.sources.tables import load_table
+
+    chunks = (
+        all_queries()["q_chunk_fixed_overlap"].fn(spark, sf_dir).collect()
+    )
+    texts = {
+        r.doc_id: [t for t in r.text.split(" ") if t]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    per = {}
+    for c in chunks:
+        per.setdefault(c.doc_id, []).append(c)
+    assert set(per) == {d for d, w in texts.items() if w}
+    for doc, cs in per.items():
+        w = texts[doc]
+        cs.sort(key=lambda c: c.start_pos)
+        covered = set()
+        for c in cs:
+            sl = w[c.start_pos : c.start_pos + 16]
+            assert c.n_tokens == len(sl)
+            want = hashlib.md5(" ".join(sl).encode()).hexdigest()
+            assert c.chunk_md5 == want
+            covered.update(range(c.start_pos, c.start_pos + len(sl)))
+        assert covered == set(range(len(w)))
+        assert [c.start_pos for c in cs] == list(range(0, len(w), 8))
