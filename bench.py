@@ -353,6 +353,9 @@ HEADLINE = [
     # round-11 batch 65: padding audit + sliding-window chunking
     "q_padding_waste",
     "q_chunk_fixed_overlap",
+    # round-11 batch 66: tf-idf features + exact centroids
+    "q_tfidf_topk",
+    "q_embed_centroid_exact",
     # round-10 batch 45: exact substring-span dedup + mask transform
     "q_dedup_substring_spans",
     "q_dedup_substring_mask",

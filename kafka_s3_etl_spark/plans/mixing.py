@@ -483,3 +483,150 @@ def q_chunk_fixed_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"md5(concat_ws(' ', slice(w, s + 1, {_CHUNK_W})))"
         ).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------- round 11, batch 66
+
+
+@register(
+    "q_tfidf_topk",
+    cost=1,
+    category="text",
+    doc=(
+        "Top-3 TF-IDF terms per document — the classic IR feature "
+        "under the house exact-arithmetic discipline: tf is the exact "
+        "in-doc term count, idf is ln(N/df) quantized ONCE per "
+        "distinct token to integer micro-nats (the q_lm_score rule — "
+        "df is a per-token constant, so the only float op happens "
+        "token-cardinality times, never row times), and the score "
+        "tf * idf_q is an exact BIGINT product, making the per-doc "
+        "(score DESC, token) rank total and engine-exact. The per-doc "
+        "window partitions on doc_id — high cardinality, so every "
+        "partition is one document and no task sees more than a "
+        "document's vocabulary; no bucketed rank needed."
+    ),
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, UNNEST(list_filter(string_split(text, ' '),
+                                            x -> x != '')) AS token
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM toks GROUP BY doc_id, token
+        ),
+        df AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+          GROUP BY token
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                 CAST(tf.tf * CAST(ROUND(ln(CAST(n.n_docs AS DOUBLE)
+                          / CAST(df.df AS DOUBLE)) * 1000000) AS BIGINT)
+                      AS BIGINT) AS score_fp
+          FROM tf JOIN df USING (token) CROSS JOIN n
+        )
+        SELECT doc_id, token, tf, df, score_fp,
+               CAST(rk AS INTEGER) AS rk
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY score_fp DESC, token) AS rk
+          FROM scored
+        ) WHERE rk <= 3
+    """,
+)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(text, ' '), x -> x != '')")
+        ).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    n = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.expr(
+                "CAST(tf * CAST(ROUND(ln(CAST(n_docs AS DOUBLE)"
+                " / CAST(df AS DOUBLE)) * 1000000) AS BIGINT) AS BIGINT)"
+            ).alias("score_fp"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_fp"), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tf", "df", "score_fp", "rk")
+    )
+
+
+@register(
+    "q_embed_centroid_exact",
+    cost=1,
+    category="similarity",
+    doc=(
+        "Per-label embedding centroids in exact fixed point — the "
+        "class-prototype computation behind centroid classifiers and "
+        "semantic-drift monitors, made hash-verifiable: each float32 "
+        "coordinate quantizes ONCE to integer micro-units "
+        "(trunc(v * 1e6), float32 widens to double exactly, one "
+        "multiply + one trunc identical in both engines), and the "
+        "centroid numerator is then an exact BIGINT sum — "
+        "association-free, unlike a float mean. One explode + one "
+        "map-side-combined (label, dim) rollup; 10 labels x 64 dims "
+        "of output regardless of corpus size. The double centroid is "
+        "the single terminal division chain."
+    ),
+    oracle="""
+        WITH v AS (
+          SELECT label, embedding,
+                 UNNEST(range(len(embedding))) AS dim
+          FROM embeddings
+        ),
+        q AS (
+          SELECT label, CAST(dim AS INTEGER) AS dim,
+                 CAST(trunc(CAST(embedding[dim + 1] AS DOUBLE) * 1000000)
+                      AS BIGINT) AS fx
+          FROM v
+        )
+        SELECT label, dim,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(fx) AS BIGINT) AS sum_fp,
+               CAST(CAST(SUM(fx) AS BIGINT) AS DOUBLE)
+                 / CAST(COUNT(*) AS BIGINT) / 1000000 AS centroid
+        FROM q GROUP BY label, dim
+    """,
+)
+def q_embed_centroid_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "label",
+        F.col("dim").cast("int").alias("dim"),
+        F.expr(
+            "CAST(CAST(CAST(x AS DOUBLE) * 1000000 AS BIGINT) AS BIGINT)"
+        ).alias("fx"),
+    )
+    return q.groupBy("label", "dim").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum("fx").cast("bigint").alias("sum_fp"),
+        F.expr(
+            "CAST(CAST(SUM(fx) AS BIGINT) AS DOUBLE)"
+            " / CAST(COUNT(*) AS BIGINT) / 1000000"
+        ).alias("centroid"),
+    )

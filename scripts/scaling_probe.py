@@ -288,6 +288,9 @@ PROBE_QUERIES = [
     # round-11 batch 65
     "q_padding_waste",
     "q_chunk_fixed_overlap",
+    # round-11 batch 66
+    "q_tfidf_topk",
+    "q_embed_centroid_exact",
     # round-10 batch 45 (rides the 10x twinned documents: every gram
     # in a twinned doc becomes corpus-duplicated, so the span/mask
     # stages face maximal duplication density)

@@ -1206,3 +1206,45 @@ def test_chunk_fixed_overlap_covers_and_overlaps(spark, sf_dir):
             covered.update(range(c.start_pos, c.start_pos + len(sl)))
         assert covered == set(range(len(w)))
         assert [c.start_pos for c in cs] == list(range(0, len(w), 8))
+
+
+def test_tfidf_topk_ranks_rare_terms_over_ubiquitous(spark, sf_dir):
+    """Exactly <= 3 rows per doc, rank keys strictly ordered, scores
+    of ubiquitous terms (df == N) are zero, and any doc containing a
+    rarer term ranks it above a df==N term with equal tf."""
+    from kafka_s3_etl_spark.plans.registry import all_queries
+    from kafka_s3_etl_spark.sources.tables import load_table
+
+    rows = all_queries()["q_tfidf_topk"].fn(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    per = {}
+    for r in rows:
+        per.setdefault(r.doc_id, []).append(r)
+    for doc, rs in per.items():
+        assert 1 <= len(rs) <= 3
+        rs.sort(key=lambda r: r.rk)
+        keys = [(-r.score_fp, r.token) for r in rs]
+        assert keys == sorted(keys)
+        for r in rs:
+            assert (r.score_fp == 0) == (r.df == n_docs) or r.tf == 0
+
+
+def test_embed_centroid_exact_matches_numpy(spark, sf_dir):
+    """The fixed-point centroid tracks the float mean within
+    quantization error (1e-6 per coordinate) and counts match."""
+    import numpy as np
+
+    from kafka_s3_etl_spark.plans.registry import all_queries
+    from kafka_s3_etl_spark.sources.tables import load_table
+
+    rows = all_queries()["q_embed_centroid_exact"].fn(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append(np.array(r.embedding))
+    assert {r.label for r in rows} == set(by_label)
+    for r in rows:
+        vecs = by_label[r.label]
+        assert r.n_vecs == len(vecs)
+        want = float(np.mean([v[r.dim] for v in vecs]))
+        assert abs(r.centroid - want) <= 2e-6
