@@ -356,6 +356,8 @@ HEADLINE = [
     # round-11 batch 66: tf-idf features + exact centroids
     "q_tfidf_topk",
     "q_embed_centroid_exact",
+    # round-11 batch 67: crawl-refresh cross-corpus dedup
+    "q_dedup_cross_corpus",
     # round-10 batch 45: exact substring-span dedup + mask transform
     "q_dedup_substring_spans",
     "q_dedup_substring_mask",

@@ -1359,3 +1359,63 @@ def mask_duplicate_substrings(documents: DataFrame, k: int = 12) -> DataFrame:
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def md5_minhash_cross_dups(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Cross-corpus MinHash-LSH near-dup detection — the crawl-refresh
+    shape: every INCOMING document is banded against the EXISTING
+    corpus only (a one-sided band equi-join, never a self-join over
+    the union), so the work is |new| x bucket-occupancy instead of
+    (|new| + |base|)^2 candidates. Same md5 hash family, shingles,
+    and band keys as ``md5_minhash_near_dups``, so the oracle can
+    replay the full pipeline; est_jaccard = agree/k stays an exact
+    binary fraction. Returns (new_doc, base_doc, est_jaccard)
+    candidate matches at/above ``threshold``."""
+    r = k // bands
+    band_structs = ", ".join(
+        "struct({b} AS band_id, concat({cols}) AS key)".format(
+            b=b, cols=", ".join(f"mh{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    sig_cols = ", ".join(f"mh{i}" for i in range(k))
+
+    def banded(docs: DataFrame) -> DataFrame:
+        return (
+            md5_minhash_signatures(docs, k)
+            .select(
+                "doc_id",
+                F.expr(f"array({sig_cols}) AS sig"),
+                F.explode(F.expr(f"array({band_structs})")).alias("band"),
+            )
+            .select("doc_id", "sig", "band.band_id", "band.key")
+        )
+
+    a = banded(new_docs).alias("a")
+    b = banded(base_docs).alias("b")
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_doc"),
+            F.col("b.doc_id").alias("base_doc"),
+            (agree.cast("double") / k).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
+    )

@@ -630,3 +630,137 @@ def q_embed_centroid_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(COUNT(*) AS BIGINT) / 1000000"
         ).alias("centroid"),
     )
+
+
+# ---------------------------------------------------- round 11, batch 67
+
+_XC_PACK = 1099511627776  # 2^40: (16-agree, base_doc) packed arg-min
+
+
+def _cross_dedup_oracle() -> str:
+    """md5-MinHash banding replayed with the two corpora split by
+    doc_id % 10, joined one-sided (incoming x base), resolved to the
+    per-incoming-doc admit/reject decision."""
+    from kafka_s3_etl_spark.operators.dedup import (
+        LSH_BANDS,
+        MINHASH_K,
+        SHINGLE_N,
+    )
+
+    mins = ",\n                 ".join(
+        f"MIN(md5(g || '{i}')) AS mh{i}" for i in range(MINHASH_K)
+    )
+    sig_cols = ", ".join(f"mh{i}" for i in range(MINHASH_K))
+    r = MINHASH_K // LSH_BANDS
+    band_selects = "\n          UNION ALL\n          ".join(
+        "SELECT doc_id, {b} AS band_id, {key} AS key, {cols} FROM sig".format(
+            b=b,
+            key=" || ".join(f"mh{b * r + j}" for j in range(r)),
+            cols=sig_cols,
+        )
+        for b in range(LSH_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(MINHASH_K)
+    )
+    shingle_expr = " || ' ' || ".join(
+        f"w[i+{j + 1}]" for j in range(SHINGLE_N)
+    )
+    return f"""
+        WITH words AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, s FROM words,
+            UNNEST(list_transform(range(len(w) - {SHINGLE_N - 1}),
+                   i -> {shingle_expr})) AS t(s)
+          WHERE len(w) >= {SHINGLE_N}
+        ),
+        g AS (SELECT doc_id, md5(s) AS g FROM sh),
+        sig AS MATERIALIZED (
+          SELECT doc_id,
+                 {mins}
+          FROM g GROUP BY doc_id
+        ),
+        bands AS MATERIALIZED (
+          {band_selects}
+        ),
+        crs AS (
+          SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS base_doc,
+                 {agree} AS agree
+          FROM bands a JOIN bands b
+            ON b.band_id = a.band_id AND b.key = a.key
+          WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+            AND {agree} >= 8
+        ),
+        hits AS (
+          SELECT new_doc, CAST(COUNT(*) AS BIGINT) AS n_matches,
+                 MIN((16 - agree) * {_XC_PACK} + base_doc) AS pk
+          FROM crs GROUP BY new_doc
+        )
+        SELECT d.doc_id AS new_doc,
+               COALESCE(h.n_matches, 0) AS n_matches,
+               CAST(16 - h.pk // {_XC_PACK} AS INTEGER) AS best_agree,
+               CAST(h.pk % {_XC_PACK} AS BIGINT) AS best_base,
+               h.pk IS NOT NULL AS is_dup
+        FROM documents d LEFT JOIN hits h ON h.new_doc = d.doc_id
+        WHERE d.doc_id % 10 = 0
+    """
+
+
+@register(
+    "q_dedup_cross_corpus",
+    cost=2,
+    category="dedup",
+    doc=(
+        "Cross-corpus fuzzy dedup — the crawl-refresh decision every "
+        "continuously-trained pipeline runs: incoming documents "
+        "(doc_id % 10 = 0 plays the new crawl) are MinHash-banded "
+        "against the existing corpus ONLY (operators/dedup.py::"
+        "md5_minhash_cross_dups — a one-sided band equi-join, work = "
+        "|new| x bucket occupancy, never a self-join over the union), "
+        "and each incoming doc resolves to a linear admit/reject row: "
+        "match count, best agreement (exact /16 fraction as an int), "
+        "deterministic best base match via a packed integer arg-min. "
+        "md5 family end-to-end, so the oracle replays shingles -> "
+        "signatures -> bands -> cross join -> decision value-for-"
+        "value. Linear output (one row per incoming doc) — the "
+        "PAIRS-output rule never engages."
+    ),
+    oracle=_cross_dedup_oracle(),
+)
+def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.dedup import md5_minhash_cross_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    base_docs = docs.filter(F.col("doc_id") % 10 != 0)
+    matches = md5_minhash_cross_dups(
+        new_docs, base_docs, threshold=0.5
+    ).select(
+        "new_doc",
+        "base_doc",
+        F.expr("CAST(ROUND(est_jaccard * 16) AS BIGINT)").alias("agree"),
+    )
+    hits = matches.groupBy("new_doc").agg(
+        F.count("*").cast("bigint").alias("n_matches"),
+        F.min(
+            F.expr(f"(16 - agree) * {_XC_PACK} + base_doc")
+        ).alias("pk"),
+    )
+    return (
+        new_docs.select(F.col("doc_id").alias("new_doc"))
+        .join(hits, "new_doc", "left")
+        .select(
+            "new_doc",
+            F.coalesce(F.col("n_matches"), F.lit(0).cast("bigint")).alias(
+                "n_matches"
+            ),
+            F.expr(f"CAST(16 - pk div {_XC_PACK} AS INT)").alias(
+                "best_agree"
+            ),
+            F.expr(f"CAST(pk % {_XC_PACK} AS BIGINT)").alias("best_base"),
+            F.col("pk").isNotNull().alias("is_dup"),
+        )
+    )

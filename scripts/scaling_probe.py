@@ -291,6 +291,8 @@ PROBE_QUERIES = [
     # round-11 batch 66
     "q_tfidf_topk",
     "q_embed_centroid_exact",
+    # round-11 batch 67
+    "q_dedup_cross_corpus",
     # round-10 batch 45 (rides the 10x twinned documents: every gram
     # in a twinned doc becomes corpus-duplicated, so the span/mask
     # stages face maximal duplication density)

@@ -1248,3 +1248,36 @@ def test_embed_centroid_exact_matches_numpy(spark, sf_dir):
         assert r.n_vecs == len(vecs)
         want = float(np.mean([v[r.dim] for v in vecs]))
         assert abs(r.centroid - want) <= 2e-6
+
+
+def test_dedup_cross_corpus_decisions(spark, sf_dir):
+    """One row per incoming doc; every exact cross-corpus text twin is
+    flagged (MinHash agreement 16/16 for identical shingle sets); non-
+    dup rows carry NULL best-match columns; best_base is always a BASE
+    corpus member."""
+    from kafka_s3_etl_spark.plans.registry import all_queries
+    from kafka_s3_etl_spark.sources.tables import load_table
+
+    rows = all_queries()["q_dedup_cross_corpus"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    new_ids = {d.doc_id for d in docs if d.doc_id % 10 == 0}
+    base_texts = {d.text for d in docs if d.doc_id % 10 != 0}
+    assert {r.new_doc for r in rows} == new_ids
+    by_id = {r.new_doc: r for r in rows}
+    # every exact cross-corpus twin must be flagged at full agreement
+    # (sf0.001 has no cross twins — the loop is then vacuous and the
+    # sf0.01 oracle gate carries the positive case: 6 dups measured)
+    for d in docs:
+        if d.doc_id % 10 == 0 and d.text in base_texts:
+            r = by_id[d.doc_id]
+            assert r.is_dup and r.best_agree == 16, r
+    for r in rows:
+        if r.is_dup:
+            assert r.best_base % 10 != 0
+            assert 8 <= r.best_agree <= 16
+            assert r.n_matches >= 1
+        else:
+            assert r.best_base is None and r.best_agree is None
+            assert r.n_matches == 0
