@@ -358,6 +358,9 @@ HEADLINE = [
     "q_embed_centroid_exact",
     # round-11 batch 67: crawl-refresh cross-corpus dedup
     "q_dedup_cross_corpus",
+    # round-11 batch 68: governance audits
+    "q_kanonymity_audit",
+    "q_freshness_lag",
     # round-10 batch 45: exact substring-span dedup + mask transform
     "q_dedup_substring_spans",
     "q_dedup_substring_mask",

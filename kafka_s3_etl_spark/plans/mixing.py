@@ -764,3 +764,108 @@ def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pk").isNotNull().alias("is_dup"),
         )
     )
+
+
+# ---------------------------------------------------- round 11, batch 68
+
+_KANON_K = 5
+_LDIV_L = 3
+
+
+@register(
+    "q_kanonymity_audit",
+    cost=1,
+    category="governance",
+    doc=(
+        "k-anonymity / l-diversity audit over the customer quasi-"
+        "identifiers (nation x market segment): per-QI-group size, "
+        "distinct-sensitive-value count (account balance in 1000-unit "
+        "bins), and the k<5 / l<3 violation flags — the re-"
+        "identification risk report a privacy review runs before a "
+        "dataset ships. The FULL group table is emitted (bounded at "
+        "|nations| x |segments| rows at any corpus size), not just "
+        "violators, so the oracle check never goes vacuous at small "
+        "SF (the r10 collocations lesson). One map-side-combined "
+        "rollup; exact integers only."
+    ),
+    oracle=f"""
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS group_size,
+               CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT))
+                    AS BIGINT) AS l_diversity,
+               COUNT(*) < {_KANON_K} AS k_violation,
+               CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT))
+                    AS BIGINT) < {_LDIV_L} AS l_violation
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def q_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    sens = F.expr("CAST(FLOOR(c_acctbal / 1000) AS BIGINT)")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("group_size"),
+            F.countDistinct(sens).cast("bigint").alias("l_diversity"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            "l_diversity",
+            (F.col("group_size") < _KANON_K).alias("k_violation"),
+            (F.col("l_diversity") < _LDIV_L).alias("l_violation"),
+        )
+    )
+
+
+@register(
+    "q_freshness_lag",
+    cost=1,
+    category="governance",
+    doc=(
+        "Per-stream freshness audit — the staleness monitor a "
+        "data-platform SLO dashboard reads: per event type, the last "
+        "event time and its lag behind the globally freshest event, "
+        "computed in exact microseconds (unix_micros subtraction — "
+        "never cast('long'), which truncates to seconds; the "
+        "tests/test_testdata_canary.py rule) with the single terminal "
+        "division to seconds. Two tiny rollups, the global max "
+        "broadcast back on."
+    ),
+    oracle="""
+        WITH per AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 MAX(ts) AS last_ts,
+                 MAX(epoch_us(ts)) AS last_us
+          FROM events GROUP BY event_type
+        ),
+        g AS (SELECT MAX(last_us) AS global_us FROM per)
+        SELECT event_type, n_events, last_ts,
+               CAST(g.global_us - per.last_us AS BIGINT) AS lag_us,
+               CAST(g.global_us - per.last_us AS DOUBLE) / 1000000
+                 AS lag_seconds
+        FROM per CROSS JOIN g
+    """,
+)
+def q_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per = events.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max("ts").alias("last_ts"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )
+    g = per.agg(F.max("last_us").alias("global_us"))
+    return per.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_events",
+        "last_ts",
+        (F.col("global_us") - F.col("last_us")).cast("bigint").alias(
+            "lag_us"
+        ),
+        F.expr(
+            "CAST(global_us - last_us AS DOUBLE) / 1000000"
+        ).alias("lag_seconds"),
+    )

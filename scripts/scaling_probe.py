@@ -293,6 +293,9 @@ PROBE_QUERIES = [
     "q_embed_centroid_exact",
     # round-11 batch 67
     "q_dedup_cross_corpus",
+    # round-11 batch 68
+    "q_kanonymity_audit",
+    "q_freshness_lag",
     # round-10 batch 45 (rides the 10x twinned documents: every gram
     # in a twinned doc becomes corpus-duplicated, so the span/mask
     # stages face maximal duplication density)

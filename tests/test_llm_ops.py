@@ -1281,3 +1281,33 @@ def test_dedup_cross_corpus_decisions(spark, sf_dir):
         else:
             assert r.best_base is None and r.best_agree is None
             assert r.n_matches == 0
+
+
+def test_kanonymity_audit_group_table(spark, sf_dir):
+    """Group table is the full QI cross-section present in the data,
+    sizes sum to the table count, l_diversity <= group_size, and flags
+    mirror the thresholds."""
+    from kafka_s3_etl_spark.plans.registry import all_queries
+    from kafka_s3_etl_spark.sources.tables import load_table
+
+    rows = all_queries()["q_kanonymity_audit"].fn(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "customer").count()
+    assert sum(r.group_size for r in rows) == total
+    for r in rows:
+        assert 1 <= r.l_diversity <= r.group_size
+        assert r.k_violation == (r.group_size < 5)
+        assert r.l_violation == (r.l_diversity < 3)
+
+
+def test_freshness_lag_zero_for_freshest(spark, sf_dir):
+    """Exactly one stream has zero lag (the global max), every lag is
+    non-negative, and lag_seconds = lag_us / 1e6."""
+    from kafka_s3_etl_spark.plans.registry import all_queries
+
+    rows = all_queries()["q_freshness_lag"].fn(spark, sf_dir).collect()
+    assert rows
+    zeros = [r for r in rows if r.lag_us == 0]
+    assert len(zeros) >= 1
+    for r in rows:
+        assert r.lag_us >= 0
+        assert abs(r.lag_seconds - r.lag_us / 1e6) < 1e-12
