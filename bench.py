@@ -361,6 +361,9 @@ HEADLINE = [
     # round-11 batch 68: governance audits
     "q_kanonymity_audit",
     "q_freshness_lag",
+    # round-11 batch 69: late interaction + rocksdb dedup
+    "q_maxsim_late_interaction",
+    "s_dedup_watermark_rocksdb",
     # round-10 batch 45: exact substring-span dedup + mask transform
     "q_dedup_substring_spans",
     "q_dedup_substring_mask",

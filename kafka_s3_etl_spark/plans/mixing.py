@@ -869,3 +869,124 @@ def q_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(global_us - last_us AS DOUBLE) / 1000000"
         ).alias("lag_seconds"),
     )
+
+
+# ---------------------------------------------------- round 11, batch 69
+
+_MAXSIM_TOKS = 4  # token vectors per group (multi-vector doc/query)
+_MAXSIM_K = 5
+
+
+@register(
+    "q_maxsim_late_interaction",
+    cost=2,
+    category="similarity",
+    doc=(
+        "ColBERT-style late-interaction retrieval (Khattab & Zaharia "
+        "'20): consecutive embedding rows group into multi-vector "
+        "units of 4 token vectors (vec_id div 4 = unit, vec_id % 4 = "
+        "token slot); score(q, d) = sum over query tokens of the max "
+        "dot product against d's token vectors. Every dot product is "
+        "the bit-exact primitive (Spark aggregate(zip_with) in "
+        "doubles == DuckDB list_dot_product on DOUBLE[] — the "
+        "q_dedup_embedding discipline), max-selection is exact, and "
+        "the 4-term sum is a FIXED-ORDER expression over pivoted "
+        "slots (m0+m1+m2+m3 — the PQ-ADC rule: never a float groupBy "
+        "SUM whose association depends on partitioning), so the "
+        "MaxSim double itself is hash-stable. Top-5 per query via "
+        "the bucketed per-group rank (no single-task sort). Scale: "
+        "queries broadcast against doc tokens — one linear pass, "
+        "candidate pruning (an ANN front like the LSH entries) slots "
+        "in before this exact re-rank at larger k."
+    ),
+    oracle=f"""
+        WITH v AS (
+          SELECT vec_id // {_MAXSIM_TOKS} AS g,
+                 vec_id % {_MAXSIM_TOKS} AS tok,
+                 CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings
+        ),
+        full_g AS (
+          SELECT g FROM v GROUP BY g HAVING COUNT(*) = {_MAXSIM_TOKS}
+        ),
+        q AS (
+          SELECT g AS qg, tok AS qi, e AS qe
+          FROM v JOIN full_g USING (g) WHERE g <= 1
+        ),
+        d AS (
+          SELECT g AS dg, tok AS dj, e AS de
+          FROM v JOIN full_g USING (g) WHERE g > 1
+        ),
+        dots AS (
+          SELECT qg, dg, qi, MAX(list_dot_product(qe, de)) AS m
+          FROM q JOIN d ON true GROUP BY qg, dg, qi
+        ),
+        ms AS (
+          SELECT qg, dg,
+                 MAX(CASE WHEN qi = 0 THEN m END)
+                 + MAX(CASE WHEN qi = 1 THEN m END)
+                 + MAX(CASE WHEN qi = 2 THEN m END)
+                 + MAX(CASE WHEN qi = 3 THEN m END) AS maxsim
+          FROM dots GROUP BY qg, dg
+        )
+        SELECT qg, dg, maxsim, CAST(rk AS INTEGER) AS rk FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qg
+                       ORDER BY maxsim DESC, dg) AS rk
+          FROM ms
+        ) WHERE rk <= {_MAXSIM_K}
+    """,
+)
+def q_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.expr(f"vec_id div {_MAXSIM_TOKS}").alias("g"),
+        F.expr(f"vec_id % {_MAXSIM_TOKS}").alias("tok"),
+        F.expr(
+            "transform(embedding, x -> CAST(x AS DOUBLE))"
+        ).alias("e"),
+    )
+    full_g = v.groupBy("g").count().filter(
+        F.col("count") == _MAXSIM_TOKS
+    ).select("g")
+    v = v.join(full_g, "g")
+    q = v.filter(F.col("g") <= 1).select(
+        F.col("g").alias("qg"), F.col("tok").alias("qi"), F.col("e").alias("qe")
+    )
+    d = v.filter(F.col("g") > 1).select(
+        F.col("g").alias("dg"), F.col("tok").alias("dj"), F.col("e").alias("de")
+    )
+    dots = (
+        d.crossJoin(F.broadcast(q))
+        .select(
+            "qg",
+            "dg",
+            "qi",
+            F.expr(
+                "aggregate(zip_with(qe, de, (x, y) -> x * y),"
+                " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            ).alias("dot"),
+        )
+        .groupBy("qg", "dg", "qi")
+        .agg(F.max("dot").alias("m"))
+    )
+    ms = dots.groupBy("qg", "dg").agg(
+        (
+            F.max(F.when(F.col("qi") == 0, F.col("m")))
+            + F.max(F.when(F.col("qi") == 1, F.col("m")))
+            + F.max(F.when(F.col("qi") == 2, F.col("m")))
+            + F.max(F.when(F.col("qi") == 3, F.col("m")))
+        ).alias("maxsim")
+    )
+    # maxsim is a double whose every value is bit-exact across engines,
+    # so the (maxsim DESC, dg) order is total and engine-stable. The
+    # per-qg rank window has 2 low-cardinality partitions — acceptable
+    # here because at scale an ANN candidate front bounds what reaches
+    # this exact re-rank, exactly like the LSH re-rank entries.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qg").orderBy(F.desc("maxsim"), "dg")
+    return (
+        ms.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _MAXSIM_K)
+        .select("qg", "dg", "maxsim", "rk")
+    )

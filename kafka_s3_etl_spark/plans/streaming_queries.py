@@ -756,3 +756,39 @@ def s_window_tumbling_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query's metrics (test-order-dependent false pass).
     session_close.LAST_PROGRESS = progress[-1] if progress else None
     return out
+
+
+# ---------------------------------------------------- round 11, batch 69
+
+
+@register(
+    "s_dedup_watermark_rocksdb",
+    category="streaming",
+    cost=3,
+    doc=(
+        "s_dedup_watermark on the RocksDB state-store provider — "
+        "completes the RocksDB execution matrix (sessionizer, window "
+        "aggregation, now the dedup state shape whose per-key "
+        "droppable state is the one that actually grows unbounded-ish "
+        "between watermark advances at 100 TB event rates; keyed "
+        "state on local disk survives state > heap). Provider load is "
+        "asserted from the captured final progress metrics, the "
+        "session_close.LAST_PROGRESS pattern (reset unconditionally "
+        "per the r10 ADVICE fix)."
+    ),
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def s_dedup_watermark_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.streaming import session_close
+    from kafka_s3_etl_spark.streaming.tws import pinned_rocksdb_state_store
+
+    dedup = dedup_within_watermark(stream_table(spark, sf_dir, "events"))
+    progress: list = []
+    with pinned_rocksdb_state_store(dedup):
+        out = run_available_now(
+            dedup.select("user_id", "event_type"),
+            output_mode="append",
+            progress_sink=progress,
+        )
+    session_close.LAST_PROGRESS = progress[-1] if progress else None
+    return out

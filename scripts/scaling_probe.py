@@ -296,6 +296,9 @@ PROBE_QUERIES = [
     # round-11 batch 68
     "q_kanonymity_audit",
     "q_freshness_lag",
+    # round-11 batch 69
+    "q_maxsim_late_interaction",
+    "s_dedup_watermark_rocksdb",
     # round-10 batch 45 (rides the 10x twinned documents: every gram
     # in a twinned doc becomes corpus-duplicated, so the span/mask
     # stages face maximal duplication density)

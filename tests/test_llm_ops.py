@@ -1311,3 +1311,43 @@ def test_freshness_lag_zero_for_freshest(spark, sf_dir):
     for r in rows:
         assert r.lag_us >= 0
         assert abs(r.lag_seconds - r.lag_us / 1e6) < 1e-12
+
+
+def test_maxsim_matches_numpy_reference(spark, sf_dir):
+    """MaxSim scores equal the numpy late-interaction reference within
+    float tolerance, and the top-5 per query is the reference's top-5."""
+    import numpy as np
+
+    from kafka_s3_etl_spark.plans.registry import all_queries
+    from kafka_s3_etl_spark.sources.tables import load_table
+
+    rows = all_queries()["q_maxsim_late_interaction"].fn(
+        spark, sf_dir
+    ).collect()
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    groups = {}
+    for r in emb:
+        groups.setdefault(r.vec_id // 4, {})[r.vec_id % 4] = np.array(
+            r.embedding, dtype=np.float64
+        )
+    full = {g: m for g, m in groups.items() if len(m) == 4}
+    queries = {g: m for g, m in full.items() if g <= 1}
+    docs = {g: m for g, m in full.items() if g > 1}
+
+    def maxsim(qm, dm):
+        return sum(
+            max(float(qm[i] @ dm[j]) for j in range(4)) for i in range(4)
+        )
+
+    for qg, qm in queries.items():
+        scored = sorted(
+            ((maxsim(qm, dm), dg) for dg, dm in docs.items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        got = sorted(
+            [(r.maxsim, r.dg, r.rk) for r in rows if r.qg == qg],
+            key=lambda t: t[2],
+        )
+        assert [g for _, g, _ in got] == [g for _, g in scored]
+        for (ms_got, _, _), (ms_want, _) in zip(got, scored):
+            assert abs(ms_got - ms_want) < 1e-9

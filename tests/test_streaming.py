@@ -700,3 +700,29 @@ def test_window_tumbling_rocksdb_entry_loads_rocksdb(spark, sf_dir):
         for m in op.get("customMetrics", {})
     ]
     assert any(m.lower().startswith("rocksdb") for m in metrics), metrics
+
+
+def test_dedup_watermark_rocksdb_entry_loads_rocksdb(spark, sf_dir):
+    """s_dedup_watermark_rocksdb (batch 69): the dedup state rides the
+    RocksDB provider — rows match DISTINCT keys and rocksdb* custom
+    metrics appear in the published final progress."""
+    from kafka_s3_etl_spark.plans.registry import all_queries
+    from kafka_s3_etl_spark.sources.tables import load_table
+    from kafka_s3_etl_spark.streaming import session_close
+
+    df = all_queries()["s_dedup_watermark_rocksdb"].fn(spark, sf_dir)
+    want = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert df.count() == want
+    prog = session_close.LAST_PROGRESS
+    assert prog is not None
+    metrics = [
+        m
+        for op in prog.get("stateOperators", [])
+        for m in op.get("customMetrics", {})
+    ]
+    assert any(m.lower().startswith("rocksdb") for m in metrics), metrics
