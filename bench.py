@@ -364,6 +364,9 @@ HEADLINE = [
     # round-11 batch 69: late interaction + rocksdb dedup
     "q_maxsim_late_interaction",
     "s_dedup_watermark_rocksdb",
+    # round-11 batch 70: retrieval evaluation metrics
+    "q_mrr_eval",
+    "q_ndcg_eval",
     # round-10 batch 45: exact substring-span dedup + mask transform
     "q_dedup_substring_spans",
     "q_dedup_substring_mask",

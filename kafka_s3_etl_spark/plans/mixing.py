@@ -990,3 +990,226 @@ def q_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _MAXSIM_K)
         .select("qg", "dg", "maxsim", "rk")
     )
+
+
+# ---------------------------------------------------- round 11, batch 70
+
+_EVAL_QUERIES = 16  # vec_id < 16 are the pinned evaluation queries
+_EVAL_K = 10
+# 1/rank scaled by lcm(1..10) — exact integer reciprocal ranks
+_MRR_LCM = 2520
+# DCG position weights: round(1e9 / log2(i+1)), PINNED as literals so
+# both engines use identical integers and no transcendental enters
+# either plan (computed once here, at import time, in Python).
+import math as _math
+
+_DCG_W = [round(1e9 / _math.log2(i + 1)) for i in range(1, _EVAL_K + 1)]
+
+_COSINE_SQL = (
+    "list_dot_product(qe, de)"
+    " / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(de, de)))"
+)
+
+_SCORED_CTE = f"""
+        e AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve
+          FROM embeddings
+        ),
+        q AS (
+          SELECT vec_id AS qid, label AS lq, ve AS qe FROM e
+          WHERE vec_id < {_EVAL_QUERIES}
+        ),
+        d AS (SELECT vec_id AS did, label AS ld, ve AS de FROM e),
+        scored AS MATERIALIZED (
+          SELECT qid, lq, did, ld, rk FROM (
+            SELECT qid, lq, did, ld,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY {_COSINE_SQL} DESC, did) AS rk
+            FROM q JOIN d ON did != qid
+          ) WHERE rk <= {_EVAL_K}
+        )
+"""
+
+
+def _scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine candidates per pinned evaluation query with ranks
+    — every cosine is a fixed-order chain of bit-exact ops (fold dot,
+    correctly-rounded sqrt, one multiply, one divide), so the
+    (cosine DESC, did) rank order is total and engine-stable."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("ve"),
+    )
+    q = emb.filter(F.col("vec_id") < _EVAL_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("lq"),
+        F.col("ve").alias("qe"),
+    )
+    d = emb.select(
+        F.col("vec_id").alias("did"),
+        F.col("label").alias("ld"),
+        F.col("ve").alias("de"),
+    )
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    cosine = F.expr(
+        f"{dot.format(a='qe', b='de')}"
+        f" / (sqrt({dot.format(a='qe', b='qe')})"
+        f" * sqrt({dot.format(a='de', b='de')}))"
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "did")
+    return (
+        d.crossJoin(F.broadcast(q))
+        .filter(F.col("did") != F.col("qid"))
+        .select("qid", "lq", "did", "ld", cosine.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _EVAL_K)
+        .select("qid", "lq", "did", "ld", "rk")
+    )
+
+
+@register(
+    "q_mrr_eval",
+    cost=1,
+    category="evaluation",
+    doc=(
+        "Mean-reciprocal-rank retrieval evaluation over the pinned "
+        "query set (vec_id < 16, relevant = same label): top-10 "
+        "cosine candidates per query (every cosine a fixed-order "
+        "chain of bit-exact ops, so ranks are engine-stable), first "
+        "relevant rank per query, and the reciprocal rank as the "
+        "EXACT integer 2520/rank (lcm(1..10) scaling — no float sum "
+        "anywhere; the terminal double is one division). Per-query "
+        "rows, so the check is non-vacuous regardless of how many "
+        "queries find a relevant hit."
+    ),
+    oracle=f"""
+        WITH {_SCORED_CTE},
+        firstrel AS (
+          SELECT qid, MIN(rk) AS first_rel_rank
+          FROM scored WHERE ld = lq GROUP BY qid
+        )
+        SELECT q.qid AS query_id,
+               CAST(f.first_rel_rank AS INTEGER) AS first_rel_rank,
+               CAST(COALESCE({_MRR_LCM} // f.first_rel_rank, 0)
+                    AS BIGINT) AS rr_fp,
+               CAST(COALESCE({_MRR_LCM} // f.first_rel_rank, 0) AS DOUBLE)
+                 / {_MRR_LCM} AS reciprocal
+        FROM (SELECT DISTINCT qid FROM scored) q
+        LEFT JOIN firstrel f USING (qid)
+    """,
+)
+def q_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _scored_candidates(spark, sf_dir).localCheckpoint()
+    firstrel = (
+        scored.filter(F.col("ld") == F.col("lq"))
+        .groupBy("qid")
+        .agg(F.min("rk").alias("first_rel_rank"))
+    )
+    return (
+        scored.select("qid")
+        .distinct()
+        .join(firstrel, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("first_rel_rank").cast("int").alias("first_rel_rank"),
+            F.coalesce(
+                F.expr(f"{_MRR_LCM} div first_rel_rank"), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("rr_fp"),
+            (
+                F.coalesce(
+                    F.expr(f"{_MRR_LCM} div first_rel_rank"), F.lit(0)
+                ).cast("double")
+                / _MRR_LCM
+            ).alias("reciprocal"),
+        )
+    )
+
+
+@register(
+    "q_ndcg_eval",
+    cost=1,
+    category="evaluation",
+    doc=(
+        "NDCG@10 with graded relevance (grade = 3 - min(3, |label "
+        "distance|)) over the pinned query set: DCG accumulates "
+        "grade x weight with the position weights round(1e9/log2(i+1)) "
+        "PINNED as integer literals at registration (no transcendental "
+        "in either engine's plan), IDCG re-ranks the same grades "
+        "descending, both as exact BIGINT sums; ndcg is the single "
+        "terminal division. The ideal order ties break on the "
+        "retrieved rank, stated identically on both sides."
+    ),
+    oracle=f"""
+        WITH {_SCORED_CTE},
+        graded AS (
+          SELECT qid, rk, 3 - least(3, abs(lq - ld)) AS rel
+          FROM scored
+        ),
+        ideal AS (
+          SELECT qid, rel,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY rel DESC, rk) AS irk
+          FROM graded
+        ),
+        w(pos, wt) AS (VALUES {", ".join(f"({i + 1}, {w})" for i, w in enumerate(_DCG_W))}),
+        dcg AS (
+          SELECT g.qid, CAST(SUM(g.rel * w.wt) AS BIGINT) AS dcg_fp
+          FROM graded g JOIN w ON w.pos = g.rk GROUP BY g.qid
+        ),
+        idcg AS (
+          SELECT i.qid, CAST(SUM(i.rel * w.wt) AS BIGINT) AS idcg_fp
+          FROM ideal i JOIN w ON w.pos = i.irk GROUP BY i.qid
+        )
+        SELECT dcg.qid AS query_id, dcg.dcg_fp, idcg.idcg_fp,
+               CASE WHEN idcg.idcg_fp > 0
+                    THEN CAST(dcg.dcg_fp AS DOUBLE)
+                         / CAST(idcg.idcg_fp AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END AS ndcg
+        FROM dcg JOIN idcg ON idcg.qid = dcg.qid
+    """,
+)
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    scored = _scored_candidates(spark, sf_dir).localCheckpoint()
+    graded = scored.select(
+        "qid",
+        "rk",
+        F.expr("3 - least(3, abs(lq - ld))").alias("rel"),
+    )
+    wi = Window.partitionBy("qid").orderBy(F.desc("rel"), "rk")
+    ideal = graded.withColumn("irk", F.row_number().over(wi))
+    w_rows = [(i + 1, wt) for i, wt in enumerate(_DCG_W)]
+    wdf = F.broadcast(
+        scored.sparkSession.createDataFrame(w_rows, "pos int, wt bigint")
+    )
+    dcg = (
+        graded.join(wdf, graded.rk == wdf.pos)
+        .groupBy("qid")
+        .agg(F.sum(F.expr("rel * wt")).cast("bigint").alias("dcg_fp"))
+    )
+    idcg = (
+        ideal.join(wdf, ideal.irk == wdf.pos)
+        .groupBy("qid")
+        .agg(F.sum(F.expr("rel * wt")).cast("bigint").alias("idcg_fp"))
+    )
+    return (
+        dcg.join(idcg, "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            "dcg_fp",
+            "idcg_fp",
+            F.expr(
+                "CASE WHEN idcg_fp > 0 THEN CAST(dcg_fp AS DOUBLE)"
+                " / CAST(idcg_fp AS DOUBLE) ELSE CAST(0 AS DOUBLE) END"
+            ).alias("ndcg"),
+        )
+    )

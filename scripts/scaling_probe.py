@@ -299,6 +299,9 @@ PROBE_QUERIES = [
     # round-11 batch 69
     "q_maxsim_late_interaction",
     "s_dedup_watermark_rocksdb",
+    # round-11 batch 70
+    "q_mrr_eval",
+    "q_ndcg_eval",
     # round-10 batch 45 (rides the 10x twinned documents: every gram
     # in a twinned doc becomes corpus-duplicated, so the span/mask
     # stages face maximal duplication density)

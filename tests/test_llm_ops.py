@@ -1351,3 +1351,66 @@ def test_maxsim_matches_numpy_reference(spark, sf_dir):
         assert [g for _, g, _ in got] == [g for _, g in scored]
         for (ms_got, _, _), (ms_want, _) in zip(got, scored):
             assert abs(ms_got - ms_want) < 1e-9
+
+
+def test_mrr_and_ndcg_eval_reference(spark, sf_dir):
+    """Both retrieval metrics against a numpy reference: identical
+    first-relevant ranks / NDCG values (1e-9), rr_fp = 2520/rank
+    exactly, ndcg in [0, 1]."""
+    import numpy as np
+
+    from kafka_s3_etl_spark.plans.registry import all_queries
+    from kafka_s3_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb}
+    labels = {r.vec_id: r.label for r in emb}
+
+    def topk(qid):
+        qv = vecs[qid]
+        scored = []
+        for did, dv in vecs.items():
+            if did == qid:
+                continue
+            c = float(qv @ dv) / (
+                float(np.sqrt(qv @ qv)) * float(np.sqrt(dv @ dv))
+            )
+            scored.append((-c, did))
+        scored.sort()
+        return [d for _, d in scored[:10]]
+
+    mrr = {
+        r.query_id: r
+        for r in all_queries()["q_mrr_eval"].fn(spark, sf_dir).collect()
+    }
+    ndcg = {
+        r.query_id: r
+        for r in all_queries()["q_ndcg_eval"].fn(spark, sf_dir).collect()
+    }
+    assert set(mrr) == set(ndcg) == set(range(16))
+    import math
+
+    w = [round(1e9 / math.log2(i + 1)) for i in range(1, 11)]
+    for qid in range(16):
+        ranking = topk(qid)
+        rel_ranks = [
+            i + 1
+            for i, d in enumerate(ranking)
+            if labels[d] == labels[qid]
+        ]
+        r = mrr[qid]
+        if rel_ranks:
+            assert r.first_rel_rank == rel_ranks[0]
+            assert r.rr_fp == 2520 // rel_ranks[0]
+        else:
+            assert r.first_rel_rank is None and r.rr_fp == 0
+        grades = [3 - min(3, abs(labels[qid] - labels[d])) for d in ranking]
+        dcg = sum(g * w[i] for i, g in enumerate(grades))
+        idcg = sum(
+            g * w[i] for i, g in enumerate(sorted(grades, reverse=True))
+        )
+        n = ndcg[qid]
+        assert n.dcg_fp == dcg and n.idcg_fp == idcg
+        assert 0.0 <= n.ndcg <= 1.0
+        if idcg:
+            assert abs(n.ndcg - dcg / idcg) < 1e-12
