@@ -1302,7 +1302,13 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_s3_etl_spark.operators.multimodal import decode_pixels
 
-    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    # modality predicate pushed BELOW the payload generator: filters
+    # cannot cross mapInPandas, so filtering the media frame would
+    # still synthesize audio/video payloads for 2/3 of the corpus
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    media = documents_as_media(docs)
     return decode_pixels(media.filter(F.col("media_type") == "image"))
 
 
@@ -1366,7 +1372,10 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_s3_etl_spark.operators.multimodal import decode_samples
 
-    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 1  # predicate below the payload generator
+    )
+    media = documents_as_media(docs)
     return decode_samples(media.filter(F.col("media_type") == "audio"))
 
 
@@ -1410,5 +1419,8 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_s3_etl_spark.operators.multimodal import decode_frames
 
-    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 2  # predicate below the payload generator
+    )
+    media = documents_as_media(docs)
     return decode_frames(media.filter(F.col("media_type") == "video"))

@@ -142,7 +142,10 @@ _CHUNKED_CTE = """
     """,
 )
 def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0  # predicate below the payload generator
+    )
+    media = documents_as_media(docs)
     sigs = image_ahash(media.filter(F.col("media_type") == "image"))
     return band_hamming_pairs(sigs, ("doc_id",), max_hamming=3).select(
         F.col("a_doc_id").alias("doc_a"),
@@ -219,7 +222,10 @@ _FRAME_SIGS_CTE = """
     """,
 )
 def q_dedup_frame_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 2  # predicate below the payload generator
+    )
+    media = documents_as_media(docs)
     sigs = frame_ahash(media.filter(F.col("media_type") == "video"))
     # rep as min over a PACKED bigint, not min(struct): an unordered
     # struct min forces SortAggregate (no codegen); the packed key
@@ -295,7 +301,8 @@ def q_dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_s3_etl_spark.operators.dedup import connected_components_star
 
     docs = load_table(spark, sf_dir, "documents")
-    media = documents_as_media(docs)
+    # predicate below the payload generator (mapInPandas blocks pushdown)
+    media = documents_as_media(docs.filter(F.col("doc_id") % 3 == 0))
     sigs = image_ahash(media.filter(F.col("media_type") == "image"))
     # Exact-dup pre-pass (the q_dedup_embedding_clusters discipline):
     # identical SIGNATURES have identical band buckets and Hamming 0,
@@ -456,7 +463,8 @@ def q_dedup_audio_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_s3_etl_spark.operators.multimodal import audio_fingerprint
 
     docs = load_table(spark, sf_dir, "documents")
-    media = documents_as_media(docs)
+    # predicate below the payload generator (mapInPandas blocks pushdown)
+    media = documents_as_media(docs.filter(F.col("doc_id") % 3 == 1))
     sigs = audio_fingerprint(media.filter(F.col("media_type") == "audio"))
     # Identical-signature collapse (the q_dedup_image_clusters
     # discipline): gain-twin families are Hamming-0 cliques BY
@@ -524,7 +532,10 @@ def q_dedup_audio_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_audio_band_energies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_s3_etl_spark.operators.multimodal import audio_band_energies
 
-    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 1  # predicate below the payload generator
+    )
+    media = documents_as_media(docs)
     feats = audio_band_energies(
         media.filter(F.col("media_type") == "audio")
     )
