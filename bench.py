@@ -367,6 +367,9 @@ HEADLINE = [
     # round-11 batch 70: retrieval evaluation metrics
     "q_mrr_eval",
     "q_ndcg_eval",
+    # round-11 batch 71: churn labels + negative sampling
+    "q_label_churn",
+    "q_negative_sampling",
     # round-10 batch 45: exact substring-span dedup + mask transform
     "q_dedup_substring_spans",
     "q_dedup_substring_mask",

@@ -1213,3 +1213,164 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg"),
         )
     )
+
+
+# ---------------------------------------------------- round 11, batch 71
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+_EPOCH0_US = 1704067200000000  # 2024-01-01 00:00:00 UTC in microseconds
+_NEG_QUERIES = 32
+_NEG_SLOTS = 5
+
+
+@register(
+    "q_label_churn",
+    cost=1,
+    category="prep",
+    doc=(
+        "Supervised churn-label generation — the label pipeline a "
+        "retention model trains on: per (user, week) activity rollup "
+        "(weeks = exact integer microsecond arithmetic from the "
+        "pinned 2024-01-01 epoch, unix_micros — never second-"
+        "truncating casts), label churned = the user has NO event in "
+        "the following week, read off lead(week) over the per-user "
+        "week sequence (no self-join). The final observed week per "
+        "user is censored (label undefined) and excluded, stated "
+        "identically on both sides. One rollup + one user-partitioned "
+        "window."
+    ),
+    oracle=f"""
+        WITH w AS (
+          SELECT user_id,
+                 (epoch_us(ts) - {_EPOCH0_US}) // {_WEEK_US} AS week,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1, 2
+        ),
+        led AS (
+          SELECT user_id, week, n_events,
+                 LEAD(week) OVER (PARTITION BY user_id ORDER BY week)
+                   AS next_week,
+                 MAX(week) OVER () AS max_week
+          FROM w
+        )
+        SELECT user_id, CAST(week AS BIGINT) AS week, n_events,
+               next_week IS NULL OR next_week > week + 1 AS churned
+        FROM led WHERE week < max_week
+    """,
+)
+def q_label_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = events.groupBy(
+        "user_id",
+        F.expr(
+            f"(unix_micros(ts) - {_EPOCH0_US}) div {_WEEK_US}"
+        ).alias("week"),
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    wu = Window.partitionBy("user_id").orderBy("week")
+    led = w.select(
+        "user_id",
+        "week",
+        "n_events",
+        F.lead("week").over(wu).alias("next_week"),
+        F.max("week").over(
+            Window.partitionBy()
+        ).alias("max_week"),
+    )
+    return led.filter(F.col("week") < F.col("max_week")).select(
+        "user_id",
+        F.col("week").cast("bigint").alias("week"),
+        "n_events",
+        (
+            F.col("next_week").isNull()
+            | (F.col("next_week") > F.col("week") + 1)
+        ).alias("churned"),
+    )
+
+
+@register(
+    "q_negative_sampling",
+    cost=1,
+    category="prep",
+    doc=(
+        "Hash-reproducible negative sampling for contrastive training "
+        "— per pinned query (vec_id < 32), 5 pseudo-uniform negatives "
+        "drawn by md5(query||slot) mod corpus size (rerolled +1 once "
+        "if the draw hits the query itself), each audited for label "
+        "collision (a false negative that shares the query's label). "
+        "Deterministic under any partitioning/rerun — the rand()-free "
+        "sampling discipline of q_sample_hash applied to pair mining; "
+        "the negative join is a broadcast of 160 draw rows against "
+        "the id-keyed corpus."
+    ),
+    oracle=f"""
+        WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs
+                   FROM embeddings),
+        q AS (
+          SELECT vec_id AS query_id, label AS ql FROM embeddings
+          WHERE vec_id < {_NEG_QUERIES}
+        ),
+        draws AS (
+          SELECT query_id, ql, s.slot,
+                 ('0x' || substr(md5(CAST(query_id AS VARCHAR) || '-'
+                        || CAST(s.slot AS VARCHAR)), 1, 8))::BIGINT
+                   % n.n_vecs AS raw
+          FROM q CROSS JOIN n,
+               (SELECT UNNEST(range({_NEG_SLOTS})) AS slot) s
+        ),
+        fixed AS (
+          SELECT query_id, ql, CAST(slot AS INTEGER) AS slot,
+                 CASE WHEN raw = query_id
+                      THEN (raw + 1) % (SELECT n_vecs FROM n)
+                      ELSE raw END AS neg_id
+          FROM draws
+        )
+        SELECT f.query_id, f.slot, CAST(f.neg_id AS BIGINT) AS neg_id,
+               e.label = f.ql AS label_collision
+        FROM fixed f JOIN embeddings e ON e.vec_id = f.neg_id
+    """,
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.agg(F.count("*").cast("bigint").alias("n_vecs"))
+    q = emb.filter(F.col("vec_id") < _NEG_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("ql")
+    )
+    slots = emb.sparkSession.range(_NEG_SLOTS).select(
+        F.col("id").cast("int").alias("slot")
+    )
+    draws = (
+        q.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(slots))
+        .select(
+            "query_id",
+            "ql",
+            "slot",
+            "n_vecs",
+            F.expr(
+                "CAST(conv(substring(md5(concat(CAST(query_id AS STRING),"
+                " '-', CAST(slot AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+                " % n_vecs"
+            ).alias("raw"),
+        )
+    )
+    fixed = draws.select(
+        "query_id",
+        "ql",
+        "slot",
+        F.expr(
+            "CASE WHEN raw = query_id THEN (raw + 1) % n_vecs"
+            " ELSE raw END"
+        ).cast("bigint").alias("neg_id"),
+    )
+    return (
+        emb.select("vec_id", "label")
+        .join(F.broadcast(fixed), F.col("vec_id") == F.col("neg_id"))
+        .select(
+            "query_id",
+            "slot",
+            "neg_id",
+            (F.col("label") == F.col("ql")).alias("label_collision"),
+        )
+    )

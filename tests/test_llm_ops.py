@@ -1414,3 +1414,53 @@ def test_mrr_and_ndcg_eval_reference(spark, sf_dir):
         assert 0.0 <= n.ndcg <= 1.0
         if idcg:
             assert abs(n.ndcg - dcg / idcg) < 1e-12
+
+
+def test_label_churn_reference(spark, sf_dir):
+    """Churn labels match a python reference fold over the raw events:
+    a (user, week) row is churned iff the user has no event in week+1;
+    the final global week is excluded (censored)."""
+    from kafka_s3_etl_spark.plans.registry import all_queries
+    from kafka_s3_etl_spark.sources.tables import load_table
+
+    rows = all_queries()["q_label_churn"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts").collect()
+    e0 = 1704067200000000
+    wk = 7 * 24 * 3600 * 1_000_000
+    active = {}
+    for r in ev:
+        w = (int(r.ts.timestamp() * 1_000_000) - e0) // wk
+        active.setdefault(r.user_id, set()).add(w)
+    max_week = max(w for s in active.values() for w in s)
+    want = {
+        (u, w): (w + 1) not in ws
+        for u, ws in active.items()
+        for w in ws
+        if w < max_week
+    }
+    got = {(r.user_id, r.week): r.churned for r in rows}
+    assert got == want
+
+
+def test_negative_sampling_deterministic_and_valid(spark, sf_dir):
+    """5 negatives per pinned query, never the query itself, ids in
+    range, and two runs produce identical draws (hash-reproducible)."""
+    from kafka_s3_etl_spark.plans.registry import all_queries
+    from kafka_s3_etl_spark.sources.tables import load_table
+
+    fn = all_queries()["q_negative_sampling"].fn
+    a = sorted(
+        (r.query_id, r.slot, r.neg_id) for r in fn(spark, sf_dir).collect()
+    )
+    b = sorted(
+        (r.query_id, r.slot, r.neg_id) for r in fn(spark, sf_dir).collect()
+    )
+    assert a == b
+    n = load_table(spark, sf_dir, "embeddings").count()
+    per = {}
+    for qid, slot, neg in a:
+        per.setdefault(qid, []).append((slot, neg))
+        assert neg != qid
+        assert 0 <= neg < n
+    assert all(len(v) == 5 for v in per.values())
+    assert len(per) == min(32, n)
