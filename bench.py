@@ -370,6 +370,9 @@ HEADLINE = [
     # round-11 batch 71: churn labels + negative sampling
     "q_label_churn",
     "q_negative_sampling",
+    # round-11 batch 72: feature transforms
+    "q_quantile_normalize",
+    "q_winsorize_clip",
     # round-10 batch 45: exact substring-span dedup + mask transform
     "q_dedup_substring_spans",
     "q_dedup_substring_mask",

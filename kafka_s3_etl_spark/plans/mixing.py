@@ -1374,3 +1374,167 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") == F.col("ql")).alias("label_collision"),
         )
     )
+
+
+# ---------------------------------------------------- round 11, batch 72
+
+# exact fixed-point image of the event value: one multiply + one
+# truncation, the same two IEEE/integer ops in both engines (ROUND is
+# banned per-row — HALF_UP vs binary rounding diverges; trunc does not)
+_VFP = "CAST(value * 1000000 AS BIGINT)"
+_VFP_DUCK = "CAST(trunc(value * 1000000) AS BIGINT)"
+
+
+@register(
+    "q_quantile_normalize",
+    cost=1,
+    category="statistics",
+    doc=(
+        "Per-type quantile normalization of the event value — the "
+        "rank-based feature transform (quantile scaling) a feature "
+        "store applies to heavy-tailed inputs: rank key is the exact "
+        "fixed-point value image (trunc(value*1e6) — per-row ROUND is "
+        "banned, truncation of the same double is engine-exact) with "
+        "event_id tiebreak, ranked per type by "
+        "bucketed_global_row_number (partition_by=['event_type'] — "
+        "the low-cardinality-partition rule: 5 types would otherwise "
+        "funnel the corpus through 5 window tasks); qn = (rn-1)/(n-1) "
+        "is the single terminal division."
+    ),
+    oracle=f"""
+        WITH v AS (
+          SELECT event_id, event_type, value,
+                 {_VFP_DUCK} AS v_fp
+          FROM events
+        ),
+        r AS (
+          SELECT event_id, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY v_fp, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM v
+        )
+        SELECT event_id, event_type, value,
+               CAST(rn AS BIGINT) AS rn,
+               CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS qn
+        FROM r
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.ranks import bucketed_global_row_number
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", F.expr(_VFP).alias("v_fp")
+    )
+    ranked = bucketed_global_row_number(
+        events,
+        "v_fp",
+        "event_id",
+        shift=0,
+        descending=False,
+        partition_by=["event_type"],
+    )
+    return ranked.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.col("rn").cast("bigint").alias("rn"),
+        F.expr(
+            "CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)"
+        ).alias("qn"),
+    )
+
+
+@register(
+    "q_winsorize_clip",
+    cost=1,
+    category="statistics",
+    doc=(
+        "Per-type winsorization at p01/p99 — outlier clipping before "
+        "model features, via the value-HISTOGRAM trick (the r9 rule: "
+        "a value at a global rank never needs per-row ranks — ties "
+        "make tie order irrelevant to the VALUE): per (type, "
+        "fixed-point value) counts, a prefix sum over the bounded "
+        "distinct-value table, exact ceil thresholds k = (p*n + 99) "
+        "div 100, clip bounds = min value whose cumulative count "
+        "reaches k, then a broadcast join clips every row with "
+        "least/greatest — no row-level window anywhere."
+    ),
+    oracle=f"""
+        WITH v AS (
+          SELECT event_id, event_type, value, {_VFP_DUCK} AS v_fp
+          FROM events
+        ),
+        h AS (
+          SELECT event_type, v_fp, CAST(COUNT(*) AS BIGINT) AS c
+          FROM v GROUP BY event_type, v_fp
+        ),
+        cum AS (
+          SELECT event_type, v_fp,
+                 SUM(c) OVER (PARTITION BY event_type ORDER BY v_fp) AS cc,
+                 SUM(c) OVER (PARTITION BY event_type) AS n
+          FROM h
+        ),
+        bounds AS (
+          SELECT event_type,
+                 MIN(CASE WHEN cc >= (n + 99) // 100
+                          THEN v_fp END) AS lo_fp,
+                 MIN(CASE WHEN cc >= (99 * n + 99) // 100
+                          THEN v_fp END) AS hi_fp
+          FROM cum GROUP BY event_type
+        )
+        SELECT v.event_id, v.event_type, v.value,
+               CAST(b.lo_fp AS BIGINT) AS lo_fp,
+               CAST(b.hi_fp AS BIGINT) AS hi_fp,
+               CAST(least(greatest(v.v_fp, b.lo_fp), b.hi_fp) AS BIGINT)
+                 AS clipped_fp,
+               CAST(least(greatest(v.v_fp, b.lo_fp), b.hi_fp) AS DOUBLE)
+                 / 1000000 AS clipped
+        FROM v JOIN bounds b USING (event_type)
+    """,
+)
+def q_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", F.expr(_VFP).alias("v_fp")
+    )
+    h = events.groupBy("event_type", "v_fp").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    # the window runs over the DISTINCT-value table (bounded by value
+    # cardinality, not corpus size) — the value-histogram discipline
+    wc = Window.partitionBy("event_type").orderBy("v_fp")
+    cum = h.select(
+        "event_type",
+        "v_fp",
+        F.sum("c").over(
+            wc.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cc"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    bounds = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.expr("cc >= (n + 99) div 100"), F.col("v_fp")
+            )
+        ).alias("lo_fp"),
+        F.min(
+            F.when(
+                F.expr("cc >= (99 * n + 99) div 100"), F.col("v_fp")
+            )
+        ).alias("hi_fp"),
+    )
+    return events.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.col("lo_fp").cast("bigint").alias("lo_fp"),
+        F.col("hi_fp").cast("bigint").alias("hi_fp"),
+        F.expr("CAST(least(greatest(v_fp, lo_fp), hi_fp) AS BIGINT)").alias(
+            "clipped_fp"
+        ),
+        F.expr(
+            "CAST(least(greatest(v_fp, lo_fp), hi_fp) AS DOUBLE) / 1000000"
+        ).alias("clipped"),
+    )

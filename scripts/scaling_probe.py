@@ -305,6 +305,9 @@ PROBE_QUERIES = [
     # round-11 batch 71
     "q_label_churn",
     "q_negative_sampling",
+    # round-11 batch 72
+    "q_quantile_normalize",
+    "q_winsorize_clip",
     # round-10 batch 45 (rides the 10x twinned documents: every gram
     # in a twinned doc becomes corpus-duplicated, so the span/mask
     # stages face maximal duplication density)

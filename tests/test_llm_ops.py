@@ -1464,3 +1464,44 @@ def test_negative_sampling_deterministic_and_valid(spark, sf_dir):
         assert 0 <= neg < n
     assert all(len(v) == 5 for v in per.values())
     assert len(per) == min(32, n)
+
+
+def test_quantile_normalize_properties(spark, sf_dir):
+    """qn spans [0, 1] per type, is monotone in value within type
+    (ties broken by event_id), and ranks are a permutation of 1..n."""
+    from kafka_s3_etl_spark.plans.registry import all_queries
+
+    rows = all_queries()["q_quantile_normalize"].fn(spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.event_type, []).append(r)
+    for t, rs in per.items():
+        rs.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
+        assert rs[0].qn == 0.0 and rs[-1].qn == 1.0
+        vals = [(int(r.value * 1e6), r.event_id) for r in rs]
+        assert vals == sorted(vals)
+
+
+def test_winsorize_clip_properties(spark, sf_dir):
+    """Clip bounds hold for every row, at most ~1% of rows clip on
+    each side, and inner values pass through unchanged."""
+    from kafka_s3_etl_spark.plans.registry import all_queries
+
+    rows = all_queries()["q_winsorize_clip"].fn(spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.event_type, []).append(r)
+    for t, rs in per.items():
+        lo, hi = rs[0].lo_fp, rs[0].hi_fp
+        assert lo <= hi
+        n = len(rs)
+        low_clipped = sum(1 for r in rs if int(r.value * 1e6) < lo)
+        high_clipped = sum(1 for r in rs if int(r.value * 1e6) > hi)
+        assert low_clipped <= n // 100 + 1
+        assert high_clipped <= n // 100 + 1
+        for r in rs:
+            assert lo <= r.clipped_fp <= hi
+            v = int(r.value * 1e6)
+            if lo <= v <= hi:
+                assert r.clipped_fp == v
