@@ -373,6 +373,8 @@ HEADLINE = [
     # round-11 batch 72: feature transforms
     "q_quantile_normalize",
     "q_winsorize_clip",
+    # round-11 batch 73: hard-negative mining
+    "q_hard_negatives",
     # round-10 batch 45: exact substring-span dedup + mask transform
     "q_dedup_substring_spans",
     "q_dedup_substring_mask",

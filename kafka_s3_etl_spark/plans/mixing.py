@@ -1538,3 +1538,54 @@ def q_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(least(greatest(v_fp, lo_fp), hi_fp) AS DOUBLE) / 1000000"
         ).alias("clipped"),
     )
+
+
+# ---------------------------------------------------- round 11, batch 73
+
+
+@register(
+    "q_hard_negatives",
+    cost=1,
+    category="prep",
+    doc=(
+        "Hard-negative mining for contrastive training — the "
+        "complement of q_negative_sampling's uniform draws: from each "
+        "pinned query's engine-stable cosine top-10 (the "
+        "q_mrr_eval/q_ndcg_eval candidate machinery), keep the 3 "
+        "highest-ranked WRONG-label neighbors — semantically close "
+        "but negative, the pairs that actually move a contrastive "
+        "loss. Rank re-numbering inside the filtered set rides the "
+        "already-total retrieved order, so everything stays exact."
+    ),
+    oracle=f"""
+        WITH {_SCORED_CTE},
+        wrong AS (
+          SELECT qid, did, ld, rk,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rk)
+                   AS neg_rank
+          FROM scored WHERE ld != lq
+        )
+        SELECT qid AS query_id, did AS neg_id,
+               CAST(ld AS INTEGER) AS neg_label,
+               CAST(rk AS INTEGER) AS retrieved_rank,
+               CAST(neg_rank AS INTEGER) AS neg_rank
+        FROM wrong WHERE neg_rank <= 3
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    scored = _scored_candidates(spark, sf_dir)
+    wrong = scored.filter(F.col("ld") != F.col("lq"))
+    w = Window.partitionBy("qid").orderBy("rk")
+    return (
+        wrong.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 3)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("did").alias("neg_id"),
+            F.col("ld").cast("int").alias("neg_label"),
+            F.col("rk").cast("int").alias("retrieved_rank"),
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+        )
+    )

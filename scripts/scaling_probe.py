@@ -308,6 +308,8 @@ PROBE_QUERIES = [
     # round-11 batch 72
     "q_quantile_normalize",
     "q_winsorize_clip",
+    # round-11 batch 73
+    "q_hard_negatives",
     # round-10 batch 45 (rides the 10x twinned documents: every gram
     # in a twinned doc becomes corpus-duplicated, so the span/mask
     # stages face maximal duplication density)

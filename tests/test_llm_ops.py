@@ -1505,3 +1505,28 @@ def test_winsorize_clip_properties(spark, sf_dir):
             v = int(r.value * 1e6)
             if lo <= v <= hi:
                 assert r.clipped_fp == v
+
+
+def test_hard_negatives_are_wrong_label_and_ordered(spark, sf_dir):
+    """Every mined negative has a label different from its query's,
+    at most 3 per query, and neg_rank follows retrieved_rank."""
+    from kafka_s3_etl_spark.plans.registry import all_queries
+    from kafka_s3_etl_spark.sources.tables import load_table
+
+    rows = all_queries()["q_hard_negatives"].fn(spark, sf_dir).collect()
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    per = {}
+    for r in rows:
+        assert labels[r.neg_id] == r.neg_label != labels[r.query_id]
+        per.setdefault(r.query_id, []).append(r)
+    for qid, rs in per.items():
+        rs.sort(key=lambda r: r.neg_rank)
+        assert [r.neg_rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        rks = [r.retrieved_rank for r in rs]
+        assert rks == sorted(rks)
