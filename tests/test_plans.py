@@ -1354,3 +1354,39 @@ def test_jsonl_partitioned_prunes_listing(spark, sf_dir):
 
     m = _re.search(r"PartitionFilters: \[(.*?)\]", plan)
     assert m and "lang" in m.group(1), plan[:2000]
+
+
+def test_round11_entries_plan_shapes(spark, sf_dir):
+    """Plan discipline for the round-11 batch entries: the temperature
+    rate table and the negative-sampling draw table ride broadcast
+    joins (never a shuffled exchange for a languages/160-row side),
+    the cross-corpus dedup has no cartesian product, and the
+    quantile transform reads only the three columns it projects."""
+    plan = plan_of(spark, sf_dir, "q_sample_temperature")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(spark, sf_dir, "q_negative_sampling")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(spark, sf_dir, "q_dedup_cross_corpus")
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(spark, sf_dir, "q_quantile_normalize")
+    assert "event_id" in plan and "value" in plan
+    # unprojected events columns must not reach the scan
+    assert "props" not in plan and "user_id" not in plan
+
+
+def test_media_predicate_reaches_the_scan(spark, sf_dir):
+    """The r11 modality pushdown: single-modality media entries filter
+    doc_id % 3 BELOW documents_as_media, so the predicate must appear
+    as a scan-level filter (mapInPandas would otherwise synthesize
+    payloads for the whole corpus)."""
+    import re
+
+    for name in ("q_multimodal_audio", "q_dedup_audio_hash",
+                 "q_dedup_frame_phash"):
+        plan = plan_of(spark, sf_dir, name)
+        assert re.search(r"doc_id#\d+L?\)?\s*%\s*3", plan), name
