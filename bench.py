@@ -566,52 +566,10 @@ def _previous_bench(
 # purpose, with the scale evidence that justifies them). They surface
 # under "regressions_explained" so a reader sees the reason instead of
 # an unexplained red flag; anything not listed here still trips.
+# Variance-driven flaps (scheduling floors, sub-2s churn) do NOT
+# belong here — they are class-tagged in QUERY_VARIANCE below
+# (VERDICT r11 #5: envelopes, not narratives).
 KNOWN_SLOWER = {
-    "q_graph_pagerank": (
-        "r7 flagged a 2.46s->3.00s drift; r8 profiled it idle: "
-        "~1.2s is the minhash pair generation, ~0.2s/iteration is "
-        "job-scheduling overhead (checkpoint-cadence experiments — "
-        "every-1/2/3 iterations — all land 3.0-3.5s, so the eager "
-        "localCheckpoint jobs are NOT the cost and lineage depth "
-        "only adds analysis time). Data cost at sf0.1 is "
-        "milliseconds; the delta vs r6 is environment noise on "
-        "fixed per-job overhead, not a plan change."
-    ),
-    "q_recursive_tree": (
-        "r9 flagged 1.15s->1.78s vs the r-local baseline; an idle "
-        "3-run re-check lands 1.4-2.0s (median ~1.5s) with the query "
-        "unchanged since r7 — the 1.15s baseline was a best-case "
-        "sample of an iterative loop whose cost is per-round job "
-        "scheduling (same class as q_graph_pagerank above), not data."
-    ),
-    "q_interval_overlap_scalable": (
-        "r9 flapped 0.98s->1.84s between same-day runs of identical "
-        "code; idle 3-run re-check lands 1.3-1.9s. The query is a "
-        "3-job chain (bounds action + two shuffled stages) whose cost "
-        "is per-job scheduling at sf0.1 — the sub-second swing is the "
-        "q_graph_pagerank variance class, and its 10x probe is 1.4x."
-    ),
-    "q_chunk_cdc": (
-        "new in r10; its first two same-day measurements of identical "
-        "code landed 0.78s (min-of-2, mid-session) vs 1.21s (quiet "
-        "rerun), and an idle 3-run re-check lands 1.3-2.0s — a 2-job "
-        "window+rollup chain at sf0.1 whose swing is per-job "
-        "scheduling, the q_graph_pagerank variance class; its 10x "
-        "probe is 1.4x."
-    ),
-    "q_sim_pq": (
-        "r9 flapped 1.49s->2.63s between two same-day runs of identical "
-        "code; idle 3-run re-check lands 2.2-2.4s. The query is ~15 "
-        "small jobs (fit collect + encode + ADC + re-rank) whose cost "
-        "is per-job scheduling, not data — same variance class as "
-        "q_graph_pagerank; the 1.49s baseline was a best-case sample."
-    ),
-    "q_doc_keyterms": (
-        "r9 flapped 0.70s->1.05s between two same-day runs of identical "
-        "code; idle 3-run re-check lands 0.78-0.90s — sub-second "
-        "absolute deltas at the tripwire's 0.3s floor, codegen/GC "
-        "jitter, not a plan change."
-    ),
     "s_cdc_upsert": (
         "r5 partition-pruned CDC apply (VERDICT r4 #2): each micro-batch "
         "now MERGEs via dynamic partition overwrite of only affected "
@@ -620,6 +578,87 @@ KNOWN_SLOWER = {
         "1.1x at the 10x scaling probe (SCALE.md) vs full-table rewrite "
         "before"
     ),
+}
+
+# Measured variance classes (VERDICT r11 #5). Each class carries the
+# ratio envelope that idle A/B runs of IDENTICAL code have been
+# measured to flap within (SCALE.md r9-r11 flag-A/B episodes). The
+# flag logic widens the 1.5x tripwire to the class envelope for tagged
+# queries; a tagged query exceeding ITS envelope still trips as a real
+# regression, and tagged flaps inside the envelope land in
+# "regressions_explained" with the class tag — visible, never silent.
+VARIANCE_CLASSES = {
+    "scheduling-floor": {
+        "ratio": 2.0,
+        "why": (
+            "many-small-jobs chains (iterative fits, multi-job "
+            "pipelines, forced streaming triggers) whose sf0.1 cost is "
+            "per-job scheduling overhead, not data; idle A/B runs of "
+            "identical code land 1.3-2.0x apart (SCALE.md r8-r11 "
+            "episodes: q_graph_pagerank checkpoint-cadence profile, "
+            "q_sim_pq 1.49->2.63 same-day flap)"
+        ),
+    },
+    "localCheckpoint-chain": {
+        "ratio": 1.8,
+        "why": (
+            "iterative plans with per-round localCheckpoint jobs; the "
+            "round-count-proportional scheduling floor flaps 1.3-1.6x "
+            "idle on identical code (q_label_propagation family A/Bs, "
+            "SCALE.md r10-r11)"
+        ),
+    },
+    "sub-2s-churn": {
+        "ratio": 1.8,
+        "why": (
+            "sub-2s queries flap past 1.5x between back-to-back idle "
+            "runs of identical code from codegen/GC jitter alone "
+            "(r10 close-out: 9 flags -> settle -> 6 different flags, "
+            "totals within 10%)"
+        ),
+    },
+}
+
+# query -> variance class; consulted by _regressions and echoed in the
+# bench payload so the artifact shows WHICH envelope absolved a flap.
+QUERY_VARIANCE = {
+    "q_graph_pagerank": "scheduling-floor",
+    "q_recursive_tree": "scheduling-floor",
+    "q_interval_overlap_scalable": "scheduling-floor",
+    "q_chunk_cdc": "scheduling-floor",
+    "q_sim_pq": "scheduling-floor",
+    "q_sim_pq_pinned": "scheduling-floor",
+    "s_chained_windows": "scheduling-floor",
+    "q_label_propagation": "localCheckpoint-chain",
+    "q_label_propagation_capped": "localCheckpoint-chain",
+    "q_label_propagation_kstep": "localCheckpoint-chain",
+    "q_doc_keyterms": "sub-2s-churn",
+    "q_knn_join": "sub-2s-churn",
+    "q_corr_matrix": "sub-2s-churn",
+    "q_dedup_frame_phash": "sub-2s-churn",
+}
+
+# Explicit baseline rebases (VERDICT r11 #4): per-query FLOORS for the
+# BENCH_LOCAL min-merge, each backed by an idle A/B episode in SCALE.md
+# showing the pre-rebase min was an unreproducible best-case sample.
+# The merge never writes a baseline below a floor; lowering one
+# requires editing this table (the explicit-evidence act), so a stray
+# fast sample of a variance-class query can never silently re-tighten
+# the tripwire. Values are the reproducible idle bests recorded in the
+# SCALE.md episodes named in each comment.
+REBASES = {
+    # r11 flag-A/B table: 5.659 stale -> 7.375/7.459 idle; close-out
+    # min-merge landed 7.054
+    "q_label_propagation": 7.054,
+    # r11 flag-A/B table: 1.479 unreachable -> 2.017/2.279 idle
+    "q_dedup_frame_phash": 1.606,
+    # r11 close-out episode: reproduced elevated across final+settle
+    "s_chained_windows": 2.579,
+    "q_sim_pq_pinned": 2.617,
+    "q_label_propagation_kstep": 5.737,
+    # ADVICE r11 #3: the 1.315 min was the r10 unreproducible sample;
+    # idle re-checks land 2.2-2.4 (r11 raw: 2.209)
+    "q_sim_pq": 2.209,
 }
 
 
@@ -665,18 +704,35 @@ def _regressions(
     # runs flap different sub-second entries past 1.5x (0.47->0.82,
     # 0.60->0.94) from codegen/GC jitter alone, and each flap vanished
     # on the next run. Real regressions on fast queries surface once
-    # they cost real time.
-    def _flag(d: float) -> dict:
+    # they cost real time. Variance-class-tagged queries use their
+    # measured class envelope instead of the default 1.5x; envelope
+    # status rides on each record so the class absolution is explicit.
+    def _envelope(name: str) -> float:
+        cls = QUERY_VARIANCE.get(name)
+        return VARIANCE_CLASSES[cls]["ratio"] if cls else 1.5
+
+    def _flag(d: float, ratio=None) -> dict:
         return {
             name: {"prev": old[name], "now": now, "vs": label}
             for name, now in timings.items()
             if name in old
-            and now > 1.5 * d * old[name]
+            and now > (ratio or _envelope(name)) * d * old[name]
             and now - d * old[name] > 0.3
             and now > 1.0
         }
 
     flagged = _flag(drift)
+    # Tagged flaps INSIDE their class envelope (would trip at 1.5x but
+    # not at the envelope): explained with the class tag, never silent.
+    within_envelope = {
+        name: {
+            **rec,
+            "variance_class": QUERY_VARIANCE[name],
+            "why": VARIANCE_CLASSES[QUERY_VARIANCE[name]]["why"],
+        }
+        for name, rec in _flag(drift, ratio=1.5).items()
+        if name not in flagged and name in QUERY_VARIANCE
+    }
     # Drift normalization can mask a REAL slowdown in a widely-shared
     # code path (e.g. load_table): a uniform >=1.25x shift reads exactly
     # like a reboot. Queries that would have been flagged at drift=1.0
@@ -684,15 +740,49 @@ def _regressions(
     # advisory field — suppressed from "regressions", never silent
     # (ADVICE r9 #1).
     suppressed = {
-        k: v for k, v in _flag(1.0).items() if k not in flagged
+        k: v
+        for k, v in _flag(1.0).items()
+        if k not in flagged and k not in within_envelope
     } if drift != 1.0 else {}
     explained = {
         name: {**rec, "why": KNOWN_SLOWER[name]}
         for name, rec in flagged.items()
         if name in KNOWN_SLOWER
     }
+    explained.update(within_envelope)
     unexplained = {k: v for k, v in flagged.items() if k not in KNOWN_SLOWER}
     return unexplained, explained, suppressed, drift
+
+
+def _min_merge_baseline(
+    timings: dict[str, float], sf_val, here: str
+) -> dict[str, float] | None:
+    """The BENCH_LOCAL.json convention, enforced in-process (VERDICT
+    r11 #4 — it lived in prose and was violated by running the tool):
+    BENCH_LOCAL carries the per-query MIN across idle runs, floored by
+    the explicit REBASES table, and the raw run goes to BENCH_RUN.json
+    instead. Returns the merged map, or None when the existing
+    baseline records a DIFFERENT scale factor (a quick sf0.01 run must
+    not replace the sf0.1 baseline — leave BENCH_LOCAL untouched).
+
+    Baseline entries for queries not timed this run survive only while
+    they remain in HEADLINE, so deliberately retired queries age out
+    but a partial run cannot drop live baselines."""
+    local = os.path.join(here, "BENCH_LOCAL.json")
+    existing: dict[str, float] = {}
+    if os.path.exists(local):
+        existing = _artifact_queries(local, sf_val) or {}
+        if not existing and _artifact_queries(local) is not None:
+            return None  # readable baseline, different sf
+    merged = {
+        name: v for name, v in existing.items() if name in HEADLINE
+    }
+    for name, now in timings.items():
+        base = min(existing.get(name, float("inf")), now)
+        if name in REBASES:
+            base = max(base, REBASES[name])
+        merged[name] = round(base, 3)
+    return merged
 
 
 def main() -> None:
@@ -742,15 +832,36 @@ def main() -> None:
     if drift != 1.0:
         payload["env_drift_median_ratio"] = round(drift, 3)
         payload["regressions_suppressed_by_drift"] = suppressed
-    # Full per-query map goes to a committed file; the driver's
+    payload["variance_classes"] = {
+        n: QUERY_VARIANCE[n] for n in timings if n in QUERY_VARIANCE
+    }
+    # Full per-query map goes to committed files; the driver's
     # BENCH_r{N}.json only captures the last 2000 chars of stdout, and
     # the 90-query line outgrew that window in r5 (VERDICT r5 #2). The
     # printed line keeps the contract keys but trims "queries" to the
     # slowest 25 so it stays parseable inside the tail capture.
+    # The RAW run goes to BENCH_RUN.json; BENCH_LOCAL.json is the
+    # min-merged baseline the tripwire compares against, maintained
+    # in-process so running the tool can never loosen it (VERDICT r11
+    # #4 — the prose convention was violated two rounds running).
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+    with open(os.path.join(here, "BENCH_RUN.json"), "w") as fh:
         json.dump(payload, fh)
         fh.write("\n")
+    merged = _min_merge_baseline(timings, sf_val, here)
+    if merged is not None:
+        baseline = {
+            "metric": "headline_queries_min_baseline",
+            "value": round(sum(merged.values()), 3),
+            "unit": "sec",
+            "queries": merged,
+            "sf": sf_val,
+            "rebases": REBASES,
+            "raw_run": "BENCH_RUN.json",
+        }
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+            json.dump(baseline, fh)
+            fh.write("\n")
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:25]
     )
@@ -758,7 +869,7 @@ def main() -> None:
         **payload,
         "queries": {k: timings[k] for k in timings if k in slowest},
         "queries_total_count": len(timings),
-        "queries_full": "BENCH_LOCAL.json",
+        "queries_full": "BENCH_RUN.json",
     }
     print(json.dumps(compact))
     spark.stop()

@@ -1236,32 +1236,40 @@ _NEG_SLOTS = 5
         "the following week, read off lead(week) over the per-user "
         "week sequence (no self-join). The final observed week per "
         "user is censored (label undefined) and excluded, stated "
-        "identically on both sides. One rollup + one user-partitioned "
-        "window."
+        "identically on both sides. Pre-epoch events are filtered on "
+        "BOTH sides (Spark div truncates toward zero, DuckDB // "
+        "floors — they only agree for non-negative operands, the "
+        "ranks.py constraint). Global max week via agg + broadcast "
+        "crossJoin — never an unpartitioned window (single-task "
+        "funnel). One rollup + one user-partitioned window."
     ),
     oracle=f"""
         WITH w AS (
           SELECT user_id,
                  (epoch_us(ts) - {_EPOCH0_US}) // {_WEEK_US} AS week,
                  CAST(COUNT(*) AS BIGINT) AS n_events
-          FROM events GROUP BY 1, 2
+          FROM events
+          WHERE epoch_us(ts) >= {_EPOCH0_US}
+          GROUP BY 1, 2
         ),
         led AS (
           SELECT user_id, week, n_events,
                  LEAD(week) OVER (PARTITION BY user_id ORDER BY week)
-                   AS next_week,
-                 MAX(week) OVER () AS max_week
+                   AS next_week
           FROM w
-        )
+        ),
+        g AS (SELECT MAX(week) AS max_week FROM w)
         SELECT user_id, CAST(week AS BIGINT) AS week, n_events,
                next_week IS NULL OR next_week > week + 1 AS churned
-        FROM led WHERE week < max_week
+        FROM led CROSS JOIN g WHERE week < max_week
     """,
 )
 def q_label_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(
+        F.unix_micros("ts") >= F.lit(_EPOCH0_US)
+    )
     w = events.groupBy(
         "user_id",
         F.expr(
@@ -1274,11 +1282,11 @@ def q_label_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week",
         "n_events",
         F.lead("week").over(wu).alias("next_week"),
-        F.max("week").over(
-            Window.partitionBy()
-        ).alias("max_week"),
     )
-    return led.filter(F.col("week") < F.col("max_week")).select(
+    g = w.agg(F.max("week").alias("max_week"))
+    return led.crossJoin(F.broadcast(g)).filter(
+        F.col("week") < F.col("max_week")
+    ).select(
         "user_id",
         F.col("week").cast("bigint").alias("week"),
         "n_events",

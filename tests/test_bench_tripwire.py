@@ -118,6 +118,142 @@ def test_previous_bench_never_returns_empty_map(tmp_path):
     assert label == "r-local" and queries == {"q_c": 3.0}
 
 
+def test_min_merge_baseline_cannot_loosen(tmp_path):
+    """Running bench.py must never loosen BENCH_LOCAL (VERDICT r11 #4:
+    the prose convention was violated two rounds running by the
+    round-end raw-run overwrite). The in-process merge takes the
+    per-query min, floors it at the explicit REBASES table, refuses to
+    merge across scale factors, and ages out retired queries."""
+    import json
+
+    (tmp_path / "BENCH_LOCAL.json").write_text(
+        json.dumps(
+            {
+                "sf": 0.1,
+                "queries": {
+                    "q_filter_conj": 0.2,
+                    "q_agg_group": 0.5,
+                    "q_sim_pq": 2.209,
+                    "q_ghost_retired": 9.9,
+                },
+            }
+        )
+    )
+    timings = {
+        "q_filter_conj": 0.3,  # slower -> baseline keeps 0.2
+        "q_agg_group": 0.4,  # faster -> tightens to 0.4
+        "q_sim_pq": 1.3,  # faster, but REBASED floor holds 2.209
+        "q_rollup": 0.7,  # new -> enters at raw
+    }
+    merged = bench._min_merge_baseline(timings, 0.1, str(tmp_path))
+    assert merged == {
+        "q_filter_conj": 0.2,
+        "q_agg_group": 0.4,
+        "q_sim_pq": bench.REBASES["q_sim_pq"],
+        "q_rollup": 0.7,
+    }
+    # ghost (not in HEADLINE) aged out; live-but-untimed entries survive
+    assert "q_ghost_retired" not in merged
+    merged2 = bench._min_merge_baseline(
+        {"q_agg_group": 0.45}, 0.1, str(tmp_path)
+    )
+    assert merged2["q_filter_conj"] == 0.2 and merged2["q_agg_group"] == 0.45
+    # an sf0.01 run must not replace the sf0.1 baseline
+    assert bench._min_merge_baseline(timings, 0.01, str(tmp_path)) is None
+    # no existing baseline -> raw run seeds it (with floors)
+    seeded = bench._min_merge_baseline(timings, 0.1, str(tmp_path / "x"))
+    assert seeded["q_sim_pq"] == bench.REBASES["q_sim_pq"]
+
+
+def test_committed_bench_local_never_loosened():
+    """The working-tree BENCH_LOCAL.json must never carry a looser
+    per-query baseline than the committed one, except through an entry
+    in bench.REBASES (the explicit-evidence act recorded in SCALE.md).
+    This is the guard that catches the r10/r11 failure mode — a raw
+    run wholesale-replacing the min baseline — before it is committed."""
+    import json
+    import subprocess
+
+    here = os.path.dirname(bench.__file__)
+    res = subprocess.run(
+        ["git", "show", "HEAD:BENCH_LOCAL.json"],
+        capture_output=True,
+        text=True,
+        cwd=here,
+    )
+    if res.returncode != 0:  # fresh clone without the artifact
+        return
+    committed = json.loads(res.stdout).get("queries", {})
+    with open(os.path.join(here, "BENCH_LOCAL.json")) as fh:
+        working = json.load(fh).get("queries", {})
+    loosened = {
+        name: (committed[name], now)
+        for name, now in working.items()
+        if name in committed
+        and name not in bench.REBASES
+        and now > committed[name] + 1e-9
+    }
+    assert not loosened, (
+        "BENCH_LOCAL baselines loosened without a REBASES record "
+        f"(min-merge violated): {loosened}"
+    )
+    for name, floor in bench.REBASES.items():
+        if name in working:
+            assert working[name] <= floor + 1e-9, (
+                f"{name} above its recorded rebase floor: "
+                f"{working[name]} > {floor}"
+            )
+
+
+def test_variance_envelope_consulted_by_flag_logic(tmp_path, monkeypatch):
+    """A variance-class-tagged query flapping INSIDE its envelope lands
+    in regressions_explained with the class tag; exceeding the envelope
+    still trips as a real regression (VERDICT r11 #5)."""
+    import json
+
+    assert set(bench.QUERY_VARIANCE.values()) <= set(bench.VARIANCE_CLASSES)
+    (tmp_path / "BENCH_LOCAL.json").write_text(
+        json.dumps(
+            {
+                "sf": 0.1,
+                "queries": {
+                    "q_sim_pq": 2.0,
+                    "q_agg_group": 2.0,
+                    "q_a": 1.0,
+                    "q_b": 1.0,
+                    "q_c": 1.0,
+                    "q_d": 1.0,
+                    "q_e": 1.0,
+                    "q_f": 1.0,
+                },
+            }
+        )
+    )
+    orig = bench._previous_bench
+    monkeypatch.setattr(
+        bench,
+        "_previous_bench",
+        lambda here=None, sf=None: orig(str(tmp_path), sf),
+    )
+    base = {n: 1.0 for n in ("q_a", "q_b", "q_c", "q_d", "q_e", "q_f")}
+    # 1.8x on the scheduling-floor query (envelope 2.0): explained, tagged
+    flagged, explained, _, _ = bench._regressions(
+        {**base, "q_sim_pq": 3.6, "q_agg_group": 2.0}
+    )
+    assert "q_sim_pq" not in flagged
+    assert explained["q_sim_pq"]["variance_class"] == "scheduling-floor"
+    # same ratio on an untagged query: real flag
+    flagged2, _, _, _ = bench._regressions(
+        {**base, "q_sim_pq": 2.0, "q_agg_group": 3.6}
+    )
+    assert "q_agg_group" in flagged2
+    # 2.5x on the tagged query EXCEEDS the envelope: real flag
+    flagged3, explained3, _, _ = bench._regressions(
+        {**base, "q_sim_pq": 5.0, "q_agg_group": 2.0}
+    )
+    assert "q_sim_pq" in flagged3 and "q_sim_pq" not in explained3
+
+
 def test_previous_bench_rejects_mismatched_sf(tmp_path):
     """A quick sf0.01 local run must not poison the sf0.1 baseline:
     artifacts recording a different sf are skipped; malformed timing
