@@ -375,6 +375,10 @@ HEADLINE = [
     "q_winsorize_clip",
     # round-11 batch 73: hard-negative mining
     "q_hard_negatives",
+    # round-12: the last streaming-join-matrix cell (LEFT SEMI)
+    "s_stream_semi_join",
+    # round-12: native @udtf twin
+    "q_udtf_native",
     # round-10 batch 45: exact substring-span dedup + mask transform
     "q_dedup_substring_spans",
     "q_dedup_substring_mask",

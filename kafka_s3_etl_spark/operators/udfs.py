@@ -94,6 +94,44 @@ def explode_quantity_units(lineitem: DataFrame, max_qty: int = 10) -> DataFrame:
     )
 
 
+def quantity_units_udtf():
+    """The NATIVE Spark Python UDTF (@udtf class form, Spark 3.5+/4),
+    Arrow-optimized — the first-class engine surface q_udtf's
+    explode-of-array form does not exercise (VERDICT r11 #2). Same
+    row-generation contract as explode_quantity_units: one output row
+    per whole quantity unit. Called with a TABLE argument
+    (df.asTable()), so eval receives one Row per input line item; the
+    class is defined locally so cloudpickle ships it by value (no
+    worker import of this module required)."""
+    from pyspark.sql.functions import udtf
+
+    class QuantityUnits:
+        def eval(self, row):
+            for unit in range(1, int(row.l_quantity) + 1):
+                yield row.l_orderkey, row.l_linenumber, unit
+
+    return udtf(
+        QuantityUnits,
+        returnType="l_orderkey bigint, l_linenumber int, unit int",
+        useArrow=True,
+    )
+
+
+def native_udtf_quantity_units(
+    lineitem: DataFrame, max_qty: int = 10
+) -> DataFrame:
+    """explode_quantity_units re-expressed through the native @udtf
+    API: project the three needed columns (column pruning happens
+    BELOW the UDTF — the Python boundary blocks pushdown, so the
+    filter and projection are applied to its INPUT, the
+    documents_as_media rule), pass as a TABLE argument."""
+    fn = quantity_units_udtf()
+    li = lineitem.filter(F.col("l_quantity") <= max_qty).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    return fn(li.asTable())
+
+
 @F.pandas_udf(T.IntegerType())
 def _zlib_size(text: pd.Series) -> pd.Series:
     """Vectorized compressed-size probe (Arrow batch in/out).

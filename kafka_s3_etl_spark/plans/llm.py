@@ -1424,3 +1424,32 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = documents_as_media(docs)
     return decode_frames(media.filter(F.col("media_type") == "video"))
+
+
+# ---------------------------------------------------- round 12, batch 75
+
+
+@register(
+    "q_udtf_native",
+    category="udf",
+    doc=(
+        "The NATIVE Spark Python UDTF surface (@udtf class form with "
+        "useArrow=True, called with a TABLE argument) — the engine API "
+        "q_udtf's explode-of-array form satisfies semantically but "
+        "never executes (VERDICT r11 #2). Same contract and the same "
+        "oracle: one row per whole quantity unit. The plan carries an "
+        "ArrowEvalPythonUDTF node (pinned in tests/test_plans.py); "
+        "filter + projection are applied BELOW the UDTF since the "
+        "Python boundary blocks pushdown."
+    ),
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(UNNEST(generate_series(1, CAST(l_quantity AS INT))) AS INTEGER)
+                   AS unit
+        FROM lineitem WHERE l_quantity <= 10
+    """,
+)
+def q_udtf_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.udfs import native_udtf_quantity_units
+
+    return native_udtf_quantity_units(load_table(spark, sf_dir, "lineitem"))

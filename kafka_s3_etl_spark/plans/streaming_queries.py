@@ -566,6 +566,39 @@ def s_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_stream_semi_join",
+    category="streaming",
+    cost=3,
+    doc=(
+        "Stream-stream LEFT SEMI join — the last cell of the streaming "
+        "join matrix (inner/left/full exist above; batch analogue "
+        "q_join_semi): purchases that HAD a same-user follow-up within "
+        "the hour, each emitted exactly once at match time with left "
+        "columns only. Unmatched purchases are evicted WITHOUT "
+        "emission once the sentinel-advanced watermark proves no "
+        "follow-up can arrive; the eviction is asserted from the state "
+        "metrics (outer_join.LAST_SEMI_PROGRESS — join state drains to "
+        "the 2-row sentinel residue). Equals the batch EXISTS "
+        "(streaming/outer_join.py)."
+    ),
+    oracle="""
+        SELECT e1.event_id AS a_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') e1
+        WHERE EXISTS (
+          SELECT 1 FROM events e2
+          WHERE e2.user_id = e1.user_id
+            AND e2.ts > e1.ts
+            AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+        )
+    """,
+)
+def s_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.streaming.outer_join import semi_join_demo
+
+    return semi_join_demo(spark, sf_dir)
+
+
+@register(
     "s_stream_union",
     category="streaming",
     cost=3,

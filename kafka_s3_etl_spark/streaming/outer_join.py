@@ -54,10 +54,14 @@ def _copy_part(src_dir: str, dest: str, mtime: float) -> None:
 def _purchase_followups(
     left: DataFrame, right: DataFrame, how: str
 ) -> DataFrame:
-    """Purchases OUTER-joined to any same-user event in the following
-    hour; unmatched rows surface with the other side NULL after the
-    watermark evicts them (b_id NULL for follow-up-less purchases and —
-    full outer only — a_id NULL for events following no purchase)."""
+    """Purchases joined to any same-user event in the following hour.
+    OUTER flavors: unmatched rows surface with the other side NULL
+    after the watermark evicts them (b_id NULL for follow-up-less
+    purchases and — full outer only — a_id NULL for events following
+    no purchase). LEFT SEMI: each matched purchase emits exactly once
+    (left columns only — the right side is existence-checked, never
+    projected); unmatched purchases are evicted WITHOUT emission once
+    the watermark proves no follow-up can arrive."""
     l_side = (
         left.filter(F.col("event_type") == "purchase")
         .select(
@@ -72,13 +76,16 @@ def _purchase_followups(
         F.col("user_id").alias("r_user"),
         F.col("ts").alias("r_ts"),
     ).withWatermark("r_ts", "1 hour")
-    return l_side.join(
+    joined = l_side.join(
         r_side,
         (F.col("l_user") == F.col("r_user"))
         & (F.col("r_ts") > F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 HOUR")),
         how,
-    ).select("a_id", "b_id")
+    )
+    if how == "left_semi":
+        return joined.select("a_id")
+    return joined.select("a_id", "b_id")
 
 
 def left_outer_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,6 +94,18 @@ def left_outer_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def full_outer_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _outer_join_demo(spark, sf_dir, "full_outer")
+
+
+# Final streaming-progress dict of the last semi-join run: the
+# watermark-eviction test asserts engine internals (unmatched left
+# state evicted WITHOUT emission — state rows drop to the sentinel
+# residue) without threading the query handle through the DataFrame
+# contract (the session_close.LAST_PROGRESS pattern).
+LAST_SEMI_PROGRESS: dict | None = None
+
+
+def semi_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _outer_join_demo(spark, sf_dir, "left_semi")
 
 
 def _outer_join_demo(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
@@ -126,21 +145,41 @@ def _outer_join_demo(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
         q.processAllAvailable()  # real data commits; watermark advances
         _copy_part(sent_dir, os.path.join(src_dir, "sentinel.parquet"), now)
         q.processAllAvailable()  # sentinel pushes watermarks past all windows
-        # Outer-NULL eviction may land in a trailing no-data micro-batch
-        # after processAllAvailable returns. The sentinel watermark
-        # clears EVERY unmatched row in that one batch, so the first
+        # Eviction may land in a trailing no-data micro-batch after
+        # processAllAvailable returns. The sentinel watermark clears
+        # EVERY real row in that one batch. Outer flavors: the first
         # NULL appearing on each outer side means eviction ran to
-        # completion.
+        # completion. Semi: matched rows already emitted at match time
+        # (a semi join projects no right columns, so there is no NULL
+        # signal); completion is read off the STATE metrics instead —
+        # join state drains to the sentinel residue (one left purchase
+        # + one right event that stay above the final watermark).
         for _ in range(120):
-            out = spark.table(name)
-            done = out.filter(F.col("b_id").isNull()).count() > 0
-            if how == "full_outer":
-                done = done and out.filter(F.col("a_id").isNull()).count() > 0
-            if done:
-                break
+            if how == "left_semi":
+                prog = q.lastProgress
+                ops = (prog or {}).get("stateOperators") or []
+                if ops and ops[0].get("numRowsTotal", 1 << 30) <= 2:
+                    break
+            else:
+                out = spark.table(name)
+                done = out.filter(F.col("b_id").isNull()).count() > 0
+                if how == "full_outer":
+                    done = (
+                        done
+                        and out.filter(F.col("a_id").isNull()).count() > 0
+                    )
+                if done:
+                    break
             time.sleep(0.5)
+        if how == "left_semi":
+            global LAST_SEMI_PROGRESS
+            LAST_SEMI_PROGRESS = q.lastProgress
     finally:
         q.stop()
+    if how == "left_semi":
+        # Only the sentinel purchase itself could have matched a
+        # sentinel follow-up; drop it, keep every real matched purchase.
+        return spark.table(name).filter(F.col("a_id") >= 0)
     # Drop the sentinel's own rows on BOTH sides, keeping outer NULLs:
     # the -1 left sentinel may emit (-1, NULL), the right copy (NULL, -1).
     keep_a = F.col("a_id").isNull() | (F.col("a_id") >= 0)

@@ -121,6 +121,8 @@ PROBE_QUERIES = [
     "q_feature_hash",
     "q_quantile_bins",
     "s_stream_full_join",
+    # round-12: the LEFT SEMI cell of the streaming join matrix
+    "s_stream_semi_join",
     # round-7 later batches: DS shapes over the scaled facts, SQL
     # semantics corners, evolved/footer-stat layouts
     "q_ds_timeband_counts",

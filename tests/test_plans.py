@@ -1390,3 +1390,22 @@ def test_media_predicate_reaches_the_scan(spark, sf_dir):
                  "q_dedup_frame_phash"):
         plan = plan_of(spark, sf_dir, name)
         assert re.search(r"doc_id#\d+L?\)?\s*%\s*3", plan), name
+
+
+def test_native_udtf_is_arrow_eval_with_pruned_input(spark, sf_dir):
+    """q_udtf_native must execute through the NATIVE Python UDTF node
+    in Arrow eval mode (ArrowEvalPythonUDTF — not the fallback
+    BatchEvalPythonUDTF, and not the explode q_udtf rides), with the
+    quantity filter and 3-column projection applied BELOW the UDTF
+    (the Python boundary blocks pushdown, so they must be in its
+    input subtree, reaching the parquet scan)."""
+    plan = plan_of(spark, sf_dir, "q_udtf_native")
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPythonUDTF" not in plan
+    assert "Generate" not in plan  # the explode form would show one
+    # filter + projection pushed to the scan below the UDTF
+    assert "PushedFilters: [IsNotNull(l_quantity)" in plan
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,"
+        "l_quantity:" in plan
+    )

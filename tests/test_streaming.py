@@ -417,6 +417,49 @@ def test_full_outer_stream_join_emits_both_null_sides(spark, sf_dir):
     assert out.filter((F.col("a_id") < 0) | (F.col("b_id") < 0)).count() == 0
 
 
+def test_semi_stream_join_emits_once_and_evicts_unmatched(spark, sf_dir):
+    """s_stream_semi_join: each matched purchase emits exactly once
+    with LEFT columns only (no b_id in the schema); unmatched
+    purchases never emit, and the sentinel-advanced watermark evicts
+    them from join state WITHOUT emission — pinned from the final
+    streaming progress (state drains to the 2-row sentinel residue)."""
+    import duckdb
+
+    from kafka_s3_etl_spark.streaming import outer_join
+
+    out = semi = outer_join.semi_join_demo(spark, sf_dir)
+    assert out.columns == ["a_id"]  # semi projects no right columns
+    got = sorted(r.a_id for r in semi.collect())
+    assert got == sorted(set(got)), "a purchase emitted more than once"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    matched, purchases = con.execute(
+        """
+        SELECT COUNT(*) FILTER (WHERE EXISTS (
+                 SELECT 1 FROM events e2
+                 WHERE e2.user_id = e1.user_id AND e2.ts > e1.ts
+                   AND e2.ts <= e1.ts + INTERVAL 1 HOUR)),
+               COUNT(*)
+        FROM events e1 WHERE event_type = 'purchase'
+        """
+    ).fetchone()
+    assert len(got) == matched
+    assert matched < purchases, "corpus must carry unmatched purchases"
+
+    # the unmatched (purchases - matched) left rows were evicted, not
+    # buffered: total join state is the sentinel residue (1 left
+    # purchase + 1 right event above the final watermark)
+    prog = outer_join.LAST_SEMI_PROGRESS
+    assert prog is not None and prog["stateOperators"]
+    op = prog["stateOperators"][0]
+    assert "symmetricHashJoin" in op.get("operatorName", ""), op
+    assert op["numRowsTotal"] <= 2, op
+
+
 def test_pyds_stream_restart_from_checkpoint_no_dup_no_loss(spark):
     """r7 advice: an ACTUAL restart of a graft_range streaming query —
     not a simulated call order. Each run drains exactly one micro-batch

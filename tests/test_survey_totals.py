@@ -131,3 +131,24 @@ def test_survey_table_ids_and_readme_counts_match_registry():
     assert (int(m.group(1)), int(m.group(2))) == (n_oracle, len(qs)), (
         "README catalog counts drifted from plans/registry.py"
     )
+
+
+def test_catalog_md_is_fresh():
+    """VERDICT r11 #8: CATALOG.md is the one-place current-state view
+    of the registry (id, category, tier, file:line, headline,
+    last-verified evidence). It is generated — any drift between the
+    committed file and the live registry fails here; regenerate with
+    `python scripts/gen_catalog.py`."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_catalog", os.path.join(REPO, "scripts", "gen_catalog.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    want = mod.build_catalog_md()
+    path = os.path.join(REPO, "CATALOG.md")
+    assert os.path.exists(path), "CATALOG.md missing — run scripts/gen_catalog.py"
+    assert open(path).read() == want, (
+        "CATALOG.md stale — run python scripts/gen_catalog.py"
+    )
