@@ -379,6 +379,12 @@ HEADLINE = [
     "s_stream_semi_join",
     # round-12: native @udtf twin
     "q_udtf_native",
+    # round-12 batch 76: training-pipeline widening
+    "q_event_debounce",
+    "q_dedup_prefix_tokens",
+    "q_span_corruption",
+    "q_embed_dim_stats",
+    "q_regex_funcs",
     # round-10 batch 45: exact substring-span dedup + mask transform
     "q_dedup_substring_spans",
     "q_dedup_substring_mask",

@@ -74,6 +74,7 @@ _PLAN_MODULES = [
     "kafka_s3_etl_spark.plans.substring",
     "kafka_s3_etl_spark.plans.textmine",
     "kafka_s3_etl_spark.plans.mixing",
+    "kafka_s3_etl_spark.plans.pipelineops",
 ]
 
 

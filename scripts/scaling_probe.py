@@ -123,6 +123,11 @@ PROBE_QUERIES = [
     "s_stream_full_join",
     # round-12: the LEFT SEMI cell of the streaming join matrix
     "s_stream_semi_join",
+    # round-12 batch 76
+    "q_event_debounce",
+    "q_dedup_prefix_tokens",
+    "q_span_corruption",
+    "q_embed_dim_stats",
     # round-7 later batches: DS shapes over the scaled facts, SQL
     # semantics corners, evolved/footer-stat layouts
     "q_ds_timeband_counts",

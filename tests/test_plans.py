@@ -1409,3 +1409,29 @@ def test_native_udtf_is_arrow_eval_with_pruned_input(spark, sf_dir):
         "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,"
         "l_quantity:" in plan
     )
+
+
+def test_batch76_plan_shapes(spark, sf_dir):
+    """Round-12 batch 76: debounce's lag window is partitioned (no
+    empty-partition global funnel); prefix dedup is one exchange on
+    the md5 key; span corruption and dim stats keep their explode
+    map-side with a partial-aggregated (combinable) rollup; regex
+    funcs stay whole-stage-codegen JVM expressions (no Python)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "q_event_debounce")
+    assert re.search(r"windowspecdefinition\(user_id#\d+L, event_type#\d+", plan)
+
+    plan = plan_of(spark, sf_dir, "q_dedup_prefix_tokens")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial_count" in plan  # map-side combine below the exchange
+
+    for name in ("q_span_corruption", "q_embed_dim_stats"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Generate" in plan  # the explode, map-side
+        assert "partial_" in plan  # combinable agg
+        assert "EvalPython" not in plan and "MapInPandas" not in plan, name
+
+    plan = plan_of(spark, sf_dir, "q_regex_funcs")
+    assert "* Project" in plan  # the '*' marks whole-stage codegen
+    assert "EvalPython" not in plan
