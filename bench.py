@@ -385,6 +385,10 @@ HEADLINE = [
     "q_span_corruption",
     "q_embed_dim_stats",
     "q_regex_funcs",
+    # round-12 batch 77
+    "q_graph_bfs_kstep",
+    "q_asof_join_nearest",
+    "q_map_funcs",
     # round-10 batch 45: exact substring-span dedup + mask transform
     "q_dedup_substring_spans",
     "q_dedup_substring_mask",

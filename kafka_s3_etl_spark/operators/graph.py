@@ -719,3 +719,53 @@ def label_propagation_kstep(
             .localCheckpoint()
         )
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def bfs_kstep(
+    pairs: DataFrame, nodes: DataFrame, seeds: DataFrame, iters: int = 4
+) -> DataFrame:
+    """Fixed-K-round breadth-first distances from a seed set (min-plus
+    relaxation — the reachability/blast-radius query a lineage or
+    contamination audit runs): after round t, (node, dist) holds the
+    exact hop distance for every node within t hops of a seed;
+    unreached nodes are absent (never a sentinel infinity). Same
+    Pregel-lite shape as ``label_propagation_kstep``: per round one
+    equi join (edges x frontier table, both on node id) + one
+    map-side-combinable MIN aggregation, all integer arithmetic, so a
+    DuckDB oracle replays the rounds as a MATERIALIZED CTE chain and
+    hash-matches every distance. Self-loops (added here over the full
+    ``nodes`` universe) carry settled distances forward at +0 — the
+    relaxation is then a single MIN(dist + step) over the edge set.
+    ``localCheckpoint`` cuts the iterative lineage.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    base = nodes.select(F.col(nodes.columns[0]).alias("node"))
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    edges = (
+        sym.unionByName(
+            base.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = seeds.select(
+        F.col(seeds.columns[0]).alias("node"),
+        F.lit(0).cast("bigint").alias("dist"),
+    ).localCheckpoint()
+    step = F.when(F.col("src") == F.col("dst"), 0).otherwise(1)
+    for _ in range(iters):
+        dist = (
+            edges.join(
+                dist.select(F.col("node").alias("dst"), "dist"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min(F.col("dist") + step).cast("bigint").alias("dist"))
+            .select(F.col("src").alias("node"), "dist")
+            .localCheckpoint()
+        )
+    return dist

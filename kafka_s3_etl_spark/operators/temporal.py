@@ -58,8 +58,14 @@ def asof_join(
     """
     from pyspark.sql import types as T
 
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction}"
+        )
+    if direction == "nearest":
+        return _asof_join_nearest(
+            left, right, key, right_key, left_ts, right_ts, payload, prefix
+        )
     backward = direction == "backward"
     left_cols = left.columns
     out_cols = [right_ts] + payload
@@ -96,6 +102,74 @@ def asof_join(
     return merged.filter(F.col("_side") == l_mark).select(
         *left_cols,
         *[F.col(f"_last_r.{c}").alias(f"{prefix}{c}") for c in out_cols],
+    )
+
+
+def _asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    prefix: str,
+) -> DataFrame:
+    """merge_asof(direction='nearest'): the closer of the latest prior
+    and the earliest following right row, ties to BACKWARD (documented;
+    pandas breaks the same way). SINGLE union-merge, two frames over
+    one sort — never two as-of joins re-joined. Uses the backward
+    boundary marks (right rows sort before left at equal ts): an
+    equal-ts right row is then invisible to the forward frame, but it
+    is the backward match at gap 0, which wins every tie anyway, so
+    the choice is unaffected. Gaps compare in exact microseconds."""
+    from pyspark.sql import types as T
+
+    left_cols = left.columns
+    out_cols = [right_ts] + payload
+    row_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in out_cols]
+    )
+    l_side = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *left_cols,
+        F.lit(None).cast(row_type).alias("_r"),
+    )
+    r_side = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+        ],
+        F.struct(*[F.col(c) for c in out_cols]).alias("_r"),
+    )
+    w = Window.partitionBy("_k").orderBy("_ts", "_side")
+    w_back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    merged = (
+        l_side.unionByName(r_side)
+        .withColumn("_b", F.last("_r", ignorenulls=True).over(w_back))
+        .withColumn("_f", F.first("_r", ignorenulls=True).over(w_fwd))
+    )
+    gap_b = F.unix_micros("_ts") - F.unix_micros(F.col(f"_b.{right_ts}"))
+    gap_f = F.unix_micros(F.col(f"_f.{right_ts}")) - F.unix_micros("_ts")
+    chosen = (
+        F.when(F.col("_f").isNull(), F.col("_b"))
+        .when(F.col("_b").isNull(), F.col("_f"))
+        .when(gap_b <= gap_f, F.col("_b"))
+        .otherwise(F.col("_f"))
+    )
+    return (
+        merged.filter(F.col("_side") == 1)
+        .withColumn("_n", chosen)
+        .select(
+            *left_cols,
+            *[F.col(f"_n.{c}").alias(f"{prefix}{c}") for c in out_cols],
+        )
     )
 
 

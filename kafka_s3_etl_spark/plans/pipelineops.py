@@ -283,3 +283,204 @@ def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "len_novowel"
         ),
     )
+
+
+# ---------------------------------------------------- round 12, batch 77
+
+_BFS_ITERS = 4
+_BFS_SEED_MOD = 50
+
+
+def _bfs_kstep_oracle(iters: int = _BFS_ITERS) -> str:
+    """K min-plus relaxation rounds over the md5-pair graph as a
+    MATERIALIZED CTE chain (the label_propagation_kstep replay
+    pattern) — all integer arithmetic, bit-exact across engines."""
+    from kafka_s3_etl_spark.plans.oracleext import _md5_pairs_ctes
+
+    rounds = []
+    for t in range(iters):
+        rounds.append(f"""
+        r{t + 1} AS MATERIALIZED (
+          SELECT e.src AS node,
+                 CAST(MIN(r.dist + CASE WHEN e.src = e.dst THEN 0 ELSE 1 END)
+                      AS BIGINT) AS dist
+          FROM edges e JOIN r{t} r ON r.node = e.dst
+          GROUP BY e.src
+        )""")
+    chain = ",".join(rounds)
+    return f"""
+        WITH {_md5_pairs_ctes()},
+        sympairs AS (
+          SELECT doc_a AS src, doc_b AS dst FROM thr
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM thr
+        ),
+        edges AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM sympairs
+            UNION ALL
+            SELECT doc_id AS src, doc_id AS dst FROM documents
+          )
+        ),
+        r0 AS MATERIALIZED (
+          SELECT doc_id AS node, CAST(0 AS BIGINT) AS dist
+          FROM documents WHERE doc_id % {_BFS_SEED_MOD} = 0
+        ),{chain}
+        SELECT node, dist FROM r{iters}
+    """
+
+
+@register(
+    "q_graph_bfs_kstep",
+    cost=3,
+    category="graph",
+    doc=(
+        "Fixed-4-round BFS distances from a pinned seed set (doc_id % "
+        "50 = 0) over the md5-MinHash near-dup graph — the blast-"
+        "radius / contamination-reach query (how far does a flagged "
+        "document's duplicate neighborhood extend?). Min-plus "
+        "relaxation with self-loops carrying settled distances at +0; "
+        "unreached nodes absent, never sentinel infinities. Same "
+        "MATERIALIZED-CTE replay oracle family as "
+        "q_label_propagation_kstep/q_markov_kstep. Scale: per round "
+        "one frontier join + a combinable MIN — the same bounded "
+        "Pregel-lite shape as the LPA family."
+    ),
+    oracle=_bfs_kstep_oracle(),
+)
+def q_graph_bfs_kstep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.dedup import md5_minhash_near_dups
+    from kafka_s3_etl_spark.operators.graph import bfs_kstep
+    from kafka_s3_etl_spark.plans.oracleext import _THRESHOLD
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = md5_minhash_near_dups(docs, threshold=_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    seeds = docs.select("doc_id").filter(
+        F.col("doc_id") % _BFS_SEED_MOD == 0
+    )
+    return bfs_kstep(pairs, docs.select("doc_id"), seeds, iters=_BFS_ITERS)
+
+
+@register(
+    "q_asof_join_nearest",
+    category="temporal",
+    cost=1,
+    doc=(
+        "Nearest as-of join (merge_asof direction='nearest'): per "
+        "order, the CLOSER of the latest prior and earliest following "
+        "event of the matching user, ties to backward — ONE "
+        "union-merge with two frames over a single sort (never two "
+        "as-of joins re-joined; operators/temporal.py::"
+        "_asof_join_nearest), gaps compared in exact microseconds. "
+        "Oracle: DuckDB's two native ASOF directions + the identical "
+        "CASE."
+    ),
+    oracle="""
+        WITH b AS (
+          SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+                 e.ts AS b_ts, e.event_type AS b_et
+          FROM orders o ASOF LEFT JOIN events e
+            ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+        ),
+        f AS (
+          SELECT o.o_orderkey, e.ts AS f_ts, e.event_type AS f_et
+          FROM orders o ASOF LEFT JOIN events e
+            ON o.o_custkey = e.user_id AND e.ts > o.o_orderdate
+        )
+        SELECT b.o_orderkey, b.o_custkey, b.o_orderdate,
+               CASE WHEN f_ts IS NULL THEN b_ts
+                    WHEN b_ts IS NULL THEN f_ts
+                    WHEN epoch_us(b.o_orderdate) - epoch_us(b_ts)
+                         <= epoch_us(f_ts) - epoch_us(b.o_orderdate)
+                    THEN b_ts ELSE f_ts END AS near_ts,
+               CASE WHEN f_ts IS NULL THEN b_et
+                    WHEN b_ts IS NULL THEN f_et
+                    WHEN epoch_us(b.o_orderdate) - epoch_us(b_ts)
+                         <= epoch_us(f_ts) - epoch_us(b.o_orderdate)
+                    THEN b_et ELSE f_et END AS near_event_type
+        FROM b JOIN f ON b.o_orderkey = f.o_orderkey
+    """,
+)
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.temporal import asof_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    events = load_table(spark, sf_dir, "events")
+    return asof_join(
+        orders,
+        events,
+        key="o_custkey",
+        right_key="user_id",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        payload=["event_type"],
+        prefix="near_",
+        direction="nearest",
+    )
+
+
+@register(
+    "q_map_funcs",
+    category="rowops",
+    doc=(
+        "Map-typed function surface (the higher-order-map siblings of "
+        "q_array_algebra): per-doc token counts built with "
+        "map_from_entries, thinned with map_filter (count >= 2), "
+        "transformed with transform_values (squared) — then projected "
+        "back to SORTED key/value arrays for the hash (map iteration "
+        "order is engine-private; sorted projections are the "
+        "deterministic contract). DuckDB twin recomputes from the "
+        "token rollup with ordered list aggs — no map type crosses "
+        "the comparison."
+    ),
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+          FROM documents
+        ),
+        cnt AS (
+          SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM toks GROUP BY doc_id, tok
+        )
+        SELECT doc_id,
+               CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END), 0)
+                    AS INTEGER) AS n_repeated,
+               COALESCE(LIST(tok ORDER BY tok)
+                          FILTER (WHERE c >= 2), []) AS rep_tokens,
+               COALESCE(LIST(c * c ORDER BY tok)
+                          FILTER (WHERE c >= 2), []) AS rep_sq_counts
+        FROM cnt GROUP BY doc_id
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    m = cnt.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("tok", "c"))
+        ).alias("m")
+    )
+    return m.select(
+        "doc_id",
+        F.expr(
+            "transform_values(map_filter(m, (k, v) -> v >= 2),"
+            " (k, v) -> v * v)"
+        ).alias("m2"),
+    ).select(
+        "doc_id",
+        F.size("m2").alias("n_repeated"),
+        F.sort_array(F.map_keys("m2")).alias("rep_tokens"),
+        F.expr(
+            "transform(sort_array(map_keys(m2)), k -> element_at(m2, k))"
+        ).alias("rep_sq_counts"),
+    )

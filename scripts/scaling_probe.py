@@ -128,6 +128,9 @@ PROBE_QUERIES = [
     "q_dedup_prefix_tokens",
     "q_span_corruption",
     "q_embed_dim_stats",
+    "q_graph_bfs_kstep",
+    "q_asof_join_nearest",
+    "q_map_funcs",
     # round-7 later batches: DS shapes over the scaled facts, SQL
     # semantics corners, evolved/footer-stat layouts
     "q_ds_timeband_counts",

@@ -1435,3 +1435,22 @@ def test_batch76_plan_shapes(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_regex_funcs")
     assert "* Project" in plan  # the '*' marks whole-stage codegen
     assert "EvalPython" not in plan
+
+
+def test_batch77_plan_shapes(spark, sf_dir):
+    """q_asof_join_nearest is ONE union-merge: a single key exchange
+    feeding one Window node computing both frames — never two as-of
+    joins re-joined (no SortMergeJoin/ShuffledHashJoin anywhere);
+    q_map_funcs stays JVM higher-order expressions (no Python)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "q_asof_join_nearest")
+    assert "Join" not in plan  # no self-join of two asof passes
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    # one shuffle on the merge key + the union below it
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Union" in plan
+
+    plan = plan_of(spark, sf_dir, "q_map_funcs")
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "map_filter" in plan and "transform_values" in plan

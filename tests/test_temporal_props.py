@@ -513,3 +513,45 @@ def test_asof_join_forward_matches_pandas(spark, left, right):
             for row in merged.itertuples()
         }
     assert got == want
+
+
+@given(left=left_rows, right=right_rows)
+@_SETTINGS
+def test_asof_join_nearest_matches_pandas(spark, left, right):
+    """direction='nearest' against pandas merge_asof over the input
+    space, including the equal-distance tie (both prefer backward —
+    for pandas, equal-ts rows match backward-inclusively first; for
+    distinct equal gaps pandas also takes the prior row)."""
+    ldf = spark.createDataFrame(
+        [(k, i, _ts(s)) for i, (k, s) in enumerate(left)],
+        "k long, lid long, lts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, i + 1000, _ts(s)) for i, (k, s) in enumerate(right)],
+        "rk long, rid long, rts timestamp",
+    ) if right else spark.createDataFrame([], "rk long, rid long, rts timestamp")
+
+    got = {
+        (r.lid): (r.near_rid)
+        for r in asof_join(
+            ldf, rdf, key="k", right_key="rk", left_ts="lts", right_ts="rts",
+            payload=["rid"], prefix="near_", direction="nearest",
+        ).collect()
+    }
+
+    # independent brute force (pandas merge_asof 'nearest' breaks ties
+    # FORWARD in some versions; our contract is ties-to-backward, so
+    # compute the reference directly)
+    want = {}
+    for i, (k, s) in enumerate(left):
+        best = None
+        for j, (rk, rs) in enumerate(right):
+            if rk != k:
+                continue
+            gap = abs(rs - s)
+            back = rs <= s
+            cand = (gap, 0 if back else 1, rs, j + 1000)
+            if best is None or cand < best:
+                best = cand
+        want[i] = best[3] if best is not None else None
+    assert got == want
