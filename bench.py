@@ -389,6 +389,8 @@ HEADLINE = [
     "q_graph_bfs_kstep",
     "q_asof_join_nearest",
     "q_map_funcs",
+    # round-12 batch 78
+    "q_image_channel_stats",
     # round-10 batch 45: exact substring-span dedup + mask transform
     "q_dedup_substring_spans",
     "q_dedup_substring_mask",

@@ -714,3 +714,45 @@ def audio_band_energies(media: DataFrame, n_bands: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(feat, schema=BAND_ENERGY_SCHEMA)
+
+
+CHANNEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("channel", T.IntegerType()),
+        T.StructField("n", T.IntegerType()),
+        T.StructField("byte_sum", T.LongType()),
+        T.StructField("byte_min", T.IntegerType()),
+        T.StructField("byte_max", T.IntegerType()),
+    ]
+)
+
+
+def channel_stats(media: DataFrame) -> DataFrame:
+    """Per-channel pixel statistics from a REAL decode — the
+    white-balance / dead-channel QA a vision-data pipeline runs before
+    training: ``parse_ppm`` yields the (h, w, 3) array, this reduces
+    each RGB plane to exact integer stats (3 rows per image). Numpy
+    vectorized inside mapInPandas (Arrow batches); same seam contract
+    as ``decode_pixels`` for compressed formats."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "channel": [], "n": [],
+                "byte_sum": [], "byte_min": [], "byte_max": [],
+            }
+            for doc_id, pl in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, arr = parse_ppm(bytes(pl))
+                planes = arr.reshape(-1, 3).astype(np.int64)
+                for c in range(3):
+                    p = planes[:, c]
+                    rows["doc_id"].append(doc_id)
+                    rows["channel"].append(c)
+                    rows["n"].append(int(p.size))
+                    rows["byte_sum"].append(int(p.sum()))
+                    rows["byte_min"].append(int(p.min()))
+                    rows["byte_max"].append(int(p.max()))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(stats, schema=CHANNEL_STATS_SCHEMA)

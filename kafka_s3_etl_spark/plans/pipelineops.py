@@ -484,3 +484,51 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sort_array(map_keys(m2)), k -> element_at(m2, k))"
         ).alias("rep_sq_counts"),
     )
+
+
+# ---------------------------------------------------- round 12, batch 78
+
+@register(
+    "q_image_channel_stats",
+    category="multimodal",
+    doc=(
+        "Per-channel pixel statistics from a REAL image decode — the "
+        "white-balance / dead-channel QA a vision corpus runs before "
+        "training: parse_ppm decodes each P6 file, numpy reduces each "
+        "RGB plane to exact integer stats (3 rows per image) inside "
+        "mapInPandas. The oracle recomputes every stat from the "
+        "generator's closed form (pixel i of doc d = (d + i) % 256, "
+        "channel = i % 3) without touching the binary; the modality "
+        "predicate is pushed BELOW the payload generator (mapInPandas "
+        "blocks pushdown — the r11 media rule)."
+    ),
+    oracle="""
+        WITH m AS (
+          SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+          FROM documents WHERE doc_id % 3 = 0
+        ),
+        px AS (
+          SELECT doc_id,
+                 CAST(i % 3 AS INTEGER) AS channel,
+                 (doc_id + i) % 256 AS v
+          FROM m, UNNEST(range(0, w * h * 3)) AS t(i)
+        )
+        SELECT doc_id, channel,
+               CAST(COUNT(*) AS INTEGER) AS n,
+               CAST(SUM(v) AS BIGINT) AS byte_sum,
+               CAST(MIN(v) AS INTEGER) AS byte_min,
+               CAST(MAX(v) AS INTEGER) AS byte_max
+        FROM px GROUP BY doc_id, channel
+    """,
+)
+def q_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.multimodal import (
+        channel_stats,
+        documents_as_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    media = documents_as_media(docs)
+    return channel_stats(media.filter(F.col("media_type") == "image"))

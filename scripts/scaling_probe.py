@@ -131,6 +131,7 @@ PROBE_QUERIES = [
     "q_graph_bfs_kstep",
     "q_asof_join_nearest",
     "q_map_funcs",
+    "q_image_channel_stats",
     # round-7 later batches: DS shapes over the scaled facts, SQL
     # semantics corners, evolved/footer-stat layouts
     "q_ds_timeband_counts",
