@@ -391,6 +391,8 @@ HEADLINE = [
     "q_map_funcs",
     # round-12 batch 78
     "q_image_channel_stats",
+    # round-12 batch 79
+    "q_sql_scripting",
     # round-10 batch 45: exact substring-span dedup + mask transform
     "q_dedup_substring_spans",
     "q_dedup_substring_mask",

@@ -532,3 +532,60 @@ def q_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = documents_as_media(docs)
     return channel_stats(media.filter(F.col("media_type") == "image"))
+
+
+# ---------------------------------------------------- round 12, batch 79
+
+
+@register(
+    "q_sql_scripting",
+    category="sqlsurface",
+    doc=(
+        "Spark 4 SQL SCRIPTING surface (BEGIN/END, DECLARE, data-"
+        "driven SET from a scalar subquery, IF/THEN control flow): a "
+        "two-pass script — pass 1 binds the corpus size to a session "
+        "variable, an IF branches on it (a data-dependent plan "
+        "decision no single static query can express), pass 2 filters "
+        "the rollup by the integer cross-multiplied share floor "
+        "(count * denom >= n_total — the corpus-relative-floor rule). "
+        "The script returns its final SELECT. Oracle replays the "
+        "branch as a CASE over the same exact counts; the one share "
+        "division is terminal over exact ints."
+    ),
+    oracle="""
+        WITH g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM events),
+        t AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM events GROUP BY event_type
+        )
+        SELECT event_type, n_events, n_users,
+               CAST(n_events AS DOUBLE) / g.n_total AS share
+        FROM t CROSS JOIN g
+        WHERE n_events * (CASE WHEN g.n_total > 1000 THEN 200 ELSE 1 END)
+              >= g.n_total
+    """,
+)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_script_v"
+    )
+    return spark.sql("""
+    BEGIN
+      DECLARE n_total BIGINT;
+      DECLARE min_denom INT DEFAULT 1;
+      SET n_total = (SELECT COUNT(*) FROM events_script_v);
+      IF n_total > 1000 THEN
+        SET min_denom = 200;
+      END IF;
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(COUNT(*) AS DOUBLE) / n_total AS share
+      FROM events_script_v
+      GROUP BY event_type
+      HAVING COUNT(*) * min_denom >= n_total;
+    END
+    """)
