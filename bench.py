@@ -393,6 +393,8 @@ HEADLINE = [
     "q_image_channel_stats",
     # round-12 batch 79
     "q_sql_scripting",
+    # round-12 batch 80
+    "q_parameterized_sql",
     # round-10 batch 45: exact substring-span dedup + mask transform
     "q_dedup_substring_spans",
     "q_dedup_substring_mask",

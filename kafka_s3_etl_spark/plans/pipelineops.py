@@ -589,3 +589,52 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
       HAVING COUNT(*) * min_denom >= n_total;
     END
     """)
+
+
+# ---------------------------------------------------- round 12, batch 80
+
+
+@register(
+    "q_parameterized_sql",
+    category="sqlsurface",
+    doc=(
+        "Parameterized SQL surface (Spark 3.4+/4): spark.sql named "
+        "parameters (the injection-safe :param binding every SQL "
+        "front-end needs) plus LATERAL COLUMN ALIAS references inside "
+        "the same query (net = ... then margin reuses net in the "
+        "SELECT list — resolved left-to-right, no subquery "
+        "restatement). Values are exact cents arithmetic; the one "
+        "share division is terminal."
+    ),
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 100 AS avg_price
+        FROM orders
+        WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
+        GROUP BY o_orderpriority
+    """,
+)
+def q_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_param_v"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100 AS avg_price
+        FROM (
+          SELECT o_orderpriority,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders_param_v
+          WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        )
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 150000.0, "status": "O"},
+    )
