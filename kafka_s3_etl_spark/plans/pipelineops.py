@@ -600,11 +600,10 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Parameterized SQL surface (Spark 3.4+/4): spark.sql named "
         "parameters (the injection-safe :param binding every SQL "
-        "front-end needs) plus LATERAL COLUMN ALIAS references inside "
-        "the same query (net = ... then margin reuses net in the "
-        "SELECT list — resolved left-to-right, no subquery "
-        "restatement). Values are exact cents arithmetic; the one "
-        "share division is terminal."
+        "front-end needs) plus LATERAL COLUMN ALIAS references in the "
+        "SELECT list (avg_price reuses total_cents and n_orders — "
+        "resolved left-to-right, no restatement). Values are exact "
+        "ROUND-cents arithmetic; the one division chain is terminal."
     ),
     oracle="""
         SELECT o_orderpriority,
@@ -627,7 +626,7 @@ def q_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderpriority,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
                CAST(SUM(cents) AS BIGINT) AS total_cents,
-               CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100 AS avg_price
+               CAST(total_cents AS DOUBLE) / n_orders / 100 AS avg_price
         FROM (
           SELECT o_orderpriority,
                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
