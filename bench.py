@@ -377,8 +377,13 @@ HEADLINE = [
     "q_hard_negatives",
     # round-12: the last streaming-join-matrix cell (LEFT SEMI)
     "s_stream_semi_join",
-    # round-12: native @udtf twin
-    "q_udtf_native",
+    # round-12: q_udtf_native (the native @udtf API-parity twin) is
+    # registered + oracle-gated but HEADLINE-EXCLUDED, same spirit as
+    # the pairs rule: the @udtf eval contract is definitionally
+    # row-at-a-time Python (19.5s at sf0.1 for 337k yielded rows,
+    # probed 2.9x at 30x), while q_udtf above IS the production form
+    # of the same operator (JVM explode). Benching the API twin beside
+    # linear deliverables would read as an undocumented scale flag.
     # round-12 batch 76: training-pipeline widening
     "q_event_debounce",
     "q_dedup_prefix_tokens",

@@ -132,6 +132,8 @@ PROBE_QUERIES = [
     "q_asof_join_nearest",
     "q_map_funcs",
     "q_image_channel_stats",
+    "q_regex_funcs",
+    "q_udtf_native",
     # round-7 later batches: DS shapes over the scaled facts, SQL
     # semantics corners, evolved/footer-stat layouts
     "q_ds_timeband_counts",
