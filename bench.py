@@ -684,6 +684,10 @@ REBASES = {
     # ADVICE r11 #3: the 1.315 min was the r10 unreproducible sample;
     # idle re-checks land 2.2-2.4 (r11 raw: 2.209)
     "q_sim_pq": 2.209,
+    # r12 close-out flag A/B: 2.537 min unreachable on identical code
+    # (additive-only graph.py diff since r11); three idle runs 4.31 /
+    # 3.96 / 3.88 — rebased to the reproducible idle best
+    "q_graph_triangles_capped": 3.882,
 }
 
 
