@@ -1,0 +1,71 @@
+"""Multi-SF hash evidence for the heavy tier (VERDICT r11 #3, kept
+current each round): run the N most expensive headline entries (by the
+committed BENCH_LOCAL baseline) through the driver simulation at sf0.1
+and merge the rows into the round's CORRECTNESS_SIM artifact — sf0.1
+evidence replaces the sf0.01 row (strictly stronger: AQE plan shapes
+and broadcast thresholds actually differ at bench scale), with the
+sf0.01 pass kept as `also_verified_sf`.
+
+    python scripts/sim_heavy_sf01.py CORRECTNESS_SIM_r{N}.json [top_n]
+
+Runs correctness_sim.py as a subprocess (fresh vanilla session, exactly
+the driver contract) and edits the artifact in place.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def heavy_names(top_n: int) -> list[str]:
+    with open(os.path.join(REPO, "BENCH_LOCAL.json")) as fh:
+        queries = json.load(fh)["queries"]
+    return [
+        k for k, _ in sorted(queries.items(), key=lambda kv: -kv[1])[:top_n]
+    ]
+
+
+def main() -> int:
+    artifact = sys.argv[1]
+    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    names = heavy_names(top_n)
+    out = tempfile.mktemp(suffix=".json", prefix="sim_heavy_")
+    rc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "correctness_sim.py"),
+            "/root/testdata/sf0.1",
+            "--only",
+            ",".join(names),
+            "--json",
+            out,
+        ],
+        cwd="/tmp",
+    ).returncode
+    if rc != 0:
+        print("heavy-tier sim FAILED — artifact left untouched")
+        return rc
+    path = os.path.join(REPO, artifact)
+    full = json.load(open(path))
+    merged = 0
+    for name, rec in json.load(open(out)).items():
+        prev = full.get(name)
+        if prev and (prev.get("hash_match") or prev.get("rows_match")):
+            rec = dict(rec)
+            rec["also_verified_sf"] = prev.get("sf", "sf0.01")
+        full[name] = rec
+        merged += 1
+    with open(path, "w") as fh:
+        json.dump(full, fh, indent=2)
+    print(f"merged {merged} sf0.1 rows into {artifact}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
