@@ -1387,7 +1387,7 @@ def test_media_predicate_reaches_the_scan(spark, sf_dir):
     import re
 
     for name in ("q_multimodal_audio", "q_dedup_audio_hash",
-                 "q_dedup_frame_phash"):
+                 "q_dedup_frame_phash", "q_image_channel_stats"):
         plan = plan_of(spark, sf_dir, name)
         assert re.search(r"doc_id#\d+L?\)?\s*%\s*3", plan), name
 
