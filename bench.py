@@ -661,6 +661,12 @@ QUERY_VARIANCE = {
     "q_knn_join": "sub-2s-churn",
     "q_corr_matrix": "sub-2s-churn",
     "q_dedup_frame_phash": "sub-2s-churn",
+    # r12 close-out: flapped in 2 of 3 idle full-bench runs of
+    # identical code (q_kcore 1.48 min -> 2.26/2.28; q_embed_randproj
+    # 0.64 -> 1.03) while run 1 was clean — the churn signature, and
+    # both sit in the sub-2.3s band where per-job scheduling dominates
+    "q_kcore": "sub-2s-churn",
+    "q_embed_randproj": "sub-2s-churn",
 }
 
 # Explicit baseline rebases (VERDICT r11 #4): per-query FLOORS for the
