@@ -400,6 +400,10 @@ HEADLINE = [
     "q_sql_scripting",
     # round-12 batch 80
     "q_parameterized_sql",
+    # round-12 batch 81
+    "q_udf_iterator",
+    "q_udaf_window",
+    "q_collated_group",
     # round-10 batch 45: exact substring-span dedup + mask transform
     "q_dedup_substring_spans",
     "q_dedup_substring_mask",

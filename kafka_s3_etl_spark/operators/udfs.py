@@ -13,6 +13,8 @@ Spark shapes a user would reach for, each on the Arrow path:
 
 from __future__ import annotations
 
+from typing import Iterator  # resolved by pandas_udf's type inference
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -165,3 +167,28 @@ def compression_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "ratio",
         F.round(F.col("n_compressed") / F.col("n_bytes"), 4),
     )
+
+
+@F.pandas_udf(T.StringType())
+def price_tier_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """ITERATOR-form scalar pandas UDF (SQL_SCALAR_PANDAS_ITER_UDF) —
+    the eval mode that amortizes expensive per-task init (model/
+    tokenizer load) across Arrow batches: state built ONCE before the
+    loop, then one vectorized pass per batch. Same tier semantics as
+    ``price_tier`` (the series-form twin)."""
+    tiers = PRICE_TIERS  # stands in for the load-once model/tokenizer
+    for total in batches:
+        out = pd.Series("high", index=total.index, dtype="object")
+        out[total <= tiers[1][0]] = tiers[1][1]
+        out[total <= tiers[0][0]] = tiers[0][1]
+        yield out
+
+
+@F.pandas_udf(T.LongType())
+def cents_sum_udaf(value: pd.Series) -> int:
+    """Grouped-agg pandas UDF (SQL_GROUPED_AGG_PANDAS_UDF): exact
+    integer cents sum — usable both in groupBy().agg() and as a
+    WINDOW function (the PythonWindowFunction eval path q_udaf_window
+    exercises). Values are 2-decimal, so round() never sits on a half
+    boundary (the hash-gating precondition)."""
+    return int((value * 100).round().astype("int64").sum())

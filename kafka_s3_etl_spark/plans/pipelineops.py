@@ -637,3 +637,112 @@ def q_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 150000.0, "status": "O"},
     )
+
+
+# ---------------------------------------------------- round 12, batch 81
+
+
+@register(
+    "q_udf_iterator",
+    category="udf",
+    doc=(
+        "ITERATOR-form scalar pandas UDF "
+        "(SQL_SCALAR_PANDAS_ITER_UDF, eval type pinned in "
+        "tests/test_llm_ops.py) — the eval mode that amortizes "
+        "expensive per-task init (model / tokenizer load) across "
+        "Arrow batches: state is built once before the batch loop. "
+        "Same tier semantics and oracle family as q_udf_scalar "
+        "(the series-form twin)."
+    ),
+    oracle="""
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_totalprice <= 50000.0 THEN 'low'
+                    WHEN o_totalprice <= 150000.0 THEN 'mid'
+                    ELSE 'high' END AS tier
+        FROM orders
+    """,
+)
+def q_udf_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.operators.udfs import price_tier_iter
+
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        price_tier_iter("o_totalprice").alias("tier"),
+    )
+
+
+@register(
+    "q_udaf_window",
+    category="udf",
+    doc=(
+        "Grouped-agg pandas UDF evaluated as a WINDOW function — the "
+        "PythonWindowFunction eval path (q_udaf exercises the same "
+        "UDAF shape through applyInPandas; this is the OVER(...) "
+        "cell): exact integer cents total per user attached to every "
+        "event row over an unbounded frame, then projected distinct. "
+        "Exact-int accumulation keeps the hash engine-stable; the "
+        "oracle is the groupBy restatement."
+    ),
+    oracle="""
+        SELECT user_id,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM events GROUP BY user_id
+    """,
+)
+def q_udaf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from kafka_s3_etl_spark.operators.udfs import cents_sum_udaf
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        events.select(
+            "user_id", cents_sum_udaf("value").over(w).alias("total_cents")
+        )
+        .distinct()
+    )
+
+
+@register(
+    "q_collated_group",
+    category="sqlsurface",
+    doc=(
+        "Spark 4 COLLATION surface: tokens mixed-cased "
+        "deterministically (upper() on even doc_ids), grouped under "
+        "the UTF8_LCASE collation — the engine-level case-insensitive "
+        "grouping a multilingual corpus rollup wants without a "
+        "normalize pass. The group key is projected back through "
+        "lower() (a collated group's representative casing is "
+        "engine-private); the oracle groups the lower-cased tokens "
+        "directly."
+    ),
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+          FROM documents
+        )
+        SELECT lower(CASE WHEN doc_id % 2 = 0 THEN upper(tok) ELSE tok END)
+                 AS token,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM toks GROUP BY 1
+    """,
+)
+def q_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("tok"))
+        .otherwise(F.col("tok"))
+        .alias("mixed")
+    )
+    return (
+        toks.groupBy(F.collate("mixed", "UTF8_LCASE").alias("k"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.lower("k").cast("string").alias("token"), "n")
+    )

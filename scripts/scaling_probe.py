@@ -134,6 +134,9 @@ PROBE_QUERIES = [
     "q_image_channel_stats",
     "q_regex_funcs",
     "q_udtf_native",
+    "q_udf_iterator",
+    "q_udaf_window",
+    "q_collated_group",
     # round-7 later batches: DS shapes over the scaled facts, SQL
     # semantics corners, evolved/footer-stat layouts
     "q_ds_timeband_counts",

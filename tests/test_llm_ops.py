@@ -1530,3 +1530,41 @@ def test_hard_negatives_are_wrong_label_and_ordered(spark, sf_dir):
         assert len(rs) <= 3
         rks = [r.retrieved_rank for r in rs]
         assert rks == sorted(rks)
+
+
+def test_udf_eval_types_pinned():
+    """Batch 81: the iterator-form scalar UDF and the grouped-agg UDAF
+    must actually register under their distinct eval types (the
+    engine-surface claim q_udf_iterator / q_udaf_window make) — not
+    silently degrade to the plain series form."""
+    from pyspark.util import PythonEvalType
+
+    from kafka_s3_etl_spark.operators.udfs import (
+        cents_sum_udaf,
+        price_tier,
+        price_tier_iter,
+    )
+
+    assert price_tier.evalType == PythonEvalType.SQL_SCALAR_PANDAS_UDF
+    assert (
+        price_tier_iter.evalType
+        == PythonEvalType.SQL_SCALAR_PANDAS_ITER_UDF
+    )
+    assert (
+        cents_sum_udaf.evalType == PythonEvalType.SQL_GROUPED_AGG_PANDAS_UDF
+    )
+
+
+def test_udaf_window_plan_uses_python_window_function(spark, sf_dir):
+    """q_udaf_window must evaluate through the window-aggregation
+    Python path (a Window node feeding the pandas UDAF), not a
+    groupBy rewrite."""
+    from kafka_s3_etl_spark.plans.registry import all_queries
+
+    df = all_queries()["q_udaf_window"].fn(spark, sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "ArrowWindowPython" in plan or "WindowInPandas" in plan, (
+        plan[:2000]
+    )
