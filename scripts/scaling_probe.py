@@ -137,6 +137,8 @@ PROBE_QUERIES = [
     "q_udf_iterator",
     "q_udaf_window",
     "q_collated_group",
+    "q_sql_scripting",
+    "q_parameterized_sql",
     # round-7 later batches: DS shapes over the scaled facts, SQL
     # semantics corners, evolved/footer-stat layouts
     "q_ds_timeband_counts",
