@@ -404,6 +404,8 @@ HEADLINE = [
     "q_udf_iterator",
     "q_udaf_window",
     "q_collated_group",
+    # round-12 batch 82
+    "s_window_sliding_rocksdb",
     # round-10 batch 45: exact substring-span dedup + mask transform
     "q_dedup_substring_spans",
     "q_dedup_substring_mask",

@@ -825,3 +825,44 @@ def s_dedup_watermark_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     session_close.LAST_PROGRESS = progress[-1] if progress else None
     return out
+
+
+# ---------------------------------------------------- round 12, batch 82
+
+
+@register(
+    "s_window_sliding_rocksdb",
+    category="streaming",
+    cost=3,
+    doc=(
+        "s_window_sliding on the RocksDB state-store provider — the "
+        "last cell of the RocksDB matrix (session batch 42, tumbling "
+        "batch 60, dedup batch 69): overlapping-window state (every "
+        "event lives in 2 windows, so per-key state rows double vs "
+        "tumbling) spilling to local disk. Same aggregation, same "
+        "oracle, same result set; provider load asserted from the "
+        "rocksdb* progress metrics in tests/test_streaming.py."
+    ),
+    oracle="""
+        SELECT make_timestamp(CAST((floor(epoch(ts)/300) - off.o)*300*1000000 AS BIGINT)) AS ws,
+               make_timestamp(CAST((floor(epoch(ts)/300) - off.o + 2)*300*1000000 AS BIGINT)) AS we,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events CROSS JOIN (VALUES (0), (1)) AS off(o)
+        GROUP BY 1, 2, 3
+    """,
+)
+def s_window_sliding_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.streaming import session_close
+    from kafka_s3_etl_spark.streaming.tws import pinned_rocksdb_state_store
+
+    agg = sliding_counts(stream_table(spark, sf_dir, "events"))
+    progress: list = []
+    with pinned_rocksdb_state_store(agg):
+        out = run_available_now(
+            agg, output_mode="complete", progress_sink=progress
+        )
+    # the session_close.LAST_PROGRESS contract (assign unconditionally
+    # — see s_window_tumbling_rocksdb)
+    session_close.LAST_PROGRESS = progress[-1] if progress else None
+    return out

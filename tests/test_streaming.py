@@ -769,3 +769,27 @@ def test_dedup_watermark_rocksdb_entry_loads_rocksdb(spark, sf_dir):
         for m in op.get("customMetrics", {})
     ]
     assert any(m.lower().startswith("rocksdb") for m in metrics), metrics
+
+
+def test_window_sliding_rocksdb_entry_loads_rocksdb(spark, sf_dir):
+    """s_window_sliding_rocksdb (batch 82, the last RocksDB matrix
+    cell): overlapping-window state rides the RocksDB provider — the
+    entry must report rocksdb* custom metrics AND produce exactly the
+    non-RocksDB sibling's result set (the provider must be
+    value-invisible)."""
+    from kafka_s3_etl_spark.plans.registry import all_queries
+    from kafka_s3_etl_spark.streaming import session_close
+
+    qs = all_queries()
+    got = qs["s_window_sliding_rocksdb"].fn(spark, sf_dir)
+    rows = {tuple(r) for r in got.collect()}
+    prog = session_close.LAST_PROGRESS
+    assert prog is not None
+    metrics = [
+        m
+        for op in prog.get("stateOperators", [])
+        for m in op.get("customMetrics", {})
+    ]
+    assert any(m.lower().startswith("rocksdb") for m in metrics), metrics
+    want = {tuple(r) for r in qs["s_window_sliding"].fn(spark, sf_dir).collect()}
+    assert rows == want
