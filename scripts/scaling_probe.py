@@ -139,6 +139,7 @@ PROBE_QUERIES = [
     "q_collated_group",
     "q_sql_scripting",
     "q_parameterized_sql",
+    "s_window_sliding_rocksdb",
     # round-7 later batches: DS shapes over the scaled facts, SQL
     # semantics corners, evolved/footer-stat layouts
     "q_ds_timeband_counts",
