@@ -406,6 +406,12 @@ HEADLINE = [
     "q_collated_group",
     # round-12 batch 82
     "s_window_sliding_rocksdb",
+    # round-13 batch 83: physical-execution cells + distributed kmeans
+    "q_join_skew_aqe",
+    "x_cbo_broadcast",
+    "q_kmeans_kstep",
+    # round-13 batch 84: state-store reader (checkpoint cached per sf)
+    "x_statestore_scan",
     # round-10 batch 45: exact substring-span dedup + mask transform
     "q_dedup_substring_spans",
     "q_dedup_substring_mask",
@@ -819,9 +825,20 @@ def _min_merge_baseline(
         name: v for name, v in existing.items() if name in HEADLINE
     }
     for name, now in timings.items():
-        base = min(existing.get(name, float("inf")), now)
         if name in REBASES:
-            base = max(base, REBASES[name])
+            # A rebased query is pinned at EXACTLY its recorded floor,
+            # in both directions: the stale pre-rebase min is
+            # unreachable, anything above the floor is a slow run, and
+            # a genuinely faster observation earns a new REBASES entry
+            # with evidence (the SCALE.md act), never a silent write.
+            # Pinning (rather than max-clamping min(existing, now))
+            # makes the SEED path agree with the existing-file path —
+            # ADVICE r12: seeding a fresh BENCH_LOCAL from a slow run
+            # stored a value the tripwire's working<=floor then
+            # rejected.
+            base = REBASES[name]
+        else:
+            base = min(existing.get(name, float("inf")), now)
         merged[name] = round(base, 3)
     return merged
 

@@ -37,6 +37,7 @@ def asof_join(
     payload: list[str],
     prefix: str = "last_",
     direction: str = "backward",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Left as-of join: latest right payload with right_ts <= left_ts
     (``direction="backward"``, the default), or the EARLIEST right
@@ -55,6 +56,15 @@ def asof_join(
     non-NULL on every right row (even an all-NULL payload), so
     ``last(struct, ignorenulls=True)`` always picks the latest right row
     wholesale and preserves its NULLs.
+
+    ``tiebreak`` (a unique right-side column, e.g. ``event_id``) makes
+    the merge order TOTAL among right rows sharing (key, ts), so the
+    picked row is deterministic run-to-run (CLAUDE.md's arg-min rule).
+    Note the DuckDB ``ASOF JOIN`` oracle still makes its own arbitrary
+    pick among such ties — the hash gate additionally relies on
+    right-side (key, ts) uniqueness, which holds for events
+    (tests/test_testdata_canary.py asserts it and fails loudly if the
+    generator ever introduces duplicates).
     """
     from pyspark.sql import types as T
 
@@ -64,7 +74,15 @@ def asof_join(
         )
     if direction == "nearest":
         return _asof_join_nearest(
-            left, right, key, right_key, left_ts, right_ts, payload, prefix
+            left,
+            right,
+            key,
+            right_key,
+            left_ts,
+            right_ts,
+            payload,
+            prefix,
+            tiebreak,
         )
     backward = direction == "backward"
     left_cols = left.columns
@@ -77,10 +95,12 @@ def asof_join(
     # the preceding frame sees them), AFTER for forward (right 1 >
     # left 0, so the following frame sees them).
     l_mark, r_mark = (1, 0) if backward else (0, 1)
+    tb_type = right.schema[tiebreak].dataType if tiebreak else None
     l_side = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(l_mark).alias("_side"),
+        *([F.lit(None).cast(tb_type).alias("_tb")] if tiebreak else []),
         *left_cols,
         F.lit(None).cast(row_type).alias("_r"),
     )
@@ -88,10 +108,12 @@ def asof_join(
         F.col(right_key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(r_mark).alias("_side"),
+        *([F.col(tiebreak).alias("_tb")] if tiebreak else []),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
         F.struct(*[F.col(c) for c in out_cols]).alias("_r"),
     )
-    w = Window.partitionBy("_k").orderBy("_ts", "_side")
+    order = ["_ts", "_side"] + (["_tb"] if tiebreak else [])
+    w = Window.partitionBy("_k").orderBy(*order)
     if backward:
         w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         pick = F.last("_r", ignorenulls=True)
@@ -114,6 +136,7 @@ def _asof_join_nearest(
     right_ts: str,
     payload: list[str],
     prefix: str,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """merge_asof(direction='nearest'): the closer of the latest prior
     and the earliest following right row, ties to BACKWARD (documented;
@@ -122,7 +145,9 @@ def _asof_join_nearest(
     boundary marks (right rows sort before left at equal ts): an
     equal-ts right row is then invisible to the forward frame, but it
     is the backward match at gap 0, which wins every tie anyway, so
-    the choice is unaffected. Gaps compare in exact microseconds."""
+    the choice is unaffected. Gaps compare in exact microseconds.
+    ``tiebreak`` totalizes the order among right rows sharing
+    (key, ts) — see asof_join's docstring for the oracle caveat."""
     from pyspark.sql import types as T
 
     left_cols = left.columns
@@ -130,10 +155,12 @@ def _asof_join_nearest(
     row_type = T.StructType(
         [T.StructField(c, right.schema[c].dataType) for c in out_cols]
     )
+    tb_type = right.schema[tiebreak].dataType if tiebreak else None
     l_side = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
+        *([F.lit(None).cast(tb_type).alias("_tb")] if tiebreak else []),
         *left_cols,
         F.lit(None).cast(row_type).alias("_r"),
     )
@@ -141,13 +168,15 @@ def _asof_join_nearest(
         F.col(right_key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
+        *([F.col(tiebreak).alias("_tb")] if tiebreak else []),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in left_cols
         ],
         F.struct(*[F.col(c) for c in out_cols]).alias("_r"),
     )
-    w = Window.partitionBy("_k").orderBy("_ts", "_side")
+    order = ["_ts", "_side"] + (["_tb"] if tiebreak else [])
+    w = Window.partitionBy("_k").orderBy(*order)
     w_back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     merged = (

@@ -55,6 +55,7 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_key="user_id",
         left_ts="o_orderdate",
         right_ts="ts",
+        tiebreak="event_id",
         payload=["event_type"],
         prefix="next_",
         direction="forward",
@@ -100,6 +101,7 @@ def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_key="user_id",
         left_ts="o_orderdate",
         right_ts="ts",
+        tiebreak="event_id",
         payload=["event_type"],
     )
     in_tol = F.col("last_ts") >= F.expr(

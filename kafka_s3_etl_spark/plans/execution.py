@@ -1,0 +1,571 @@
+"""Physical-execution cells (round 13, batch 83): the two remaining
+Catalyst/AQE mechanisms the catalog never exercised, plus the
+distributed-update k-means twin.
+
+* q_join_skew_aqe — AQE runtime skew-join handling: a deliberately
+  hot-keyed fact join (90% of lineitem rows share one manufactured
+  key) executed under ``spark.sql.adaptive.skewJoin`` thresholds tuned
+  so OptimizeSkewedJoin actually SPLITS the hot shuffle partition
+  (SortMergeJoin(skew=true), pinned in tests/test_plans.py from the
+  plan captured at execution). q_join_salted demonstrates the MANUAL
+  skew fix; this cell pins the RUNTIME mechanism a 100 TB shuffle
+  actually relies on. Results are conf-independent — the oracle is the
+  plain join restated.
+* x_cbo_broadcast — statistics-driven planning: the three star tables
+  saved to the catalog, ``ANALYZE TABLE .. COMPUTE STATISTICS`` run,
+  then the star join planned with AQE OFF and CBO ON so the broadcast
+  choice comes from the PLANNER reading catalog stats (rowCount /
+  sizeInBytes), not from AQE runtime re-planning — the
+  warehouse-deployment path the engine pins nowhere else. Captured
+  static plan shows BroadcastHashJoin with no AdaptiveSparkPlan
+  (pinned by test).
+* q_kmeans_kstep — 3 distributed Lloyd rounds in integer fixed point:
+  vectors quantized qv = floor(1000*x) + 1000 (non-negative BIGINT, so
+  Spark DIV == DuckDB // on the mean), assignment = exact integer
+  squared-L2 argmin against the current centroids (ties to the lowest
+  centroid id via struct-min — deterministic in both engines), update
+  = distributed BIGINT coordinate sums with only the k*d centroid
+  matrix collected per round (the MLlib k-means shape: every ANN fit
+  elsewhere in this engine is a CAPPED driver-side numpy fit;
+  this twin hash-gates the cluster-scale fit path itself). Oracle =
+  MATERIALIZED-CTE round replay (the pagerank/markov/LPA/BFS pattern).
+
+Conf discipline: optimizer confs are pinned only around a forced
+in-builder execution/optimization and restored exactly (the
+x_bloom_filter_join pattern) — later catalog queries see a vanilla
+session; the captured plan text lands in LAST_SKEW_PLAN /
+LAST_CBO_PLAN for the plan tests (the streaming LAST_PROGRESS
+precedent).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_s3_etl_spark.plans.registry import register
+from kafka_s3_etl_spark.sources.tables import load_table
+
+_LI_CENTS = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+_O_CENTS = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+
+
+# ------------------------------------------------------------------ skew
+
+# Tuned for local test scale: the hot partition must exceed
+# max(thresholdInBytes, factor * median partition) for
+# OptimizeSkewedJoin to split it, and splits come out in
+# advisoryPartitionSizeInBytes chunks. At sf0.001 the hot key carries
+# ~100 KB of shuffle bytes, so 16 KB thresholds make the split fire at
+# EVERY test scale; at 100 TB the defaults (256 MB / 5x) do the same
+# job — the mechanism, not the numbers, is what this cell pins.
+_SKEW_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    # both planner-time and AQE runtime broadcast must be off or the
+    # small dim side broadcasts and there is no shuffle to skew-split
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    # the post-join rollup regroups on different keys anyway, but make
+    # the split unconditional so the cell can never silently degrade
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+}
+
+# AQE splits a skewed reduce partition by MAP-OUTPUT RANGES
+# (PartialReducerPartitionSpec): with the whole toy-scale parquet in
+# ONE row group, every extra FilePartition from a smaller
+# maxPartitionBytes reads zero rows, the single real mapper holds the
+# entire hot partition, and the rule reports zero skewed partitions
+# (measured: 567 KB hot partition, rule ran, split count 0; the
+# same join with a multi-mapper range() fact split fine). The fact is
+# therefore round-robined over _SKEW_FACT_MAPS tasks first — a
+# test-scale harness step only: a 100 TB scan has thousands of mappers.
+_SKEW_FACT_MAPS = 16
+
+# final executed plan text of the last q_join_skew_aqe run, for the
+# plan-shape test (AQE decides at runtime; a fresh explain would not
+# show the split)
+LAST_SKEW_PLAN: dict[str, str] = {}
+
+
+@register(
+    "q_join_skew_aqe",
+    category="joins",
+    cost=1,
+    doc=(
+        "AQE skew-join split (OptimizeSkewedJoin): lineitem keyed by "
+        "sk = (l_orderkey stays its own key only when % 10 == 0, else "
+        "the ONE hot key 0 — 90% of the fact on a single join key), "
+        "sort-merge joined to a unique-keyed dim (orders' %10 keys + "
+        "the synthetic hot row) under skewJoin thresholds scaled to "
+        "the corpus so the runtime SPLITS the hot partition into "
+        "advisory-size chunks and replicates the matching dim rows — "
+        "the mechanism a 100 TB skewed shuffle relies on (q_join_salted "
+        "is the manual twin). Executed inside the builder under pinned "
+        "confs (localCheckpoint), final plan captured for the "
+        "SortMergeJoin(skew=true) pin; session confs restored exactly. "
+        "Results are optimization-independent: the oracle restates the "
+        "plain join."
+    ),
+    oracle=f"""
+        WITH f AS (
+          SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 0
+                      ELSE l_orderkey END AS sk,
+                 l_linestatus, l_quantity, l_extendedprice
+          FROM lineitem
+        ), d AS (
+          SELECT o_orderkey AS sk, o_orderpriority AS grp
+          FROM orders WHERE o_orderkey % 10 = 0
+          UNION ALL SELECT 0, 'HOT'
+        )
+        SELECT d.grp, f.l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(f.l_quantity AS BIGINT)) AS BIGINT)
+                   AS sum_qty,
+               CAST(SUM({_LI_CENTS}) AS DOUBLE) / 100 AS revenue
+        FROM f JOIN d ON f.sk = d.sk
+        GROUP BY d.grp, f.l_linestatus
+    """,
+)
+def q_join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .repartition(_SKEW_FACT_MAPS)  # see _SKEW_FACT_MAPS note
+        .select(
+            F.expr(
+                "CASE WHEN l_orderkey % 10 <> 0 THEN 0L"
+                " ELSE l_orderkey END"
+            ).alias("sk"),
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+        )
+    )
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.expr("o_orderkey % 10 = 0"))
+        .select(
+            F.col("o_orderkey").alias("sk"),
+            F.col("o_orderpriority").alias("grp"),
+        )
+        .unionByName(
+            spark.range(1).select(
+                F.lit(0).cast("bigint").alias("sk"),
+                F.lit("HOT").alias("grp"),
+            )
+        )
+    )
+    joined = (
+        li.join(dim, "sk")
+        .groupBy("grp", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            (F.sum(F.expr(_LI_CENTS)).cast("double") / 100).alias(
+                "revenue"
+            ),
+        )
+    )
+    # AQE reads the skew confs DURING execution, so (unlike the bloom
+    # cell's plan-time force) the join must RUN under the pinned confs:
+    # localCheckpoint materializes the tiny rollup here and the driver
+    # later collects from it — one execution, conf-leak-free.
+    saved = {k: spark.conf.get(k, None) for k in _SKEW_CONFS}
+    for k, v in _SKEW_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        out = joined.localCheckpoint()
+        LAST_SKEW_PLAN["text"] = joined._jdf.queryExecution().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
+
+
+# ------------------------------------------------------------------- CBO
+
+_CBO_CONFS = {
+    # static planning only: with AQE on, the broadcast decision would
+    # be (re)made at runtime from exchange sizes — exactly what this
+    # cell must NOT rely on
+    "spark.sql.adaptive.enabled": "false",
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
+    # with AQE off nothing coalesces the post-join rollup, so size it
+    # explicitly (a static-planned warehouse sizes this from stats too;
+    # a vanilla 200-partition session would run 200 tiny agg tasks)
+    "spark.sql.shuffle.partitions": "32",
+}
+
+LAST_CBO_PLAN: dict[str, str] = {}
+
+
+def _table_tag(sf_dir: str) -> str:
+    return re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
+
+
+def _cbo_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """Save the star tables to the catalog (once per session+sf, under
+    scratch paths — the driver runs from an arbitrary cwd) and ANALYZE
+    them so the planner has rowCount/sizeInBytes catalog statistics."""
+    from kafka_s3_etl_spark.streaming.runner import scratch_dir
+
+    tag = _table_tag(sf_dir)
+    names = {
+        "orders": f"graft_cbo_orders_{tag}",
+        "customer": f"graft_cbo_customer_{tag}",
+        "nation": f"graft_cbo_nation_{tag}",
+    }
+    cols = {
+        "orders": ["o_orderkey", "o_custkey", "o_totalprice"],
+        "customer": ["c_custkey", "c_nationkey"],
+        "nation": ["n_nationkey", "n_name"],
+    }
+    for src, tname in names.items():
+        if not spark.catalog.tableExists(tname):
+            (
+                load_table(spark, sf_dir, src)
+                .select(*cols[src])
+                .write.option("path", scratch_dir(f"cbo_{src}"))
+                .mode("overwrite")
+                .saveAsTable(tname)
+            )
+            spark.sql(f"ANALYZE TABLE {tname} COMPUTE STATISTICS")
+    return names["orders"], names["customer"], names["nation"]
+
+
+@register(
+    "x_cbo_broadcast",
+    category="lakehouse",
+    cost=1,
+    doc=(
+        "Cost-based (statistics-driven) planning: the orders/customer/"
+        "nation star saved as catalog tables, ANALYZE TABLE COMPUTE "
+        "STATISTICS run, then the 3-table star join planned with AQE "
+        "OFF and CBO+joinReorder ON — the broadcast of both dims is "
+        "chosen by the PLANNER from catalog stats, the path a "
+        "warehouse deployment leans on when runtime re-planning is "
+        "unavailable (everywhere else the catalog pins AQE-era "
+        "decisions). The optimized plan is forced and captured under "
+        "the pinned confs (BroadcastHashJoin, no AdaptiveSparkPlan — "
+        "tests/test_plans.py), session restored exactly; the returned "
+        "DataFrame keeps the statically planned physical plan."
+    ),
+    oracle=f"""
+        SELECT n.n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM({_O_CENTS}) AS DOUBLE) / 100 AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+)
+def x_cbo_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t_o, t_c, t_n = _cbo_tables(spark, sf_dir)
+    o, c, n = spark.table(t_o), spark.table(t_c), spark.table(t_n)
+    df = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(F.expr(_O_CENTS)).cast("double") / 100).alias(
+                "revenue"
+            ),
+        )
+    )
+    # planner confs are read at (lazy, cached) optimization — force it
+    # under the pins, then restore (the x_bloom_filter_join discipline)
+    saved = {k: spark.conf.get(k, None) for k in _CBO_CONFS}
+    for k, v in _CBO_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        LAST_CBO_PLAN["text"] = (
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return df
+
+
+# ---------------------------------------------------------------- kmeans
+
+_KM_K = 8
+_KM_DIM = 64
+_KM_ROUNDS = 3
+# qv = floor(1000 * x) + 1000: embeddings live in (-0.6, 0.6), so qv is
+# a NON-NEGATIVE bigint in [400, 1600] — non-negativity is load-bearing
+# (Spark's DIV truncates toward zero, DuckDB's // floors; they agree
+# only at >= 0), and floor(double) is bit-identical cross-engine where
+# ROUND is not (HALF_UP vs binary).
+_KM_QUANT = "CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0D) AS BIGINT) + 1000L"
+
+
+def _km_dist_expr(centroid: list[int]) -> str:
+    """Exact integer squared-L2 against one centroid, as ONE parsed
+    expression (the CLAUDE.md wide-column rule: F.expr strings, not
+    nested Column operators)."""
+    arr = ",".join(f"{v}L" for v in centroid)
+    return (
+        f"aggregate(zip_with(qv, array({arr}),"
+        " (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+    )
+
+
+@register(
+    "q_kmeans_kstep",
+    category="similarity",
+    cost=1,
+    doc=(
+        "3 distributed Lloyd rounds over embeddings in integer fixed "
+        "point: qv = floor(1000x)+1000 (non-negative, so integer mean "
+        "division agrees across engines), init = the 8 lowest vec_ids' "
+        "vectors, assignment = exact BIGINT squared-L2 argmin (least() "
+        "over (dist, cid) structs — ties to the lowest cid in both "
+        "engines), update = DISTRIBUTED per-(cid,dim) BIGINT sums with "
+        "only the 8x64 centroid matrix collected per round (the MLlib "
+        "k-means shape — contrast the capped driver-side numpy fits "
+        "backing the ANN entries; this twin hash-gates the "
+        "cluster-scale fit itself). Output: per-centroid member count, "
+        "weighted-coordinate checksum, and exact integer inertia. "
+        "Oracle: MATERIALIZED-CTE round replay (the pagerank/LPA "
+        "pattern; UNNEST(range(64)) for dims — DuckDB has no WITH "
+        "ORDINALITY)."
+    ),
+    oracle=f"""
+        WITH q AS MATERIALIZED (
+          SELECT vec_id, CAST(t.i AS INTEGER) AS dim,
+                 CAST(FLOOR(CAST(embedding[CAST(t.i AS INTEGER) + 1]
+                      AS DOUBLE) * 1000.0) AS BIGINT) + 1000 AS qv
+          FROM embeddings, UNNEST(range({_KM_DIM})) AS t(i)
+        ),
+        c0 AS MATERIALIZED (
+          SELECT CAST(vec_id AS INTEGER) AS cid, dim, qv AS c
+          FROM q WHERE vec_id < {_KM_K}
+        ),
+        a1 AS MATERIALIZED (
+          SELECT vec_id,
+                 min(struct_pack(d := dist, cid := cid)).cid AS cid,
+                 min(struct_pack(d := dist, cid := cid)).d AS dist
+          FROM (
+            SELECT q.vec_id, c.cid,
+                   SUM((q.qv - c.c) * (q.qv - c.c)) AS dist
+            FROM q JOIN c0 AS c ON q.dim = c.dim
+            GROUP BY q.vec_id, c.cid
+          ) GROUP BY vec_id
+        ),
+        c1 AS MATERIALIZED (
+          SELECT a.cid, q.dim, SUM(q.qv) // COUNT(*) AS c
+          FROM q JOIN a1 AS a ON q.vec_id = a.vec_id
+          GROUP BY a.cid, q.dim
+        ),
+        a2 AS MATERIALIZED (
+          SELECT vec_id,
+                 min(struct_pack(d := dist, cid := cid)).cid AS cid,
+                 min(struct_pack(d := dist, cid := cid)).d AS dist
+          FROM (
+            SELECT q.vec_id, c.cid,
+                   SUM((q.qv - c.c) * (q.qv - c.c)) AS dist
+            FROM q JOIN c1 AS c ON q.dim = c.dim
+            GROUP BY q.vec_id, c.cid
+          ) GROUP BY vec_id
+        ),
+        c2 AS MATERIALIZED (
+          SELECT a.cid, q.dim, SUM(q.qv) // COUNT(*) AS c
+          FROM q JOIN a2 AS a ON q.vec_id = a.vec_id
+          GROUP BY a.cid, q.dim
+        ),
+        a3 AS MATERIALIZED (
+          SELECT vec_id,
+                 min(struct_pack(d := dist, cid := cid)).cid AS cid,
+                 min(struct_pack(d := dist, cid := cid)).d AS dist
+          FROM (
+            SELECT q.vec_id, c.cid,
+                   SUM((q.qv - c.c) * (q.qv - c.c)) AS dist
+            FROM q JOIN c2 AS c ON q.dim = c.dim
+            GROUP BY q.vec_id, c.cid
+          ) GROUP BY vec_id
+        ),
+        c3 AS MATERIALIZED (
+          SELECT a.cid, q.dim, SUM(q.qv) // COUNT(*) AS c
+          FROM q JOIN a3 AS a ON q.vec_id = a.vec_id
+          GROUP BY a.cid, q.dim
+        )
+        SELECT m.cid,
+               CAST(m.n_members AS BIGINT) AS n_members,
+               CAST(m.inertia AS BIGINT) AS inertia,
+               CAST(s.checksum AS BIGINT) AS checksum
+        FROM (
+          SELECT cid, COUNT(*) AS n_members, SUM(dist) AS inertia
+          FROM a3 GROUP BY cid
+        ) m
+        JOIN (
+          SELECT cid, SUM(c * (dim + 1)) AS checksum
+          FROM c3 GROUP BY cid
+        ) s ON m.cid = s.cid
+    """,
+)
+def q_kmeans_kstep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.expr(f"transform(embedding, x -> {_KM_QUANT})").alias("qv"),
+        )
+        .localCheckpoint()  # 3 rounds re-read this; never re-quantize
+    )
+    # init: the 8 lowest vec_ids' quantized vectors (vec_id is 0-based
+    # and dense in the corpus; deterministic either way)
+    init = vecs.filter(F.col("vec_id") < _KM_K).collect()
+    centroids: dict[int, list[int]] = {
+        int(r.vec_id): list(r.qv) for r in init
+    }
+
+    assigned = None
+    for _ in range(_KM_ROUNDS):
+        cids = sorted(centroids)
+        dists = [
+            F.expr(_km_dist_expr(centroids[cid])).alias(f"_d{cid}")
+            for cid in cids
+        ]
+        structs = ",".join(
+            f"named_struct('d', _d{cid}, 'cid', {cid})" for cid in cids
+        )
+        assigned = (
+            vecs.select("vec_id", "qv", *dists)
+            .select(
+                "vec_id",
+                "qv",
+                F.expr(f"least({structs})").alias("_m"),
+            )
+            .select(
+                "vec_id",
+                "qv",
+                F.col("_m.cid").alias("cid"),
+                F.col("_m.d").alias("dist"),
+            )
+        )
+        # distributed update: per-(cid, dim) BIGINT sums; only the
+        # k x d matrix crosses to the driver (the MLlib shape)
+        sums = (
+            assigned.select(
+                "cid", F.posexplode("qv").alias("dim", "q")
+            )
+            .groupBy("cid", "dim")
+            .agg(
+                F.sum("q").alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new: dict[int, list[int]] = {}
+        for r in sums:
+            new.setdefault(int(r.cid), [0] * _KM_DIM)[int(r.dim)] = int(
+                r.s
+            ) // int(r.n)
+        centroids = new
+
+    members = assigned.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum("dist").cast("bigint").alias("inertia"),
+    )
+    check = spark.createDataFrame(
+        [
+            (cid, sum(c * (i + 1) for i, c in enumerate(vec)))
+            for cid, vec in sorted(centroids.items())
+        ],
+        "cid INT, checksum BIGINT",
+    )
+    return members.join(F.broadcast(check), "cid").select(
+        "cid", "n_members", "inertia", "checksum"
+    )
+
+
+# ------------------------------------------------------------ statestore
+
+_E_CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
+
+# checkpoint of the completed state-building stream, per sf_dir — the
+# testdata is immutable so the state is too (the runner._SRC_CACHE
+# convention); repeated calls re-read the checkpoint, not re-run the
+# stream
+_STATESTORE_CKPT: dict[str, str] = {}
+
+
+@register(
+    "x_statestore_scan",
+    category="streaming",
+    cost=3,
+    doc=(
+        "State-store READER (Spark 4 spark.read.format('statestore')): "
+        "an update-mode per-event_type count/cents aggregation runs to "
+        "completion with NO watermark (state is never evicted), then "
+        "the operator's keyed state is read BACK from the checkpoint "
+        "as a batch DataFrame — the state-debugging surface that "
+        "completes the streaming observability story beside the "
+        "LAST_PROGRESS metrics (what exactly does my 100 TB stateful "
+        "query hold?). The read state must equal the batch aggregation "
+        "of the source table restated — that IS the oracle."
+    ),
+    oracle=f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM({_E_CENTS}) AS BIGINT) AS total_cents
+        FROM events GROUP BY event_type
+    """,
+)
+def x_statestore_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_s3_etl_spark.streaming.runner import (
+        _pinned_stream_partitions,
+        scratch_dir,
+        stream_table,
+    )
+
+    if sf_dir not in _STATESTORE_CKPT:
+        import uuid
+
+        agg = (
+            stream_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.expr(_E_CENTS)).alias("total_cents"),
+            )
+        )
+        ckpt = scratch_dir("ckpt_statestore")
+        name = f"sss_{uuid.uuid4().hex[:10]}"
+        with _pinned_stream_partitions(agg):
+            q = (
+                agg.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError("statestore build stream still running")
+        _STATESTORE_CKPT[sf_dir] = ckpt
+    state = spark.read.format("statestore").load(_STATESTORE_CKPT[sf_dir])
+    # the value struct carries the aggregation BUFFER with internal
+    # field names (count/sum for this plan — probed; Spark names the
+    # buffer slots after the agg functions, not the output aliases)
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("bigint").alias("n_events"),
+        F.col("value.sum").cast("bigint").alias("total_cents"),
+    )

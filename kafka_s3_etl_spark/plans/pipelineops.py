@@ -417,6 +417,7 @@ def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_key="user_id",
         left_ts="o_orderdate",
         right_ts="ts",
+        tiebreak="event_id",
         payload=["event_type"],
         prefix="near_",
         direction="nearest",
@@ -568,11 +569,18 @@ def q_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.scripting.enabled", "true")
     load_table(spark, sf_dir, "events").createOrReplaceTempView(
         "events_script_v"
     )
-    return spark.sql("""
+    # scripting.enabled gates PARSING only — the returned df is an
+    # ordinary plan, so set/restore around spark.sql() is leak-free on
+    # the shared session (the pinned_rocksdb_state_store discipline;
+    # ADVICE r12 flagged the bare set).
+    key = "spark.sql.scripting.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        return spark.sql("""
     BEGIN
       DECLARE n_total BIGINT;
       DECLARE min_denom INT DEFAULT 1;
@@ -589,6 +597,11 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
       HAVING COUNT(*) * min_denom >= n_total;
     END
     """)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 # ---------------------------------------------------- round 12, batch 80
@@ -682,7 +695,10 @@ def q_udf_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell): exact integer cents total per user attached to every "
         "event row over an unbounded frame, then projected distinct. "
         "Exact-int accumulation keeps the hash engine-stable; the "
-        "oracle is the groupBy restatement."
+        "oracle is the groupBy restatement. API cell ONLY — NEVER use "
+        "this shape for a plain per-group total in production: every "
+        "event row rides the Arrow window path where the groupBy "
+        "(q_udaf) touches each group once."
     ),
     oracle="""
         SELECT user_id,

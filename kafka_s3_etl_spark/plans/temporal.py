@@ -47,6 +47,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_key="user_id",
         left_ts="o_orderdate",
         right_ts="ts",
+        tiebreak="event_id",
         payload=["event_type"],
     )
 

@@ -121,6 +121,33 @@ class pinned_rocksdb_state_store:
             self.conf.set(self.KEY, self.prev)
 
 
+class pinned_rocksdb_changelog(pinned_rocksdb_state_store):
+    """RocksDB provider + incremental CHANGELOG checkpointing: each
+    micro-batch commits a small .changelog delta instead of re-uploading
+    full SST snapshots — the failover-cost story a 100 TB stateful
+    stream needs (snapshot upload cost is amortized to the background
+    maintenance thread). Results are pinned identical to the
+    non-changelog sibling by test; the flag is read at query start,
+    same narrow set/restore window as the provider pin."""
+
+    CHANGELOG = (
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled"
+    )
+
+    def __enter__(self) -> None:
+        super().__enter__()
+        self.prev_changelog = self.conf.get(self.CHANGELOG, None)
+        self.conf.set(self.CHANGELOG, "true")
+
+    def __exit__(self, *exc: object) -> None:
+        if self.prev_changelog is None:
+            self.conf.unset(self.CHANGELOG)
+        else:
+            self.conf.set(self.CHANGELOG, self.prev_changelog)
+        super().__exit__(*exc)
+
+
 def gap_sessions_tws(events: DataFrame, gap_minutes: int = 10) -> DataFrame:
     """``stateful.gap_sessions`` on transformWithStateInPandas: same
     (user_id, ts) projection (no column pruning through an opaque

@@ -33,6 +33,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _sf_num(sf: str) -> float:
+    """'sf0.1' -> 0.1; unparseable tags sort lowest (never shadow a
+    real scale factor)."""
+    try:
+        return float(sf.removeprefix("sf"))
+    except ValueError:
+        return -1.0
+
+
 def _sim_evidence() -> dict[str, dict]:
     """Newest green verification per entry across the SIM artifacts,
     preferring larger scale factors at equal recency: walking rounds
@@ -62,7 +71,14 @@ def _sim_evidence() -> dict[str, dict]:
             sf = str(rec.get("sf") or "sf0.01")
             tier = "hash" if rec.get("hash_match") else "rows-only"
             prev = out.get(name)
-            if prev and prev["round"] == rnd and prev["sf"] > sf:
+            # compare sf NUMERICALLY — lexicographic happens to order
+            # sf0.001/sf0.01/sf0.1 but breaks on e.g. sf0.15 vs sf0.2
+            # (ADVICE r12)
+            if (
+                prev
+                and prev["round"] == rnd
+                and _sf_num(prev["sf"]) > _sf_num(sf)
+            ):
                 continue  # same round, keep the larger-sf row
             out[name] = {"round": rnd, "sf": sf, "tier": tier}
     return out

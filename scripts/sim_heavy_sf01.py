@@ -6,7 +6,12 @@ evidence replaces the sf0.01 row (strictly stronger: AQE plan shapes
 and broadcast thresholds actually differ at bench scale), with the
 sf0.01 pass kept as `also_verified_sf`.
 
-    python scripts/sim_heavy_sf01.py CORRECTNESS_SIM_r{N}.json [top_n]
+    python scripts/sim_heavy_sf01.py CORRECTNESS_SIM_r{N}.json [top_n] \\
+        [--families dedup,graph,streaming]
+
+With --families, every registry entry in those categories is added to
+the top-N-by-baseline set (VERDICT r12 #3: operators whose whole risk
+is DISTRIBUTIONAL — clique/skew regimes — stay untested at sf0.01).
 
 Runs correctness_sim.py as a subprocess (fresh vanilla session, exactly
 the driver contract) and edits the artifact in place.
@@ -23,18 +28,36 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def heavy_names(top_n: int) -> list[str]:
+def heavy_names(top_n: int, families: list[str]) -> list[str]:
     with open(os.path.join(REPO, "BENCH_LOCAL.json")) as fh:
         queries = json.load(fh)["queries"]
-    return [
+    names = [
         k for k, _ in sorted(queries.items(), key=lambda kv: -kv[1])[:top_n]
     ]
+    if families:
+        sys.path.insert(0, REPO)
+        from kafka_s3_etl_spark.plans.registry import all_queries
+
+        fam = set(families)
+        names += [
+            q.name
+            for q in all_queries().values()
+            if q.category in fam and q.name not in names
+        ]
+    return names
 
 
 def main() -> int:
-    artifact = sys.argv[1]
-    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 25
-    names = heavy_names(top_n)
+    argv = list(sys.argv[1:])
+    families: list[str] = []
+    if "--families" in argv:
+        i = argv.index("--families")
+        families = argv[i + 1].split(",")
+        del argv[i : i + 2]
+    artifact = argv[0]
+    top_n = int(argv[1]) if len(argv) > 1 else 25
+    names = heavy_names(top_n, families)
+    print(f"{len(names)} entries selected for the sf0.1 pass")
     out = tempfile.mktemp(suffix=".json", prefix="sim_heavy_")
     rc = subprocess.run(
         [

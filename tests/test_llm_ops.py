@@ -1568,3 +1568,54 @@ def test_udaf_window_plan_uses_python_window_function(spark, sf_dir):
     assert "ArrowWindowPython" in plan or "WindowInPandas" in plan, (
         plan[:2000]
     )
+
+
+def test_kmeans_kstep_matches_numpy_lloyd(spark, sf_dir):
+    """q_kmeans_kstep's distributed integer Lloyd must agree with a
+    reference numpy implementation of the SAME fixed-point recipe
+    (quantize -> argmin squared-L2 with lowest-cid ties -> integer-
+    floor mean), on member counts, inertia, and the coordinate
+    checksum — the distributed update path is the thing under test."""
+    import numpy as np
+
+    from kafka_s3_etl_spark.plans.registry import all_queries
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    q = (
+        np.floor(
+            np.array([r.embedding for r in rows], dtype=np.float64) * 1000.0
+        ).astype(np.int64)
+        + 1000
+    )
+    order = np.argsort(ids)
+    ids, q = ids[order], q[order]
+    cents = {int(i): q[ids == i][0].copy() for i in ids[ids < 8]}
+    for _ in range(3):
+        cids = sorted(cents)
+        c = np.stack([cents[i] for i in cids])
+        d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        amin = d.argmin(axis=1)  # numpy argmin ties to first = lowest cid
+        dist = d[np.arange(len(q)), amin]
+        assign = np.array([cids[a] for a in amin])
+        cents = {
+            int(cid): q[assign == cid].sum(axis=0) // (assign == cid).sum()
+            for cid in np.unique(assign)
+        }
+    expect = {
+        int(cid): (
+            int((assign == cid).sum()),
+            int(dist[assign == cid].sum()),
+            int(sum(v * (i + 1) for i, v in enumerate(cents[int(cid)]))),
+        )
+        for cid in np.unique(assign)
+    }
+    got = {
+        int(r.cid): (int(r.n_members), int(r.inertia), int(r.checksum))
+        for r in all_queries()["q_kmeans_kstep"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect

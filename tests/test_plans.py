@@ -1454,3 +1454,53 @@ def test_batch77_plan_shapes(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_map_funcs")
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert "map_filter" in plan and "transform_values" in plan
+
+
+def test_batch83_skew_split_fires(spark, sf_dir):
+    """q_join_skew_aqe must actually SPLIT the hot partition at runtime:
+    OptimizeSkewedJoin marks the SortMergeJoin skew=true and reads the
+    hot side through a skewed AQEShuffleRead (the split is by
+    map-output ranges — the entry round-robins the fact first because
+    the single-row-group toy parquet yields ONE mapper, see
+    _SKEW_FACT_MAPS). Executed inside the builder; LAST_SKEW_PLAN
+    carries the final adaptive plan. Session confs must restore."""
+    from kafka_s3_etl_spark.plans import execution as ex
+
+    before = {
+        k: spark.conf.get(k, None) for k in ex._SKEW_CONFS
+    }
+    df = _CAT["q_join_skew_aqe"].fn(spark, sf_dir)
+    assert df.count() > 0
+    t = ex.LAST_SKEW_PLAN["text"]
+    assert "skew=true" in t, "OptimizeSkewedJoin did not split"
+    assert "skewed" in t  # the AQEShuffleRead node on the hot side
+    after = {k: spark.conf.get(k, None) for k in ex._SKEW_CONFS}
+    assert after == before, "skew confs leaked into the session"
+
+
+def test_batch83_cbo_static_broadcast(spark, sf_dir):
+    """x_cbo_broadcast's captured plan must be a STATIC plan (no
+    AdaptiveSparkPlan) whose two dim joins are BroadcastHashJoin chosen
+    by the planner from ANALYZE TABLE catalog stats (rowCount
+    present); session confs must restore."""
+    from kafka_s3_etl_spark.plans import execution as ex
+
+    before = {k: spark.conf.get(k, None) for k in ex._CBO_CONFS}
+    df = _CAT["x_cbo_broadcast"].fn(spark, sf_dir)
+    assert df.count() > 0
+    t = ex.LAST_CBO_PLAN["text"]
+    assert t.count("BroadcastHashJoin") == 2
+    assert "AdaptiveSparkPlan" not in t
+    assert "SortMergeJoin" not in t
+    after = {k: spark.conf.get(k, None) for k in ex._CBO_CONFS}
+    assert after == before, "CBO confs leaked into the session"
+    # the stats the planner used are real catalog statistics
+    tag = ex._table_tag(sf_dir)
+    stats = (
+        spark.sql(
+            f"DESCRIBE TABLE EXTENDED graft_cbo_customer_{tag}"
+        )
+        .filter("col_name = 'Statistics'")
+        .collect()
+    )
+    assert stats and "rows" in stats[0].data_type

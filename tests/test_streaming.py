@@ -793,3 +793,63 @@ def test_window_sliding_rocksdb_entry_loads_rocksdb(spark, sf_dir):
     assert any(m.lower().startswith("rocksdb") for m in metrics), metrics
     want = {tuple(r) for r in qs["s_window_sliding"].fn(spark, sf_dir).collect()}
     assert rows == want
+
+
+def test_gap_sessions_rocksdb_changelog_checkpointing(spark):
+    """VERDICT r12 #5: the RocksDB provider with CHANGELOG
+    checkpointing enabled — each micro-batch commits an incremental
+    .changelog delta instead of a full SST re-upload (the failover-cost
+    story a 100 TB stateful stream needs). Results must be identical to
+    the non-changelog sibling, and the checkpoint's state directory
+    must actually contain .changelog files (the on-disk proof the
+    incremental path engaged, stronger than any metric name)."""
+    import glob
+    import os
+    import uuid
+
+    from kafka_s3_etl_spark.streaming.runner import (
+        _pinned_stream_partitions,
+        scratch_dir,
+    )
+    from kafka_s3_etl_spark.streaming.stateful import gap_sessions
+    from kafka_s3_etl_spark.streaming.tws import pinned_rocksdb_changelog
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    later = base + datetime.timedelta(hours=2)
+    src = scratch_dir("rockslog_src")
+    schema = "user_id long, ts timestamp"
+    batch1 = [(1, base), (1, base + datetime.timedelta(minutes=1)), (2, base)]
+    batch2 = [(9, later)]  # watermark jumps 2h -> open sessions time out
+    for i, rows in enumerate((batch1, batch2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    sessions = gap_sessions(stream)
+    ckpt = scratch_dir("rockslog_ckpt")
+    name = f"rlog_{uuid.uuid4().hex[:10]}"
+    with pinned_rocksdb_changelog(sessions), _pinned_stream_partitions(
+        sessions
+    ):
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    assert q.awaitTermination(120), "changelog stream still running"
+    rows = {(r.user_id, r.n_events) for r in spark.table(name).collect()}
+    assert (1, 2) in rows and (2, 1) in rows  # same as the sibling test
+    logs = glob.glob(
+        os.path.join(ckpt, "state", "**", "*.changelog"), recursive=True
+    )
+    assert logs, "no .changelog files — incremental checkpointing did not engage"
+    # conf restored after the context
+    key = pinned_rocksdb_changelog.CHANGELOG
+    assert spark.conf.get(key, "false") == "false"

@@ -108,6 +108,28 @@ def test_events_timeline_canary(spark, sf_dir):
     )
 
 
+def test_events_user_ts_unique_canary(sf_dir):
+    """(user_id, ts) must be UNIQUE in events: the four as-of entries'
+    DuckDB ASOF oracles make an ARBITRARY pick among right rows tied on
+    (key, ts), so the hash gate silently relies on this uniqueness
+    (ADVICE r12; the Spark side is totally ordered via the event_id
+    tiebreak, but no deterministic Spark pick can match an arbitrary
+    oracle pick). If the driver's generator ever introduces duplicates,
+    fail HERE with a clear message, not as a mystery asof hash flap."""
+    import duckdb
+
+    n, d = duckdb.sql(
+        f"SELECT COUNT(*), COUNT(DISTINCT (user_id, ts)) "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchone()
+    assert n == d, (
+        f"events has {n - d} duplicate (user_id, ts) rows: the asof "
+        "entries' DuckDB ASOF oracles tie-break arbitrarily — rewrite "
+        "those oracles as union-merge window replays (CLAUDE.md arg-min "
+        "rule) before trusting their hash gates"
+    )
+
+
 def test_loader_handles_both_ts_precisions(spark, tmp_path):
     """The NANOS branch of load_table is dead code against micros
     testdata — exercise it with a synthesized TIMESTAMP(NANOS) events
