@@ -140,6 +140,13 @@ PROBE_QUERIES = [
     "q_sql_scripting",
     "q_parameterized_sql",
     "s_window_sliding_rocksdb",
+    # round-13 batch 83/84: physical-execution cells + distributed
+    # kmeans (embeddings scale too) + the state-store reader (the
+    # probe re-runs the state-building stream per scaled dir)
+    "q_join_skew_aqe",
+    "x_cbo_broadcast",
+    "q_kmeans_kstep",
+    "x_statestore_scan",
     # round-7 later batches: DS shapes over the scaled facts, SQL
     # semantics corners, evolved/footer-stat layouts
     "q_ds_timeband_counts",

@@ -853,3 +853,51 @@ def test_gap_sessions_rocksdb_changelog_checkpointing(spark):
     # conf restored after the context
     key = pinned_rocksdb_changelog.CHANGELOG
     assert spark.conf.get(key, "false") == "false"
+
+
+def test_statestore_reader_reads_rocksdb_checkpoint(spark):
+    """The state-store READER over a ROCKSDB-format checkpoint (VERDICT
+    r12 #2 named the RocksDB cell as the read target): build keyed agg
+    state under the RocksDB provider, then read it back with
+    spark.read.format('statestore') — provider conf pinned for the read
+    too (the source instantiates the checkpoint's provider). Read state
+    must equal the batch aggregation of the fed rows."""
+    import os
+    import uuid
+
+    from kafka_s3_etl_spark.streaming.runner import (
+        _pinned_stream_partitions,
+        scratch_dir,
+    )
+    from kafka_s3_etl_spark.streaming.tws import pinned_rocksdb_state_store
+
+    src = scratch_dir("ssrocks_src")
+    schema = "k string, v long"
+    rows = [("a", 1), ("a", 2), ("b", 5), ("c", 7), ("b", 3)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        os.path.join(src, "b0")
+    )
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    agg = stream.groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    )
+    ckpt = scratch_dir("ssrocks_ckpt")
+    name = f"ssr_{uuid.uuid4().hex[:10]}"
+    with pinned_rocksdb_state_store(agg), _pinned_stream_partitions(agg):
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        # the reader instantiates the checkpoint's provider class —
+        # keep the RocksDB pin for the read as well
+        state = spark.read.format("statestore").load(ckpt)
+        got = {
+            (r["key"]["k"], r["value"]["count"], r["value"]["sum"])
+            for r in state.collect()
+        }
+    assert got == {("a", 2, 3), ("b", 2, 8), ("c", 1, 7)}
