@@ -27,6 +27,18 @@ import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Correctness-tier cells whose sf0.1 OUTPUT is quadratic BY DESIGN —
+# their sf0.1 distributional behavior is already measured and recorded
+# (SCALE.md / VERDICT r12) and their capped/scalable twins ARE in the
+# sf0.1 pass. The harness compare itself is the blocker: it multiset-
+# hashes both engines' rows in Python, and 15.7M containment pairs cost
+# ~1h per engine (measured: 3.5M jaccard rows took 802 s).
+EXCLUDE_QUADRATIC = {
+    "q_containment_join",  # 15.7M pairs at sf0.1; twin _capped runs
+    "q_interval_overlap",  # single-task sweep; twin _scalable runs
+    "q_decile_lift",  # global NTILE sort; twin _scalable runs
+}
+
 
 def heavy_names(top_n: int, families: list[str]) -> list[str]:
     with open(os.path.join(REPO, "BENCH_LOCAL.json")) as fh:
@@ -44,7 +56,7 @@ def heavy_names(top_n: int, families: list[str]) -> list[str]:
             for q in all_queries().values()
             if q.category in fam and q.name not in names
         ]
-    return names
+    return [n for n in names if n not in EXCLUDE_QUADRATIC]
 
 
 def main() -> int:

@@ -901,3 +901,60 @@ def test_statestore_reader_reads_rocksdb_checkpoint(spark):
             for r in state.collect()
         }
     assert got == {("a", 2, 3), ("b", 2, 8), ("c", 1, 7)}
+
+
+def test_statestore_reader_batchid_time_travel(spark):
+    """State TIME TRAVEL: spark.read.format('statestore') with
+    option('batchId', N) reads the keyed state AS OF micro-batch N —
+    the post-mortem debugging surface ('what did the operator hold
+    before the bad batch?'). Two single-file micro-batches
+    (maxFilesPerTrigger=1): state at batch 0 holds only b0's rows,
+    the default (latest) read holds both."""
+    import os
+    import uuid
+
+    from kafka_s3_etl_spark.streaming.runner import (
+        _pinned_stream_partitions,
+        scratch_dir,
+    )
+
+    src = scratch_dir("sstt_src")
+    schema = "k string, v long"
+    spark.createDataFrame([("a", 1), ("b", 2)], schema).coalesce(
+        1
+    ).write.parquet(os.path.join(src, "b0"))
+    spark.createDataFrame([("a", 10), ("c", 5)], schema).coalesce(
+        1
+    ).write.parquet(os.path.join(src, "b1"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    agg = stream.groupBy("k").agg(F.sum("v").alias("s"))
+    ckpt = scratch_dir("sstt_ckpt")
+    name = f"tt_{uuid.uuid4().hex[:10]}"
+    with _pinned_stream_partitions(agg):
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    assert q.awaitTermination(120)
+
+    def read_state(**opts):
+        r = spark.read.format("statestore")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return {
+            (row["key"]["k"], row["value"]["sum"])
+            for row in r.load(ckpt).collect()
+        }
+
+    # NOTE: file order within a glob source is path-sorted, so batch 0
+    # is b0 deterministically
+    assert read_state(batchId=0) == {("a", 1), ("b", 2)}
+    assert read_state() == {("a", 11), ("b", 2), ("c", 5)}
