@@ -59,12 +59,15 @@ def asof_join(
 
     ``tiebreak`` (a unique right-side column, e.g. ``event_id``) makes
     the merge order TOTAL among right rows sharing (key, ts), so the
-    picked row is deterministic run-to-run (CLAUDE.md's arg-min rule).
-    Note the DuckDB ``ASOF JOIN`` oracle still makes its own arbitrary
-    pick among such ties — the hash gate additionally relies on
-    right-side (key, ts) uniqueness, which holds for events
-    (tests/test_testdata_canary.py asserts it and fails loudly if the
-    generator ever introduces duplicates).
+    picked row is deterministic run-to-run (CLAUDE.md's arg-min rule):
+    backward picks the LARGEST tiebreak among equal-ts priors, forward
+    the smallest among equal-ts followers. The registered entries'
+    DuckDB oracles replay the same merge with LAST/FIRST_VALUE(IGNORE
+    NULLS) over the identical total order (never native ASOF, whose
+    tie pick is arbitrary) — hash-stable even if the corpus ever
+    carries duplicate (key, ts) right rows;
+    tests/test_testdata_canary.py still reports such duplicates as a
+    data-drift signal.
     """
     from pyspark.sql import types as T
 

@@ -33,14 +33,30 @@ from kafka_s3_etl_spark.sources.tables import load_table
         "Forward as-of join (merge_asof direction='forward'): per "
         "order, the EARLIEST event of the matching user at or after "
         "the order date — mirrored union-merge window, one shuffle, "
-        "no pair fan-out."
+        "no pair fan-out. Oracle: FIRST_VALUE(IGNORE NULLS) replay of "
+        "the same merge, totally ordered (the q_asof_join discipline)."
     ),
     oracle="""
-        SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
-               e.ts AS next_ts, e.event_type AS next_event_type
-        FROM orders o
-        ASOF LEFT JOIN events e
-          ON o.o_custkey = e.user_id AND e.ts >= o.o_orderdate
+        WITH m AS (
+          SELECT o_custkey AS k, o_orderdate AS mts, 0 AS side,
+                 NULL::BIGINT AS tb, o_orderkey, o_custkey, o_orderdate,
+                 NULL::STRUCT(ts TIMESTAMP, event_type VARCHAR) AS r
+          FROM orders
+          UNION ALL
+          SELECT user_id, ts, 1, event_id, NULL, NULL, NULL,
+                 {'ts': ts, 'event_type': event_type}
+          FROM events
+        ), w AS (
+          SELECT o_orderkey, o_custkey, o_orderdate, side,
+                 FIRST_VALUE(r IGNORE NULLS) OVER (
+                   PARTITION BY k ORDER BY mts, side, tb
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                 ) AS pick
+          FROM m
+        )
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               pick.ts AS next_ts, pick.event_type AS next_event_type
+        FROM w WHERE side = 0
     """,
 )
 def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,20 +89,31 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "extra shuffle over the plain as-of."
     ),
     oracle="""
-        SELECT o_orderkey, o_custkey, o_orderdate,
-               CASE WHEN last_ts >= CAST(o_orderdate AS TIMESTAMP)
-                                    - INTERVAL 7 DAY
-                    THEN last_ts END AS last_ts,
-               CASE WHEN last_ts >= CAST(o_orderdate AS TIMESTAMP)
-                                    - INTERVAL 7 DAY
-                    THEN last_event_type END AS last_event_type
-        FROM (
-          SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
-                 e.ts AS last_ts, e.event_type AS last_event_type
-          FROM orders o
-          ASOF LEFT JOIN events e
-            ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+        WITH m AS (
+          SELECT o_custkey AS k, o_orderdate AS mts, 1 AS side,
+                 NULL::BIGINT AS tb, o_orderkey, o_custkey, o_orderdate,
+                 NULL::STRUCT(ts TIMESTAMP, event_type VARCHAR) AS r
+          FROM orders
+          UNION ALL
+          SELECT user_id, ts, 0, event_id, NULL, NULL, NULL,
+                 {'ts': ts, 'event_type': event_type}
+          FROM events
+        ), w AS (
+          SELECT o_orderkey, o_custkey, o_orderdate, side,
+                 LAST_VALUE(r IGNORE NULLS) OVER (
+                   PARTITION BY k ORDER BY mts, side, tb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS pick
+          FROM m
         )
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CASE WHEN pick.ts >= CAST(o_orderdate AS TIMESTAMP)
+                                    - INTERVAL 7 DAY
+                    THEN pick.ts END AS last_ts,
+               CASE WHEN pick.ts >= CAST(o_orderdate AS TIMESTAMP)
+                                    - INTERVAL 7 DAY
+                    THEN pick.event_type END AS last_event_type
+        FROM w WHERE side = 1
     """,
 )
 def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -374,33 +374,46 @@ def q_graph_bfs_kstep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "union-merge with two frames over a single sort (never two "
         "as-of joins re-joined; operators/temporal.py::"
         "_asof_join_nearest), gaps compared in exact microseconds. "
-        "Oracle: DuckDB's two native ASOF directions + the identical "
-        "CASE."
+        "Oracle: the SAME single union-merge replayed with LAST/FIRST_"
+        "VALUE(IGNORE NULLS) frames over a total (ts, side, event_id) "
+        "order + the identical gap CASE — deterministic under ties "
+        "where native ASOF is not (the q_asof_join discipline)."
     ),
     oracle="""
-        WITH b AS (
-          SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
-                 e.ts AS b_ts, e.event_type AS b_et
-          FROM orders o ASOF LEFT JOIN events e
-            ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
-        ),
-        f AS (
-          SELECT o.o_orderkey, e.ts AS f_ts, e.event_type AS f_et
-          FROM orders o ASOF LEFT JOIN events e
-            ON o.o_custkey = e.user_id AND e.ts > o.o_orderdate
+        WITH m AS (
+          SELECT o_custkey AS k, o_orderdate AS mts, 1 AS side,
+                 NULL::BIGINT AS tb, o_orderkey, o_custkey, o_orderdate,
+                 NULL::STRUCT(ts TIMESTAMP, event_type VARCHAR) AS r
+          FROM orders
+          UNION ALL
+          SELECT user_id, ts, 0, event_id, NULL, NULL, NULL,
+                 {'ts': ts, 'event_type': event_type}
+          FROM events
+        ), w AS (
+          SELECT o_orderkey, o_custkey, o_orderdate, side,
+                 LAST_VALUE(r IGNORE NULLS) OVER (
+                   PARTITION BY k ORDER BY mts, side, tb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS b,
+                 FIRST_VALUE(r IGNORE NULLS) OVER (
+                   PARTITION BY k ORDER BY mts, side, tb
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                 ) AS f
+          FROM m
         )
-        SELECT b.o_orderkey, b.o_custkey, b.o_orderdate,
-               CASE WHEN f_ts IS NULL THEN b_ts
-                    WHEN b_ts IS NULL THEN f_ts
-                    WHEN epoch_us(b.o_orderdate) - epoch_us(b_ts)
-                         <= epoch_us(f_ts) - epoch_us(b.o_orderdate)
-                    THEN b_ts ELSE f_ts END AS near_ts,
-               CASE WHEN f_ts IS NULL THEN b_et
-                    WHEN b_ts IS NULL THEN f_et
-                    WHEN epoch_us(b.o_orderdate) - epoch_us(b_ts)
-                         <= epoch_us(f_ts) - epoch_us(b.o_orderdate)
-                    THEN b_et ELSE f_et END AS near_event_type
-        FROM b JOIN f ON b.o_orderkey = f.o_orderkey
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CASE WHEN f IS NULL THEN b.ts
+                    WHEN b IS NULL THEN f.ts
+                    WHEN epoch_us(o_orderdate) - epoch_us(b.ts)
+                         <= epoch_us(f.ts) - epoch_us(o_orderdate)
+                    THEN b.ts ELSE f.ts END AS near_ts,
+               CASE WHEN f IS NULL THEN b.event_type
+                    WHEN b IS NULL THEN f.event_type
+                    WHEN epoch_us(o_orderdate) - epoch_us(b.ts)
+                         <= epoch_us(f.ts) - epoch_us(o_orderdate)
+                    THEN b.event_type ELSE f.event_type END
+                 AS near_event_type
+        FROM w WHERE side = 1
     """,
 )
 def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -25,14 +25,33 @@ from kafka_s3_etl_spark.sources.tables import load_table
     doc=(
         "As-of join (kdb/merge_asof semantics): per order, the most recent "
         "event of the matching user at or before the order date. Union-merge "
-        "implementation — one shuffle, no pair fan-out."
+        "implementation — one shuffle, no pair fan-out. Oracle replays the "
+        "SAME union-merge with a LAST_VALUE(IGNORE NULLS) window totally "
+        "ordered by (ts, side, event_id) — deterministic even under "
+        "duplicate (user_id, ts) right rows, where DuckDB's native ASOF "
+        "makes an arbitrary tie pick (ADVICE r12)."
     ),
     oracle="""
-        SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
-               e.ts AS last_ts, e.event_type AS last_event_type
-        FROM orders o
-        ASOF LEFT JOIN events e
-          ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+        WITH m AS (
+          SELECT o_custkey AS k, o_orderdate AS mts, 1 AS side,
+                 NULL::BIGINT AS tb, o_orderkey, o_custkey, o_orderdate,
+                 NULL::STRUCT(ts TIMESTAMP, event_type VARCHAR) AS r
+          FROM orders
+          UNION ALL
+          SELECT user_id, ts, 0, event_id, NULL, NULL, NULL,
+                 {'ts': ts, 'event_type': event_type}
+          FROM events
+        ), w AS (
+          SELECT o_orderkey, o_custkey, o_orderdate, side,
+                 LAST_VALUE(r IGNORE NULLS) OVER (
+                   PARTITION BY k ORDER BY mts, side, tb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS pick
+          FROM m
+        )
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               pick.ts AS last_ts, pick.event_type AS last_event_type
+        FROM w WHERE side = 1
     """,
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:

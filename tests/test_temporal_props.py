@@ -555,3 +555,57 @@ def test_asof_join_nearest_matches_pandas(spark, left, right):
                 best = cand
         want[i] = best[3] if best is not None else None
     assert got == want
+
+
+def test_asof_join_tiebreak_deterministic_under_duplicate_ts(spark):
+    """Duplicate (key, ts) right rows: the tiebreak column makes the
+    pick deterministic and DOCUMENTED — backward takes the largest
+    tiebreak among equal-ts priors (last in the total order), forward
+    the smallest among equal-ts followers, nearest inherits backward/
+    forward per side. This is the exact semantics the rewritten
+    replay oracles encode (ADVICE r12)."""
+    import datetime
+
+    from kafka_s3_etl_spark.operators.temporal import asof_join
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, t0), (2, t0)], "k long, lts timestamp"
+    )
+    # two right rows tied exactly at lts, two tied one minute after
+    right = spark.createDataFrame(
+        [
+            (1, t0, 10, "lo"),
+            (1, t0, 20, "hi"),
+            (2, t0 + datetime.timedelta(minutes=1), 30, "early"),
+            (2, t0 + datetime.timedelta(minutes=1), 40, "late"),
+        ],
+        "rk long, rts timestamp, rid long, tag string",
+    )
+
+    def run(direction):
+        return {
+            r.k: r.p_tag
+            for r in asof_join(
+                left,
+                right,
+                key="k",
+                right_key="rk",
+                left_ts="lts",
+                right_ts="rts",
+                payload=["tag"],
+                prefix="p_",
+                direction=direction,
+                tiebreak="rid",
+            ).collect()
+        }
+
+    # backward: key 1 ties at lts -> largest rid wins ("hi"); key 2 has
+    # no prior row -> NULL
+    assert run("backward") == {1: "hi", 2: None}
+    # forward: key 1 equal-ts rows are boundary-inclusive -> smallest
+    # rid ("lo"); key 2 -> smallest rid of the equal-ts followers
+    assert run("forward") == {1: "lo", 2: "early"}
+    # nearest: key 1 backward-tie at gap 0 wins ("hi"); key 2 only has
+    # following rows -> forward pick ("early")
+    assert run("nearest") == {1: "hi", 2: "early"}

@@ -109,13 +109,12 @@ def test_events_timeline_canary(spark, sf_dir):
 
 
 def test_events_user_ts_unique_canary(sf_dir):
-    """(user_id, ts) must be UNIQUE in events: the four as-of entries'
-    DuckDB ASOF oracles make an ARBITRARY pick among right rows tied on
-    (key, ts), so the hash gate silently relies on this uniqueness
-    (ADVICE r12; the Spark side is totally ordered via the event_id
-    tiebreak, but no deterministic Spark pick can match an arbitrary
-    oracle pick). If the driver's generator ever introduces duplicates,
-    fail HERE with a clear message, not as a mystery asof hash flap."""
+    """(user_id, ts) uniqueness in events, as a DATA-DRIFT signal: the
+    four as-of entries no longer depend on it (their oracles are
+    deterministic union-merge window replays over a total
+    (ts, side, event_id) order, never native ASOF — ADVICE r12), but a
+    generator change that introduces duplicates is still worth a loud
+    early report here rather than a puzzling downstream diff."""
     import duckdb
 
     n, d = duckdb.sql(
@@ -123,10 +122,10 @@ def test_events_user_ts_unique_canary(sf_dir):
         f"FROM '{sf_dir}/events.parquet'"
     ).fetchone()
     assert n == d, (
-        f"events has {n - d} duplicate (user_id, ts) rows: the asof "
-        "entries' DuckDB ASOF oracles tie-break arbitrarily — rewrite "
-        "those oracles as union-merge window replays (CLAUDE.md arg-min "
-        "rule) before trusting their hash gates"
+        f"events has {n - d} duplicate (user_id, ts) rows — the "
+        "testdata generator changed shape; asof gates stay hash-stable "
+        "(deterministic replay oracles) but review distribution-"
+        "sensitive entries"
     )
 
 
