@@ -6,13 +6,15 @@ asof_join; reference semantics: kdb aj / pandas merge_asof).
 * q_asof_join_forward — earliest right row with right_ts >= left_ts:
   the mirrored window frame (first(ignorenulls) over currentRow..
   unboundedFollowing, right rows sorted AFTER left at equal ts for
-  boundary inclusion). Still one shuffle, no pair fan-out; DuckDB's
-  native ASOF >= is the oracle.
+  boundary inclusion). Still one shuffle, no pair fan-out; the oracle
+  is a FIRST_VALUE(IGNORE NULLS) replay of the same merge over a total
+  (ts, side, event_id) order (never native ASOF — arbitrary tie pick,
+  ADVICE r12).
 * q_asof_join_tolerance — backward as-of where the match must fall
   within a 7-day tolerance (merge_asof(tolerance=...)): the latest
   prior row IS the closest, so the tolerance is a post-mask on the
-  matched struct — zero extra shuffle; the oracle CASE-masks DuckDB's
-  ASOF result identically.
+  matched struct — zero extra shuffle; the oracle CASE-masks the same
+  deterministic window replay.
 """
 
 from __future__ import annotations

@@ -2,8 +2,10 @@
 operators built as single-shuffle DataFrame compositions (see
 operators/temporal.py for the scaling argument).
 
-Both are fully oracle-checked: DuckDB has a native ASOF JOIN, and
-sessionization is plain ANSI window SQL. Event-time orderings are made
+Both are fully oracle-checked: the as-of oracle replays the union
+merge with LAST_VALUE(IGNORE NULLS) over a total order (deterministic
+under (key, ts) ties, unlike DuckDB's native ASOF), and sessionization
+is plain ANSI window SQL. Event-time orderings are made
 total with an explicit unique-column tiebreak where the query's result
 depends on rank (q_ewma_user orders by (ts, event_id), matching the
 q_lag_lead pattern at plans/relational.py); without it the assignment
