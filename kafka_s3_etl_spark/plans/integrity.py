@@ -170,17 +170,29 @@ _PAIRS = [("q", "e"), ("q", "d"), ("q", "t"), ("e", "d"), ("e", "t"), ("d", "t")
 _SECOND = [(m, m) for m in _MEASURES] + _PAIRS
 
 
+def _c2d(s: str) -> str:
+    """Exact integer -> double VIA A STRING, in both engines: DuckDB's
+    direct DECIMAL/HUGEINT -> DOUBLE cast is NOT correctly rounded
+    above 2^53 (measured at sf0.1: s_ee = 2.224e19 cast one ulp low,
+    9/2000 random 60-126-bit ints mismatch), while string -> double is
+    strtod-correct everywhere. Spark's decimal cast was already
+    correct; routing BOTH sides through the string keeps the readout
+    bit-identical by construction at any scale factor."""
+    return f"CAST(CAST({s} AS STRING) AS DOUBLE)"
+
+
 def _corr_expr(a: str, b: str) -> str:
     """The SHARED correlation readout: exact aggregates cast to double
-    once, combined with IEEE + - * / and correctly-rounded sqrt only —
-    bit-identical on both engines (q_stats_moments precedent)."""
+    once (via _c2d — see its DuckDB caveat), combined with IEEE + - * /
+    and correctly-rounded sqrt only — bit-identical on both engines
+    (q_stats_moments precedent)."""
     return (
-        f"(CAST(n AS DOUBLE) * CAST(s_{a}{b} AS DOUBLE)"
-        f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
-        f" / (sqrt(CAST(n AS DOUBLE) * CAST(s_{a}{a} AS DOUBLE)"
-        f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
-        f" * sqrt(CAST(n AS DOUBLE) * CAST(s_{b}{b} AS DOUBLE)"
-        f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+        f"({_c2d('n')} * {_c2d(f's_{a}{b}')}"
+        f" - {_c2d(f's_{a}')} * {_c2d(f's_{b}')})"
+        f" / (sqrt({_c2d('n')} * {_c2d(f's_{a}{a}')}"
+        f" - {_c2d(f's_{a}')} * {_c2d(f's_{a}')})"
+        f" * sqrt({_c2d('n')} * {_c2d(f's_{b}{b}')}"
+        f" - {_c2d(f's_{b}')} * {_c2d(f's_{b}')}))"
     )
 
 
