@@ -78,6 +78,17 @@ def main() -> int:
         i = argv.index("--only")
         only = set(argv[i + 1].split(","))
         del argv[i : i + 2]
+    # A wedged DuckDB oracle must become a recorded failure, not an
+    # invisible multi-hour stall (q_entity_resolution's all-pairs
+    # levenshtein reference wedged two sf0.1 passes at ~47 min each
+    # before being identified). Default is far above the slowest
+    # legitimate oracle+compare observed (q_jaccard_neighbors, 802 s
+    # at sf0.1).
+    oracle_timeout = 1200.0
+    if "--oracle-timeout" in argv:
+        i = argv.index("--oracle-timeout")
+        oracle_timeout = float(argv[i + 1])
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     from pyspark.sql import SparkSession
 
@@ -148,12 +159,22 @@ def main() -> int:
                     for c, st in spark_types.items()
                     if st in _TYPE_MAP and oracle_types.get(c) != _TYPE_MAP[st]
                 ]
-                cur = con.execute(osql[name])
-                onames = [d[0] for d in cur.description]
-                order = sorted(range(len(onames)), key=lambda i: onames[i])
-                orows = sorted(
-                    "|".join(_norm(r[i]) for i in order) for r in cur.fetchall()
-                )
+                import threading
+
+                timer = threading.Timer(oracle_timeout, con.interrupt)
+                timer.start()
+                try:
+                    cur = con.execute(osql[name])
+                    onames = [d[0] for d in cur.description]
+                    order = sorted(
+                        range(len(onames)), key=lambda i: onames[i]
+                    )
+                    orows = sorted(
+                        "|".join(_norm(r[i]) for i in order)
+                        for r in cur.fetchall()
+                    )
+                finally:
+                    timer.cancel()
                 rec["oracle_rows"] = len(orows)
                 rec["rows_match"] = len(srows) == len(orows)
                 rec["schema_match"] = not type_errs and sorted(onames) == cols

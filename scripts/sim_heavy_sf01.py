@@ -37,6 +37,13 @@ EXCLUDE_QUADRATIC = {
     "q_containment_join",  # 15.7M pairs at sf0.1; twin _capped runs
     "q_interval_overlap",  # single-task sweep; twin _scalable runs
     "q_decile_lift",  # global NTILE sort; twin _scalable runs
+    # ORACLE-side quadratic: the DuckDB reference is an all-pairs
+    # levenshtein join (15k distinct names at sf0.1 = 112M lev calls
+    # feeding a recursive closure; >60s standalone, wedged two family
+    # passes at ~47 min before being identified). The SPARK side is
+    # fine; the entry stays hash-gated at the driver's sf0.01 where
+    # the all-pairs reference is 1.1M calls.
+    "q_entity_resolution",
 }
 
 
