@@ -71,10 +71,16 @@ _SKEW_CONFS = {
     # small dim side broadcasts and there is no shuffle to skew-split
     "spark.sql.autoBroadcastJoinThreshold": "-1",
     "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
-    # the post-join rollup regroups on different keys anyway, but make
-    # the split unconditional so the cell can never silently degrade
-    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
 }
+
+# The registered entry keeps the split unconditional so the cell can
+# never silently degrade at the sf0.001 driver scale (where the hot
+# partition can land under the 16 KB advisory after compression);
+# tests/test_plans.py additionally runs the builder at sf0.1 with this
+# flag OFF to prove the SIZE TEST itself fires (hot partition ~5.7 MB
+# vs 16 KB advisory) — the path a production 100 TB shuffle takes,
+# where nobody sets the force flag.
+SKEW_FORCE = True
 
 # AQE splits a skewed reduce partition by MAP-OUTPUT RANGES
 # (PartialReducerPartitionSpec): with the whole toy-scale parquet in
@@ -100,7 +106,9 @@ LAST_SKEW_PLAN: dict[str, str] = {}
     doc=(
         "AQE skew-join split (OptimizeSkewedJoin): lineitem keyed by "
         "sk = (l_orderkey stays its own key only when % 10 == 0, else "
-        "the ONE hot key 0 — 90% of the fact on a single join key), "
+        "the ONE hot key -1, outside the o_orderkey domain so the "
+        "synthetic hot dim row is the UNIQUE match — 90% of the fact "
+        "on a single join key), "
         "sort-merge joined to a unique-keyed dim (orders' %10 keys + "
         "the synthetic hot row) under skewJoin thresholds scaled to "
         "the corpus so the runtime SPLITS the hot partition into "
@@ -114,14 +122,14 @@ LAST_SKEW_PLAN: dict[str, str] = {}
     ),
     oracle=f"""
         WITH f AS (
-          SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 0
+          SELECT CASE WHEN l_orderkey % 10 <> 0 THEN -1
                       ELSE l_orderkey END AS sk,
                  l_linestatus, l_quantity, l_extendedprice
           FROM lineitem
         ), d AS (
           SELECT o_orderkey AS sk, o_orderpriority AS grp
           FROM orders WHERE o_orderkey % 10 = 0
-          UNION ALL SELECT 0, 'HOT'
+          UNION ALL SELECT -1, 'HOT'
         )
         SELECT d.grp, f.l_linestatus,
                CAST(COUNT(*) AS BIGINT) AS n_lines,
@@ -137,8 +145,12 @@ def q_join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .repartition(_SKEW_FACT_MAPS)  # see _SKEW_FACT_MAPS note
         .select(
+            # hot key -1 sits OUTSIDE the o_orderkey domain (testdata
+            # contains o_orderkey = 0): the synthetic hot dim row is
+            # the unique match and order 0 keeps its own priority
+            # group (ADVICE r13 — sk=0 matched both)
             F.expr(
-                "CASE WHEN l_orderkey % 10 <> 0 THEN 0L"
+                "CASE WHEN l_orderkey % 10 <> 0 THEN -1L"
                 " ELSE l_orderkey END"
             ).alias("sk"),
             "l_linestatus",
@@ -155,7 +167,7 @@ def q_join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             spark.range(1).select(
-                F.lit(0).cast("bigint").alias("sk"),
+                F.lit(-1).cast("bigint").alias("sk"),
                 F.lit("HOT").alias("grp"),
             )
         )
@@ -175,8 +187,12 @@ def q_join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cell's plan-time force) the join must RUN under the pinned confs:
     # localCheckpoint materializes the tiny rollup here and the driver
     # later collects from it — one execution, conf-leak-free.
-    saved = {k: spark.conf.get(k, None) for k in _SKEW_CONFS}
-    for k, v in _SKEW_CONFS.items():
+    confs = dict(_SKEW_CONFS)
+    confs["spark.sql.adaptive.forceOptimizeSkewedJoin"] = (
+        "true" if SKEW_FORCE else "false"
+    )
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
         spark.conf.set(k, v)
     try:
         out = joined.localCheckpoint()
@@ -238,7 +254,10 @@ def _cbo_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
                 .mode("overwrite")
                 .saveAsTable(tname)
             )
-            spark.sql(f"ANALYZE TABLE {tname} COMPUTE STATISTICS")
+        # unconditional: a session that crashed between saveAsTable and
+        # ANALYZE would otherwise plan stat-less forever (VERDICT r13);
+        # ANALYZE is cheap and idempotent
+        spark.sql(f"ANALYZE TABLE {tname} COMPUTE STATISTICS")
     return names["orders"], names["customer"], names["nation"]
 
 

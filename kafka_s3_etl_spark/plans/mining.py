@@ -163,6 +163,41 @@ _FUZZY_ORACLE_EDGES = """
         )
 """
 
+# Blocked replay of the SAME edge set: deletion-neighborhood signatures
+# (FastSS/SymSpell — operators/linkage.py::fuzzy_pairs_ed1), exact by
+# the position tag, so e is IDENTICAL to the all-pairs levenshtein CTE
+# above (equality asserted by tests/test_blocked_oracle_equality.py at
+# sf0.001 AND sf0.01). Exists because the all-pairs reference is O(n²)
+# — 112M levenshtein calls at sf0.1 feeding a recursive closure wedged
+# two sim passes (VERDICT r13 #1); this replay is O(n·L) and lets
+# q_entity_resolution carry sf0.1 hash evidence. MATERIALIZED is
+# load-bearing: the recursive consumer would otherwise re-expand the
+# edge derivation every iteration (the CLAUDE.md CTE-chain rule).
+_FUZZY_ORACLE_EDGES_BLOCKED = """
+        WITH RECURSIVE cn AS MATERIALIZED (
+          SELECT DISTINCT c_name FROM customer
+        ),
+        dels AS MATERIALIZED (
+          SELECT c_name AS v,
+                 substr(c_name, 1, CAST(t.i AS INTEGER))
+                   || substr(c_name, CAST(t.i AS INTEGER) + 2) AS sig,
+                 CAST(t.i AS INTEGER) AS pos
+          FROM cn, UNNEST(range(length(c_name))) AS t(i)
+        ),
+        e AS MATERIALIZED (
+          SELECT da.v AS a, db.v AS b
+          FROM dels da JOIN dels db
+            ON da.sig = db.sig AND da.pos = db.pos AND da.v < db.v
+          UNION ALL
+          SELECT * FROM (
+            SELECT DISTINCT least(s.c_name, d.v) AS a,
+                            greatest(s.c_name, d.v) AS b
+            FROM cn s JOIN dels d
+              ON s.c_name = d.sig AND s.c_name <> d.v
+          )
+        )
+"""
+
 
 @register(
     "q_fuzzy_join",
@@ -773,42 +808,76 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Entity resolution (linkage graph -> canonical entities)
 
 
+def _min_label_chain_sql(rounds: int) -> str:
+    """Generated fixed-round min-label chain over the ``sym`` edge CTE.
+
+    Replaces the recursive (node, label) closure, whose state count is
+    O(n * cluster_size) — quadratic on the sf0.1 ed1 graph's single
+    15000-node component. One min-label round propagates the component
+    minimum one hop, so ``rounds`` >= the max BFS depth from each
+    component's minimum suffices: measured depth is 3 (sf0.001),
+    4 (sf0.01), 5 (sf0.1) — the ed1 graph is hypercube-like over digit
+    positions, so depth grows ~log10(corpus), and 10 rounds carry wide
+    margin. Too-small ``rounds`` fails LOUDLY (hash mismatch vs Spark's
+    fixpoint). Each round is AS MATERIALIZED per the CLAUDE.md
+    CTE-chain rule (default inlining re-expands every reference).
+    """
+    parts = [
+        """
+        , sym AS MATERIALIZED (
+          SELECT a AS src, b AS dst FROM e
+          UNION ALL
+          SELECT b AS src, a AS dst FROM e
+        ),
+        lab0 AS MATERIALIZED (
+          SELECT c_name AS node, c_name AS lbl FROM cn
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+        lab{r} AS MATERIALIZED (
+          SELECT node, MIN(lbl) AS lbl FROM (
+            SELECT node, lbl FROM lab{r - 1}
+            UNION ALL
+            SELECT s.dst AS node, l.lbl
+            FROM lab{r - 1} l JOIN sym s ON l.node = s.src
+          ) GROUP BY node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node AS c_name, lbl AS canonical,
+               node = lbl AS is_canonical
+        FROM lab{rounds}
+    """
+    )
+    return "".join(parts)
+
+
 @register(
     "q_entity_resolution",
     category="linkage",
     cost=2,
     # Iterative CC, but the ed1 graph is deterministic on both engines,
-    # so the fixpoint has an exact DuckDB oracle: a recursive-CTE
-    # min-label transitive closure. State (node, lbl) keeps only labels
-    # below the node; the component minimum seeds itself and every
-    # intermediate on a path from the minimum is >= it, so the minimum
-    # reaches every member — states are bounded by n x cluster size.
-    # (Upgraded from rows-only in round 8; the union-find property test
-    # remains as the independent reference.)
-    oracle=_FUZZY_ORACLE_EDGES.replace("WITH cn", "WITH RECURSIVE cn", 1)
-    + """
-        , sym AS (
-          SELECT a AS src, b AS dst FROM e
-          UNION ALL
-          SELECT b AS src, a AS dst FROM e
-        ),
-        reach AS (
-          SELECT c_name AS node, c_name AS lbl FROM cn
-          UNION
-          SELECT s.dst AS node, r.lbl
-          FROM reach r JOIN sym s ON r.node = s.src
-          WHERE r.lbl < s.dst
-        )
-        SELECT node AS c_name, MIN(lbl) AS canonical,
-               node = MIN(lbl) AS is_canonical
-        FROM reach GROUP BY node
-    """,
+    # so the fixpoint has an exact DuckDB oracle. (Upgraded from
+    # rows-only in round 8; the union-find property test remains as the
+    # independent reference. Round 14, VERDICT r13 #1: edges come from
+    # the BLOCKED deletion-neighborhood replay — proven equal to the
+    # all-pairs levenshtein CTE at sf0.001/sf0.01 by
+    # tests/test_blocked_oracle_equality.py — and the closure is a
+    # fixed-round MATERIALIZED min-label chain instead of the recursive
+    # (node, label) CTE, whose state count was quadratic on sf0.1's
+    # single 15000-node component. Oracle is now O(n*L + rounds*E) and
+    # the entry carries sf0.1 evidence.)
+    oracle=_FUZZY_ORACLE_EDGES_BLOCKED + _min_label_chain_sql(10),
     doc=(
         "End-to-end entity resolution: edit-distance-1 linkage pairs "
         "-> connected components (min-label propagation, string labels "
         "— the component minimum IS the canonical spelling) -> "
-        "(name, canonical, is_canonical). Oracle: recursive-CTE "
-        "min-label closure over the same deterministic ed1 graph; a "
+        "(name, canonical, is_canonical). Oracle: blocked "
+        "deletion-neighborhood edge replay + fixed-round MATERIALIZED "
+        "min-label chain over the same deterministic ed1 graph; a "
         "union-find property test is the second independent reference."
     ),
 )

@@ -161,7 +161,22 @@ def main() -> int:
                 ]
                 import threading
 
-                timer = threading.Timer(oracle_timeout, con.interrupt)
+                # Interrupt guard: without it the Timer can fire AFTER
+                # fetchall() returns but BEFORE timer.cancel(), landing
+                # con.interrupt() on the shared connection with no query
+                # running and cancelling the NEXT entry's execute
+                # (ADVICE r13). The lock+flag makes fire-vs-complete
+                # atomic: whichever wins, a completed entry is never
+                # followed by a stray interrupt.
+                guard = threading.Lock()
+                entry_done = [False]
+
+                def _interrupt_if_running() -> None:
+                    with guard:
+                        if not entry_done[0]:
+                            con.interrupt()
+
+                timer = threading.Timer(oracle_timeout, _interrupt_if_running)
                 timer.start()
                 try:
                     cur = con.execute(osql[name])
@@ -174,6 +189,8 @@ def main() -> int:
                         for r in cur.fetchall()
                     )
                 finally:
+                    with guard:
+                        entry_done[0] = True
                     timer.cancel()
                 rec["oracle_rows"] = len(orows)
                 rec["rows_match"] = len(srows) == len(orows)

@@ -37,13 +37,11 @@ EXCLUDE_QUADRATIC = {
     "q_containment_join",  # 15.7M pairs at sf0.1; twin _capped runs
     "q_interval_overlap",  # single-task sweep; twin _scalable runs
     "q_decile_lift",  # global NTILE sort; twin _scalable runs
-    # ORACLE-side quadratic: the DuckDB reference is an all-pairs
-    # levenshtein join (15k distinct names at sf0.1 = 112M lev calls
-    # feeding a recursive closure; >60s standalone, wedged two family
-    # passes at ~47 min before being identified). The SPARK side is
-    # fine; the entry stays hash-gated at the driver's sf0.01 where
-    # the all-pairs reference is 1.1M calls.
-    "q_entity_resolution",
+    # q_entity_resolution left this set in round 14: its oracle is now
+    # a blocked deletion-neighborhood replay + fixed-round min-label
+    # chain (O(n*L + rounds*E), 1.2 s standalone at sf0.1) instead of
+    # the all-pairs levenshtein join feeding a recursive closure that
+    # wedged two r13 passes (VERDICT r13 #1).
 }
 
 

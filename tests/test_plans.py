@@ -12,6 +12,7 @@ that must survive a 1000-executor scale-up:
 
 from __future__ import annotations
 
+import os
 import re
 
 import pytest
@@ -1466,16 +1467,44 @@ def test_batch83_skew_split_fires(spark, sf_dir):
     carries the final adaptive plan. Session confs must restore."""
     from kafka_s3_etl_spark.plans import execution as ex
 
-    before = {
-        k: spark.conf.get(k, None) for k in ex._SKEW_CONFS
-    }
+    keys = list(ex._SKEW_CONFS) + [
+        "spark.sql.adaptive.forceOptimizeSkewedJoin"
+    ]
+    before = {k: spark.conf.get(k, None) for k in keys}
     df = _CAT["q_join_skew_aqe"].fn(spark, sf_dir)
     assert df.count() > 0
     t = ex.LAST_SKEW_PLAN["text"]
     assert "skew=true" in t, "OptimizeSkewedJoin did not split"
     assert "skewed" in t  # the AQEShuffleRead node on the hot side
-    after = {k: spark.conf.get(k, None) for k in ex._SKEW_CONFS}
+    after = {k: spark.conf.get(k, None) for k in keys}
     assert after == before, "skew confs leaked into the session"
+
+
+def test_skew_split_fires_without_force_at_sf01(spark):
+    """The SIZE TEST itself must split the hot partition — no force
+    flag. At sf0.1 the hot key carries ~5.7 MB of shuffle bytes vs the
+    16 KB advisory, so OptimizeSkewedJoin's size test (partition >
+    max(threshold, factor * median)) passes on its own merits — the
+    path a production 100 TB shuffle takes, where nobody sets
+    forceOptimizeSkewedJoin (VERDICT r13 #5). The registered entry
+    keeps force=true only as sf0.001 driver-scale insurance."""
+    from kafka_s3_etl_spark.plans import execution as ex
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf01):
+        pytest.skip("sf0.1 testdata absent")
+    old = ex.SKEW_FORCE
+    ex.SKEW_FORCE = False
+    try:
+        df = _CAT["q_join_skew_aqe"].fn(spark, sf01)
+        assert df.count() > 0
+        t = ex.LAST_SKEW_PLAN["text"]
+        assert "skew=true" in t, (
+            "size-test path did not split the hot partition at sf0.1"
+        )
+        assert "skewed" in t
+    finally:
+        ex.SKEW_FORCE = old
 
 
 def test_batch83_cbo_static_broadcast(spark, sf_dir):

@@ -926,6 +926,17 @@ def test_statestore_reader_batchid_time_travel(spark):
     spark.createDataFrame([("a", 10), ("c", 5)], schema).coalesce(
         1
     ).write.parquet(os.path.join(src, "b1"))
+    # FileStreamSource orders NEW files by modification time, not path
+    # (ADVICE r13 — the old comment claimed path order): pin b0 strictly
+    # older than b1 so batch 0 ingests b0 even on a filesystem with
+    # coarse mtime granularity.
+    import time as _time
+
+    now = _time.time()
+    for sub, mtime in (("b0", now - 120), ("b1", now - 60)):
+        d = os.path.join(src, sub)
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (mtime, mtime))
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -954,7 +965,7 @@ def test_statestore_reader_batchid_time_travel(spark):
             for row in r.load(ckpt).collect()
         }
 
-    # NOTE: file order within a glob source is path-sorted, so batch 0
-    # is b0 deterministically
+    # batch 0 is b0 because its mtime is pinned strictly older (see
+    # the utime step above)
     assert read_state(batchId=0) == {("a", 1), ("b", 2)}
     assert read_state() == {("a", 11), ("b", 2), ("c", 5)}
