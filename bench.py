@@ -412,6 +412,10 @@ HEADLINE = [
     "q_kmeans_kstep",
     # round-13 batch 84: state-store reader (checkpoint cached per sf)
     "x_statestore_scan",
+    # round-14 batch 85: operational-surface cells
+    "q_sql_session_vars",
+    "x_state_metadata_scan",
+    "q_read_corrupt_tolerant",
     # round-10 batch 45: exact substring-span dedup + mask transform
     "q_dedup_substring_spans",
     "q_dedup_substring_mask",

@@ -76,6 +76,7 @@ _PLAN_MODULES = [
     "kafka_s3_etl_spark.plans.mixing",
     "kafka_s3_etl_spark.plans.pipelineops",
     "kafka_s3_etl_spark.plans.execution",
+    "kafka_s3_etl_spark.plans.opsext",
 ]
 
 
