@@ -416,6 +416,9 @@ HEADLINE = [
     "q_sql_session_vars",
     "x_state_metadata_scan",
     "q_read_corrupt_tolerant",
+    # round-14 batch 86: SQL-front-end parity cells
+    "q_sql_table_function",
+    "x_column_defaults",
     # round-10 batch 45: exact substring-span dedup + mask transform
     "q_dedup_substring_spans",
     "q_dedup_substring_mask",

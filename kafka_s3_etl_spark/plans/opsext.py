@@ -27,6 +27,16 @@ uncovered surfaces.
   corrupt MEMBER is chosen deterministically (doc_id % 4 = 3 written
   as its own file), so the oracle restates the intact subset.
 
+Batch 86 (same round) adds the remaining SQL-front-end parity cells:
+
+* q_sql_table_function — SQL-defined TABLE function (RETURNS TABLE ...
+  RETURN SELECT, invoked in FROM position; body rides GROUP BY ALL),
+  the table-valued companion to q_sql_udf's scalar form.
+* x_column_defaults — the column-DEFAULT DDL lifecycle: CREATE with
+  DEFAULT, INSERT omitting the column, ALTER TABLE ADD COLUMN DEFAULT
+  (existence default — pre-existing rows read it with zero rewrite),
+  INSERT via the DEFAULT keyword.
+
 Reference scope: the reference ETL has no session-variable / state
 / corrupt-file surface (its SQL is one static filter,
 src/check_sql_table.py; its fault handling is task retries) — these
@@ -290,3 +300,166 @@ def q_read_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+# ------------------------------------------------- SQL table function
+
+
+@register(
+    "q_sql_table_function",
+    category="sqlsurface",
+    doc=(
+        "SQL-defined TABLE function (Spark 4 CREATE TEMPORARY FUNCTION "
+        "... RETURNS TABLE ... RETURN SELECT): the parameterized-view "
+        "workhorse of a SQL warehouse — q_sql_udf (plans/stats.py) "
+        "pins the SCALAR form; this is the table-valued companion, "
+        "invoked in FROM position with a literal argument. The body "
+        "also rides GROUP BY ALL (the Spark 3.4+/4 grouping sugar, "
+        "otherwise uncovered). SQL functions inline at analysis like a "
+        "view expansion, so the function is DROPped after the returned "
+        "df is analyzed — the session-variable hygiene discipline. "
+        "Oracle: the expanded query restated."
+    ),
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM orders
+        WHERE o_totalprice > 150000.0
+        GROUP BY o_orderpriority
+    """,
+)
+def q_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_tvf_v"
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION priority_rollup(
+            min_price DOUBLE
+        )
+        RETURNS TABLE (
+            o_orderpriority STRING, n_orders BIGINT, total_cents BIGINT
+        )
+        RETURN
+          SELECT o_orderpriority,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS total_cents
+          FROM orders_tvf_v
+          WHERE o_totalprice > min_price
+          GROUP BY ALL
+        """
+    )
+    try:
+        out = spark.sql(
+            "SELECT * FROM priority_rollup(CAST(150000.0 AS DOUBLE))"
+        )
+        out.schema  # force analysis inside the create/drop bracket
+        return out
+    finally:
+        spark.sql("DROP TEMPORARY FUNCTION IF EXISTS priority_rollup")
+
+
+# ------------------------------------------------- column DEFAULTs
+
+_DEFAULTS_TABLES: dict[str, str] = {}
+
+
+def _defaults_table(spark: SparkSession, sf_dir: str) -> str:
+    """Catalog table exercising the column-DEFAULT lifecycle: create
+    with a DEFAULT, insert OMITTING the column, ALTER TABLE ADD COLUMN
+    with a DEFAULT (pre-existing rows read it back as an existence
+    default — no rewrite), then insert explicit values."""
+    if sf_dir in _DEFAULTS_TABLES:
+        return _DEFAULTS_TABLES[sf_dir]
+    import re as _re
+
+    from kafka_s3_etl_spark.streaming.runner import scratch_dir
+
+    tag = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
+    t = f"graft_defaults_{tag}"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_def_v"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.sql(
+        f"""
+        CREATE TABLE {t} (
+            ok BIGINT,
+            cents BIGINT,
+            status STRING DEFAULT 'NEW'
+        ) USING parquet LOCATION '{scratch_dir("defaults")}'
+        """
+    )
+    # wave 1 omits status -> insert-time DEFAULT 'NEW'
+    spark.sql(
+        f"""
+        INSERT INTO {t} (ok, cents)
+        SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        FROM orders_def_v WHERE o_orderkey % 10 = 0
+        """
+    )
+    # schema evolution: pre-existing parquet rows were written WITHOUT
+    # this column; they must read back 'LEGACY' via the existence
+    # default recorded in table metadata — zero data rewrite, the
+    # 100 TB reason this surface exists
+    spark.sql(
+        f"ALTER TABLE {t} ADD COLUMN segment STRING DEFAULT 'LEGACY'"
+    )
+    # wave 2 states every column; DEFAULT keyword fills one slot
+    spark.sql(
+        f"""
+        INSERT INTO {t} (ok, cents, status, segment)
+        SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT),
+               DEFAULT, 'CURRENT'
+        FROM orders_def_v WHERE o_orderkey % 10 = 1
+        """
+    )
+    _DEFAULTS_TABLES[sf_dir] = t
+    return t
+
+
+@register(
+    "x_column_defaults",
+    category="lakehouse",
+    cost=1,
+    doc=(
+        "Column DEFAULT lifecycle (Spark 3.4+/4 DDL): CREATE TABLE "
+        "with DEFAULT -> INSERT omitting the column -> ALTER TABLE ADD "
+        "COLUMN DEFAULT (pre-existing parquet rows read the new column "
+        "back as an EXISTENCE default from table metadata — no data "
+        "rewrite, which is why the surface matters at 100 TB) -> "
+        "INSERT with the DEFAULT keyword. x_schema_evolution covers "
+        "schema-on-read merge; this is the catalog-DDL evolution path "
+        "a warehouse migration actually runs. Oracle restates both "
+        "insert waves from orders with the literal default values."
+    ),
+    oracle="""
+        SELECT status, segment,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS total_cents
+        FROM (
+          SELECT 'NEW' AS status, 'LEGACY' AS segment,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT 'NEW', 'CURRENT',
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT)
+          FROM orders WHERE o_orderkey % 10 = 1
+        )
+        GROUP BY status, segment
+    """,
+)
+def x_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _defaults_table(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT status, segment,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS total_cents
+        FROM {t}
+        GROUP BY status, segment
+        """
+    )

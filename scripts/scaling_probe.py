@@ -147,6 +147,19 @@ PROBE_QUERIES = [
     "x_cbo_broadcast",
     "q_kmeans_kstep",
     "x_statestore_scan",
+    # round-14 batch 85: operational-surface cells (session-var agg
+    # rides the scaled orders fact; state-metadata re-runs the
+    # state-building stream once per scaled dir then reads 1 metadata
+    # row; corrupt-tolerant rebuilds its 4-member layout once per
+    # scaled dir then scans the 3 intact members)
+    "q_sql_session_vars",
+    "x_state_metadata_scan",
+    "q_read_corrupt_tolerant",
+    # round-14 batch 86 (table function inlines to the same agg shape
+    # as the session-var cell; defaults cell rebuilds its catalog
+    # table once per scaled dir then scans it)
+    "q_sql_table_function",
+    "x_column_defaults",
     # round-7 later batches: DS shapes over the scaled facts, SQL
     # semantics corners, evolved/footer-stat layouts
     "q_ds_timeband_counts",
@@ -448,8 +461,14 @@ def main() -> int:
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", "32")
         # default local-mode heap is 1g: the 30x pagerank/dedup graphs
-        # (localCheckpoint blocks + 16 task threads) OOM it
-        .config("spark.driver.memory", "16g")
+        # (localCheckpoint blocks + 16 task threads) OOM it. 100x
+        # iterative-graph probes need more still (the r14 100x LPA run
+        # GC-thrashed at 16g on the ~45M-edge name graph) — override
+        # via SPARK_GRAFT_PROBE_MEM.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_PROBE_MEM", "16g"),
+        )
         .getOrCreate()
     )
     cat = all_queries()

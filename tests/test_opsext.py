@@ -106,6 +106,70 @@ def test_corrupt_file_is_actually_corrupt(spark, sf_dir):
     assert not isinstance(ei.value, AssertionError)
 
 
+# ------------------------------------------------- SQL table function
+
+
+def test_sql_table_function_dropped_after_build(spark, sf_dir):
+    """Like the session variables: the temporary function must not
+    outlive the build, and the returned df (inlined at analysis) must
+    stay collectable after the DROP."""
+    df = _CAT["q_sql_table_function"].fn(spark, sf_dir)
+    assert df.count() > 0  # collect AFTER the function is dropped
+    with pytest.raises(CapturedException):
+        spark.sql("SELECT * FROM priority_rollup(1.0)").collect()
+
+
+# ------------------------------------------------- column DEFAULTs
+
+
+def test_add_column_default_is_existence_default(spark, sf_dir):
+    """ALTER TABLE ADD COLUMN DEFAULT must NOT rewrite data: the
+    wave-1 parquet files on disk lack the segment column entirely
+    (pyarrow footer = engine-independent ground truth); the 'LEGACY'
+    values are synthesized at READ time from the EXISTS_DEFAULT column
+    metadata Spark records in the schema. (Probed: the metadata rides
+    the parquet footer's Spark-schema JSON too, so even a raw
+    mergeSchema read fills the default — a null-count check on a raw
+    read can NOT distinguish rewrite from metadata fill; the physical
+    footer can.)"""
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+
+    from kafka_s3_etl_spark.plans.opsext import _defaults_table
+
+    t = _defaults_table(spark, sf_dir)
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {t}")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+    ).removeprefix("file:")
+    paths = sorted(glob.glob(loc + "/*.parquet"))
+    assert len(paths) >= 2  # both insert waves landed
+    with_seg = [p for p in paths if "segment" in pq.read_schema(p).names]
+    without_seg = [
+        p for p in paths if "segment" not in pq.read_schema(p).names
+    ]
+    assert without_seg, (
+        "every file contains the segment column — the ALTER rewrote "
+        "wave-1 data and the existence-default claim is vacuous"
+    )
+    assert with_seg, "wave-2 files missing"
+    # the wave-2 footer's Spark schema carries the recorded default
+    md = pq.read_schema(with_seg[0]).metadata
+    sch = json.loads(
+        md[b"org.apache.spark.sql.parquet.row.metadata"].decode()
+    )
+    seg = next(f for f in sch["fields"] if f["name"] == "segment")
+    assert seg["metadata"].get("EXISTS_DEFAULT") == "'LEGACY'"
+    # and the TABLE read fills every missing slot from metadata
+    tbl_nulls = (
+        spark.table(t).filter("segment IS NULL or status IS NULL").count()
+    )
+    assert tbl_nulls == 0
+
+
 def test_corrupt_tolerant_reads_exactly_intact_rows(spark, sf_dir):
     """Under the pinned conf the read returns EXACTLY the three intact
     members' rows — no dropped record from intact files, nothing
