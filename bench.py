@@ -419,6 +419,7 @@ HEADLINE = [
     # round-14 batch 86: SQL-front-end parity cells
     "q_sql_table_function",
     "x_column_defaults",
+    "q_execute_immediate",
     # round-10 batch 45: exact substring-span dedup + mask transform
     "q_dedup_substring_spans",
     "q_dedup_substring_mask",

@@ -463,3 +463,59 @@ def x_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY status, segment
         """
     )
+
+
+# ------------------------------------------------- EXECUTE IMMEDIATE
+
+
+@register(
+    "q_execute_immediate",
+    category="sqlsurface",
+    doc=(
+        "Dynamic SQL (Spark 4 EXECUTE IMMEDIATE): the query TEXT lives "
+        "in a session variable and executes with USING parameter "
+        "binding — the third leg of the parameterization trio "
+        "(q_parameterized_sql = :param binding, q_sql_session_vars = "
+        "IDENTIFIER() references; this cell = the sql-string path a "
+        "metadata-driven warehouse job generator emits, still "
+        "injection-safe because values travel as USING binds, never "
+        "concatenated). Variables DROPped after the returned df is "
+        "analyzed. Oracle: the statement restated with the literals "
+        "bound."
+    ),
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(ROUND(l_extendedprice
+                    * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+        FROM lineitem
+        WHERE l_quantity >= 30.0
+        GROUP BY l_returnflag
+    """,
+)
+def q_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_dyn_v"
+    )
+    spark.sql(
+        """
+        DECLARE OR REPLACE VARIABLE dyn_sql STRING DEFAULT "
+          SELECT l_returnflag,
+                 CAST(COUNT(*) AS BIGINT) AS n_lines,
+                 CAST(SUM(CAST(ROUND(l_extendedprice
+                      * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+          FROM lineitem_dyn_v
+          WHERE l_quantity >= ?
+          GROUP BY l_returnflag"
+        """
+    )
+    try:
+        out = spark.sql(
+            "EXECUTE IMMEDIATE dyn_sql USING CAST(30.0 AS DOUBLE)"
+        )
+        out.schema  # force analysis inside the declare/drop bracket
+        return out
+    finally:
+        spark.sql("DROP TEMPORARY VARIABLE IF EXISTS dyn_sql")

@@ -160,6 +160,7 @@ PROBE_QUERIES = [
     # table once per scaled dir then scans it)
     "q_sql_table_function",
     "x_column_defaults",
+    "q_execute_immediate",
     # round-7 later batches: DS shapes over the scaled facts, SQL
     # semantics corners, evolved/footer-stat layouts
     "q_ds_timeband_counts",

@@ -119,6 +119,16 @@ def test_sql_table_function_dropped_after_build(spark, sf_dir):
         spark.sql("SELECT * FROM priority_rollup(1.0)").collect()
 
 
+def test_execute_immediate_var_dropped_and_df_survives(spark, sf_dir):
+    """Same hygiene contract as the other dynamic-SQL cells: the
+    sql-text variable must not outlive the build, and the returned df
+    (analyzed inside the bracket) must stay collectable."""
+    df = _CAT["q_execute_immediate"].fn(spark, sf_dir)
+    assert df.count() > 0
+    with pytest.raises(CapturedException):
+        spark.sql("SELECT dyn_sql").collect()
+
+
 # ------------------------------------------------- column DEFAULTs
 
 
