@@ -27,22 +27,21 @@ import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Correctness-tier cells whose sf0.1 OUTPUT is quadratic BY DESIGN —
-# their sf0.1 distributional behavior is already measured and recorded
-# (SCALE.md / VERDICT r12) and their capped/scalable twins ARE in the
-# sf0.1 pass. The harness compare itself is the blocker: it multiset-
-# hashes both engines' rows in Python, and 15.7M containment pairs cost
-# ~1h per engine (measured: 3.5M jaccard rows took 802 s).
-EXCLUDE_QUADRATIC = {
-    "q_containment_join",  # 15.7M pairs at sf0.1; twin _capped runs
-    "q_interval_overlap",  # single-task sweep; twin _scalable runs
-    "q_decile_lift",  # global NTILE sort; twin _scalable runs
-    # q_entity_resolution left this set in round 14: its oracle is now
-    # a blocked deletion-neighborhood replay + fixed-round min-label
-    # chain (O(n*L + rounds*E), 1.2 s standalone at sf0.1) instead of
-    # the all-pairs levenshtein join feeding a recursive closure that
-    # wedged two r13 passes (VERDICT r13 #1).
-}
+# Correctness-tier cells excluded from the sf0.1 pass. Round 14
+# emptied the set: q_entity_resolution's oracle became a blocked
+# deletion-neighborhood replay + fixed-round min-label chain (1.2 s
+# standalone at sf0.1, vs the all-pairs levenshtein closure that
+# wedged two r13 passes); q_interval_overlap (1 output row) and
+# q_decile_lift (10 rows) were measured compare-trivial — the r13
+# exclusion conflated their single-task CELL shape (a documented
+# scale-killer with shipped _scalable twins) with verification cost;
+# and q_containment_join's quadratic 15.7M pairs turned out to be
+# INTERMEDIATE — its output is 4992 capped rows, and the r14 sf0.1
+# run verified it end-to-end (Spark 181 s, oracle+compare within the
+# timeout). Keep this set for future entries whose OUTPUT is genuinely
+# compare-bound (the 3.5M-row jaccard compare measured 802 s — that
+# class belongs here, carried by twins).
+EXCLUDE_QUADRATIC: set[str] = set()
 
 
 def heavy_names(top_n: int, families: list[str]) -> list[str]:
