@@ -25,6 +25,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def symmetrize_pairs(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    self_loops: bool = False,
+) -> DataFrame:
+    """Both orientations of an undirected pair list as directed
+    (src, dst) rows — in ONE pass over ``pairs``.
+
+    The classic ``pairs.union(pairs-swapped)`` shape references the
+    ``pairs`` plan twice, and when the pair lineage is an expensive
+    un-checkpointed pipeline (a MinHash band join, an edit-distance
+    blocking join) Spark executes it once PER REFERENCE — ReuseExchange
+    does not fire across the union branches because the final
+    projections differ (measured r14: q_split_leakage_safe, whose CC
+    input is the raw MinHash pipeline, ran 1.6x slower than
+    q_split_leakage_audit which does strictly more work but checkpoints
+    the pairs first). Exploding a 2-struct (or 4-struct, with
+    ``self_loops``) array per row emits the identical multiset from a
+    single scan of the lineage, so the first localCheckpoint downstream
+    pays the pair pipeline exactly once.
+
+    With ``self_loops`` the (src, src) and (dst, dst) rows every
+    LPA-style vote loop needs ride the same single pass (only
+    meaningful followed by distinct(); rows where ``a == b`` must be
+    pre-filtered by the caller when loops are enabled).
+    """
+    structs = [
+        F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
+        F.struct(F.col(b).alias("src"), F.col(a).alias("dst")),
+    ]
+    if self_loops:
+        structs += [
+            F.struct(F.col(a).alias("src"), F.col(a).alias("dst")),
+            F.struct(F.col(b).alias("src"), F.col(b).alias("dst")),
+        ]
+    return (
+        pairs.select(F.explode(F.array(*structs)).alias("e"))
+        .select("e.src", "e.dst")
+    )
+
+
 def pagerank(
     pairs: DataFrame,
     nodes: DataFrame,
@@ -43,16 +85,9 @@ def pagerank(
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    edges = (
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    # One pass over the (possibly expensive) pair lineage — see
+    # symmetrize_pairs for why union-with-swap would execute it twice.
+    edges = symmetrize_pairs(pairs).distinct().localCheckpoint()
     degrees = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # Symmetrized edges carry every endpoint in src, so one union covers
     # both columns of `pairs`.
@@ -135,16 +170,8 @@ def pagerank_fixedpoint(
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    edges = (
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    # One pass over the pair lineage (see symmetrize_pairs).
+    edges = symmetrize_pairs(pairs).distinct().localCheckpoint()
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
     teleport = (alpha_den - alpha_num) * init // alpha_den
@@ -577,18 +604,17 @@ def label_propagation(
             )
             .select("a", "b")
         )
-    sym = (
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-        )
-        .filter(F.col("src") != F.col("dst"))
-    )
     # (v, v) self-loops: one vote for a node's own current label, and
-    # frontier membership implies affected membership.
+    # frontier membership implies affected membership. Built in ONE
+    # pass over the pair lineage (see symmetrize_pairs — the previous
+    # sym-union-selfloops shape referenced `pairs` four times, running
+    # an un-checkpointed edit-distance blocking pipeline 4x).
     edges = (
-        sym.unionByName(
-            sym.select("src", F.col("src").alias("dst")).distinct()
+        symmetrize_pairs(
+            pairs.filter(F.col("a") != F.col("b")),
+            a="a",
+            b="b",
+            self_loops=True,
         )
         .distinct()
         .localCheckpoint()
@@ -691,14 +717,12 @@ def label_propagation_kstep(
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     base = nodes.select(F.col(nodes.columns[0]).alias("node"))
-    sym = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
+    # Single pass over the pair lineage (see symmetrize_pairs); the
+    # node-universe self-loops ride a separate (cheap) union branch.
     edges = (
-        sym.unionByName(base.select(F.col("node").alias("src"),
-                                    F.col("node").alias("dst")))
+        symmetrize_pairs(pairs)
+        .unionByName(base.select(F.col("node").alias("src"),
+                                 F.col("node").alias("dst")))
         .distinct()
         .localCheckpoint()
     )
@@ -741,13 +765,11 @@ def bfs_kstep(
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     base = nodes.select(F.col(nodes.columns[0]).alias("node"))
-    sym = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
+    # Single pass over the pair lineage (see symmetrize_pairs); the
+    # node-universe self-loops ride a separate (cheap) union branch.
     edges = (
-        sym.unionByName(
+        symmetrize_pairs(pairs)
+        .unionByName(
             base.select(F.col("node").alias("src"), F.col("node").alias("dst"))
         )
         .distinct()

@@ -154,23 +154,32 @@ def _outer_join_demo(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
         # signal); completion is read off the STATE metrics instead —
         # join state drains to the sentinel residue (one left purchase
         # + one right event that stay above the final watermark).
-        for _ in range(120):
+        # 50 ms poll cadence (not 500): the trailing no-data batch
+        # usually commits within a few hundred ms, and each coarse poll
+        # tick was pure idle wall-clock billed to the query. Same 60 s
+        # total budget. Both outer-side checks ride ONE aggregate job
+        # per tick instead of two count() jobs.
+        for _ in range(1200):
             if how == "left_semi":
                 prog = q.lastProgress
                 ops = (prog or {}).get("stateOperators") or []
                 if ops and ops[0].get("numRowsTotal", 1 << 30) <= 2:
                     break
             else:
-                out = spark.table(name)
-                done = out.filter(F.col("b_id").isNull()).count() > 0
-                if how == "full_outer":
-                    done = (
-                        done
-                        and out.filter(F.col("a_id").isNull()).count() > 0
+                row = (
+                    spark.table(name)
+                    .agg(
+                        F.sum(F.col("b_id").isNull().cast("int")).alias("nb"),
+                        F.sum(F.col("a_id").isNull().cast("int")).alias("na"),
                     )
+                    .first()
+                )
+                done = (row["nb"] or 0) > 0
+                if how == "full_outer":
+                    done = done and (row["na"] or 0) > 0
                 if done:
                     break
-            time.sleep(0.5)
+            time.sleep(0.05)
         if how == "left_semi":
             global LAST_SEMI_PROGRESS
             LAST_SEMI_PROGRESS = q.lastProgress
