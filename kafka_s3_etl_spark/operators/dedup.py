@@ -534,6 +534,12 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # The change flag rides the merge join itself (labels only ever
+        # decrease, so "changed" == "neighbor min undercut my label"),
+        # and the convergence check becomes a map-side count over the
+        # checkpointed result — the previous separate
+        # new-labels x old-labels join paid one full shuffle join per
+        # round just to ask "did anything move".
         new_labels = (
             labels.join(nbr_min, labels.node == nbr_min.src, "left")
             .select(
@@ -541,16 +547,14 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
+                (
+                    F.coalesce("nbr_label", F.col("label")) < F.col("label")
+                ).alias("chg"),
             )
             .localCheckpoint()  # cut lineage: iterative joins otherwise stack plans
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("chg")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     else:

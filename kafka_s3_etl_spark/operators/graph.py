@@ -661,18 +661,22 @@ def label_propagation(
             .select("node", F.col("s.lbl").alias("new_lbl"))
         )
         if full_round:
-            # Self-loops guarantee every node re-voted: replace labels
-            # outright (the old full-sweep shape, no merge join).
-            nxt = nxt_aff.withColumnRenamed(
-                "new_lbl", "lbl"
-            ).localCheckpoint()
-            frontier = (
-                nxt.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.lbl") != F.col("o.lbl"))
-                .select("node")
+            # Self-loops guarantee every node re-voted: adopt the new
+            # labels outright. The change flag rides the one merge
+            # join so the frontier is a filter over the checkpointed
+            # result — the previous shape paid a SECOND new x old join
+            # per round just to find the changed nodes.
+            j = (
+                nxt_aff.join(labels, "node")
+                .select(
+                    "node",
+                    F.col("new_lbl").alias("lbl"),
+                    (F.col("new_lbl") != F.col("lbl")).alias("chg"),
+                )
+                .localCheckpoint()
             )
-            labels = nxt
+            frontier = j.filter(F.col("chg")).select("node")
+            labels = j.select("node", "lbl")
         else:
             j = labels.join(nxt_aff, "node", "left").localCheckpoint()
             frontier = j.filter(

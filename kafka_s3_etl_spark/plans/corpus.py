@@ -88,11 +88,15 @@ _SRC_SHINGLES_SQL = """
 )
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # Materialized once: three consumers (size rollup + both overlap
+    # join sides) otherwise re-run the shingle explode + join +
+    # distinct per reference (r14 before-plan: 16 parquet scans).
     ssh = (
         word_shingles(docs, n=8)
         .join(docs.select("doc_id", "source"), "doc_id")
         .select("source", F.xxhash64("shingle").alias("h"))
         .distinct()
+        .localCheckpoint()
     )
     sz = ssh.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
     left = ssh.select(F.col("source").alias("sa"), "h")

@@ -868,6 +868,11 @@ def q_dedup_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # NOT localCheckpointed despite the 2x pairs / 3x shingle fan-out:
+    # the r14 A/B measured materialization SLOWER here (4.5s plan-as-is
+    # vs 4.8s pairs-only vs 5.1-6.1s both, 3-rep noop) — the recompute
+    # is cheap relative to the eager-materialization job + the lost
+    # size statistics (a LogicalRDD defeats broadcast planning).
     pairs = md5_minhash_near_dups(docs, threshold=_THRESHOLD)
     sh = word_shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
