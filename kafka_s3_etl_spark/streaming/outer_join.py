@@ -154,13 +154,18 @@ def _outer_join_demo(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
         # signal); completion is read off the STATE metrics instead —
         # join state drains to the sentinel residue (one left purchase
         # + one right event that stay above the final watermark).
-        # 50 ms poll cadence (not 500): the trailing no-data batch
-        # usually commits within a few hundred ms, and each coarse poll
-        # tick was pure idle wall-clock billed to the query. Same 60 s
-        # total budget. Both outer-side checks ride ONE aggregate job
-        # per tick instead of two count() jobs.
-        for _ in range(1200):
-            if how == "left_semi":
+        # Outer flavors: 50 ms poll cadence (not 500) — the trailing
+        # no-data batch usually commits within a few hundred ms, and
+        # each coarse tick was pure idle wall-clock billed to the
+        # query; both outer-side checks ride ONE aggregate job per
+        # tick instead of two count() jobs. Semi keeps the coarse
+        # 500 ms cadence: its check is q.lastProgress, and the r14 A/B
+        # measured the 20 Hz variant SLOWER (8.2 s vs 6.2 s, 3-rep) —
+        # the progress getter contends with the micro-batch thread.
+        # Same 60 s total budget either way.
+        semi = how == "left_semi"
+        for _ in range(120 if semi else 1200):
+            if semi:
                 prog = q.lastProgress
                 ops = (prog or {}).get("stateOperators") or []
                 if ops and ops[0].get("numRowsTotal", 1 << 30) <= 2:
@@ -179,7 +184,7 @@ def _outer_join_demo(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
                     done = done and (row["na"] or 0) > 0
                 if done:
                     break
-            time.sleep(0.05)
+            time.sleep(0.5 if semi else 0.05)
         if how == "left_semi":
             global LAST_SEMI_PROGRESS
             LAST_SEMI_PROGRESS = q.lastProgress
