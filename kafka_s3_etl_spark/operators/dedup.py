@@ -917,8 +917,8 @@ def set_similarity_join(
     # five consumers (doc-frequency rollup, size rollup, the rank
     # window via `ranked`, and both exact-verify sides ta/tb). Without
     # the cut each consumer re-runs the scan + explode + distinct (+
-    # representative join) lineage — the r14 before-plan showed 22
-    # parquet scans / 98 Exchanges for this one query, zero reused.
+    # representative join) lineage — the r14 before-plan showed 11
+    # parquet scans / 49 Exchanges for this one query, zero reused.
     # One row per distinct (doc, token): tiny at any corpus size
     # relative to the token stream it derives from.
     toks = toks.localCheckpoint()
@@ -1126,7 +1126,7 @@ def _containment_candidates(
     # (df rollup, size rollup, rank window, container side, both
     # verify sides); without the cut every consumer re-runs the scan +
     # explode + distinct (the r14 before-plan of the capped variant
-    # measured 72 Exchanges, none reused).
+    # measured 36 Exchanges, none reused).
     toks = (
         documents.select(
             "doc_id", F.explode(F.split("text", " ")).alias("token")

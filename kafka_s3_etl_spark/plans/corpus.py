@@ -90,7 +90,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # Materialized once: three consumers (size rollup + both overlap
     # join sides) otherwise re-run the shingle explode + join +
-    # distinct per reference (r14 before-plan: 16 parquet scans).
+    # distinct per reference (r14 before-plan: 8 parquet scans).
     ssh = (
         word_shingles(docs, n=8)
         .join(docs.select("doc_id", "source"), "doc_id")

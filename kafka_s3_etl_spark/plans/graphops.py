@@ -73,7 +73,7 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _name_edges(spark, sf_dir)
     # Endpoint explode in ONE pass over the edit-distance pipeline —
     # the unionAll-of-two-projections shape executed it twice (r14:
-    # 32 Exchanges / 16 parquet scans in the before-plan).
+    # 16 Exchanges / 8 parquet scans in the before-plan).
     deg = (
         edges.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")

@@ -68,18 +68,9 @@ DEFAULT_QUERIES = [
 
 
 def plan_stats(plan: str) -> str:
-    n_ex = len(re.findall(r"\bExchange\b", plan))
-    n_reuse = len(re.findall(r"ReusedExchange", plan))
-    joins = sorted(
-        set(re.findall(r"(\w*(?:HashJoin|MergeJoin|NestedLoopJoin))", plan))
-    )
-    py = sorted(
-        set(re.findall(r"(BatchEvalPython|ArrowEvalPython|MapInArrow|MapInPandas|FlatMapGroupsInPandas)", plan))
-    )
-    return (
-        f"Exchange={n_ex} Reused={n_reuse} joins={','.join(joins) or '-'}"
-        f" py={','.join(py) or '-'}"
-    )
+    from scripts._planstats import summary_line
+
+    return summary_line(plan)
 
 
 def main() -> None:

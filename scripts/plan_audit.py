@@ -31,35 +31,21 @@ from kafka_s3_etl_spark.session import build_session  # noqa: E402
 
 
 def stats(plan: str) -> dict:
-    return {
-        "exchanges": len(re.findall(r"\bExchange\b", plan)),
-        "reused": len(re.findall(r"ReusedExchange", plan)),
-        "parquet_scans": len(re.findall(r"Scan parquet", plan)),
-        "rdd_scans": len(re.findall(r"Scan ExistingRDD", plan)),
-        "joins": sorted(
-            set(re.findall(r"(\w*(?:HashJoin|MergeJoin|NestedLoopJoin))", plan))
-        ),
-        "py": sorted(
-            set(
-                re.findall(
-                    r"(BatchEvalPython|ArrowEvalPython|MapInArrow|MapInPandas"
-                    r"|FlatMapGroupsInPandas|PythonMapInArrow)",
-                    plan,
-                )
-            )
-        ),
-    }
+    from scripts._planstats import plan_stats
+
+    return plan_stats(plan)
 
 
 def main() -> None:
-    argv = sys.argv[1:]
-    out = None
-    if "--out" in argv:
-        i = argv.index("--out")
-        out = argv[i + 1]
-        del argv[i : i + 2]
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+    out = args.out
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    names = argv or [n for n in HEADLINE]
+    names = args.queries or [n for n in HEADLINE]
     spark = build_session(app_name="plan_audit_r14")
     catalog = all_queries()
     results = {}
