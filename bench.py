@@ -931,11 +931,50 @@ def main() -> None:
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:25]
     )
+    # Bound EVERY catalog-growing payload on the printed line, not just
+    # "queries": r13's driver-side parse failure cost a full round of
+    # per-query PERF comparison (VERDICT r14 #6) because the diagnostic
+    # dicts (regressions / suppressed / variance_classes) grow with the
+    # catalog and a noisy host can flag dozens of entries at once. The
+    # complete, untruncated payload is always in BENCH_RUN.json; the
+    # line carries the worst offenders plus an explicit truncation
+    # count so nothing is silently dropped.
+    def _cap(d: dict, n: int) -> dict:
+        if not isinstance(d, dict) or len(d) <= n:
+            return d
+        worst = sorted(
+            d.items(),
+            key=lambda kv: kv[1].get("now", 0) / max(kv[1].get("prev", 1e-9), 1e-9)
+            if isinstance(kv[1], dict)
+            else 0,
+            reverse=True,
+        )[:n]
+        return dict(worst)
+
     compact = {
         **payload,
         "queries": {k: timings[k] for k in timings if k in slowest},
         "queries_total_count": len(timings),
         "queries_full": "BENCH_RUN.json",
+        "regressions": _cap(unexplained, 10),
+        "regressions_explained": _cap(explained, 8),
+    }
+    for key, full in (
+        ("regressions", unexplained),
+        ("regressions_explained", explained),
+    ):
+        if len(compact[key]) < len(full):
+            compact[key + "_truncated"] = len(full) - len(compact[key])
+    if "regressions_suppressed_by_drift" in payload:
+        compact["regressions_suppressed_by_drift"] = _cap(suppressed, 8)
+        if len(compact["regressions_suppressed_by_drift"]) < len(suppressed):
+            compact["regressions_suppressed_truncated"] = len(suppressed) - 8
+    # Variance-class tags only for queries actually named on the line.
+    named = set(compact["queries"]) | set(compact["regressions"]) | set(
+        compact["regressions_explained"]
+    )
+    compact["variance_classes"] = {
+        n: QUERY_VARIANCE[n] for n in named if n in QUERY_VARIANCE
     }
     print(json.dumps(compact))
     spark.stop()
