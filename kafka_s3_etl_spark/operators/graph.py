@@ -49,9 +49,14 @@ def symmetrize_pairs(
 
     With ``self_loops`` the (src, src) and (dst, dst) rows every
     LPA-style vote loop needs ride the same single pass (only
-    meaningful followed by distinct(); rows where ``a == b`` must be
-    pre-filtered by the caller when loops are enabled).
+    meaningful followed by distinct()). Rows where ``a == b`` are
+    filtered HERE when loops are enabled — a self-pair would emit four
+    identical (x, x) rows, which a multiset consumer would read as four
+    votes (ADVICE r14: enforce the invariant in the helper, not by
+    caller discipline).
     """
+    if self_loops:
+        pairs = pairs.filter(F.col(a) != F.col(b))
     structs = [
         F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
         F.struct(F.col(b).alias("src"), F.col(a).alias("dst")),

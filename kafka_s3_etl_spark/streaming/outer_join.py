@@ -162,13 +162,21 @@ def _outer_join_demo(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
         # 500 ms cadence: its check is q.lastProgress, and the r14 A/B
         # measured the 20 Hz variant SLOWER (8.2 s vs 6.2 s, 3-rep) —
         # the progress getter contends with the micro-batch thread.
-        # Same 60 s total budget either way.
+        # Deadline-bounded (ADVICE r14): the outer-flavor tick is one
+        # Spark aggregate job, which typically outlasts its 50 ms
+        # sleep, so an iteration cap's worst case would be job-latency
+        # x iterations (minutes), not the intended budget. A monotonic
+        # deadline bounds wall-clock directly, and exhaustion raises
+        # instead of silently returning a possibly-incomplete table.
         semi = how == "left_semi"
-        for _ in range(120 if semi else 1200):
+        deadline = time.monotonic() + 60.0
+        evicted = False
+        while time.monotonic() < deadline:
             if semi:
                 prog = q.lastProgress
                 ops = (prog or {}).get("stateOperators") or []
                 if ops and ops[0].get("numRowsTotal", 1 << 30) <= 2:
+                    evicted = True
                     break
             else:
                 row = (
@@ -183,8 +191,15 @@ def _outer_join_demo(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
                 if how == "full_outer":
                     done = done and (row["na"] or 0) > 0
                 if done:
+                    evicted = True
                     break
             time.sleep(0.5 if semi else 0.05)
+        if not evicted:
+            raise RuntimeError(
+                f"stream_{how}_join: eviction signal never appeared "
+                "within the 60 s completion budget; the result table "
+                "would be incomplete"
+            )
         if how == "left_semi":
             global LAST_SEMI_PROGRESS
             LAST_SEMI_PROGRESS = q.lastProgress
