@@ -610,26 +610,44 @@ def connected_components_star(
         )
 
     def _large_star(e: DataFrame) -> DataFrame:
-        sym = e.union(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        mins = sym.groupBy("src").agg(
-            F.least(F.min("dst"), F.first("src")).alias("m")
-        )
+        # r15: one pass — symmetrize by explode (union-with-swap
+        # scanned the checkpointed edge set twice per reference), and
+        # the neighborhood minimum rides a WINDOW over the same
+        # src-partitioning the old groupBy+join needed TWO exchanges
+        # for (partial-agg exchange + join-side exchange).
+        from kafka_s3_etl_spark.operators.graph import symmetrize_pairs
+
+        sym = symmetrize_pairs(e, a="src", b="dst")
+        w = Window.partitionBy("src")
         return (
-            sym.join(mins, "src")
+            sym.select(
+                "src",
+                "dst",
+                F.least(F.min("dst").over(w), F.col("src")).alias("m"),
+            )
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         )
 
     def _small_star(e: DataFrame) -> DataFrame:
+        # Same window move. The (src -> m) root link is emitted per
+        # EDGE row here (the old shape unioned the one-row-per-src
+        # `mins` rollup, referencing the canon lineage a second time);
+        # the caller's _canon distinct collapses the duplicates, so the
+        # round's edge SET is identical.
         canon = _canon(e)
-        mins = canon.groupBy("src").agg(F.min("dst").alias("m"))
-        linked = (
-            canon.join(mins, "src")
-            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            .union(mins.select("src", F.col("m").alias("dst")))
+        w = Window.partitionBy("src")
+        withm = canon.select(
+            "src", "dst", F.min("dst").over(w).alias("m")
         )
+        linked = withm.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("dst").alias("src"), F.col("m").alias("dst")),
+                    F.struct(F.col("src").alias("src"), F.col("m").alias("dst")),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
         return linked.filter(F.col("src") != F.col("dst"))
 
     def _fingerprint(e: DataFrame) -> tuple[int, int]:
@@ -847,19 +865,21 @@ def set_similarity_join(
     in suffixes and never generate candidates — the skew story the
     naive token join lacks.
 
-    Stages (all JVM): (1) distinct (doc, token) + doc-frequency
-    rollup; (2) per-doc rank window -> prefix rows; (3) prefix
-    self-join (doc_a < doc_b) with the LENGTH filter (J >= t bounds
+    Stages (all JVM): (1) per-doc sorted distinct-token ARRAY (map
+    side, no shuffle) + doc-frequency rollup off its explode; (2)
+    per-doc rank window -> prefix rows; (3) prefix self-join
+    (doc_a < doc_b) with the LENGTH filter (J >= t bounds
     min(|a|,|b|)/max(|a|,|b|) >= t, so size-mismatched pairs die in
     the join filter) and the POSITIONAL filter (a shared prefix token
     at ranks (i, j) caps the possible overlap at
     1 + min(|a|-i, |b|-j), which must reach the overlap the Jaccard
     threshold requires, ceil(t/(1+t)*(|a|+|b|)) — both integer
     cross-multiplies) -> distinct candidate pairs; (4) exact verify:
-    candidates x tokens-of-a semi-joined against tokens-of-b counts
-    the intersection, and the threshold test is the integer
-    cross-multiply ``n_ab * SCALE >= t*SCALE * union`` — no float
-    compare. Returns (doc_a, doc_b, n_a, n_b, n_common, jaccard) with
+    two pair-keyed joins attach each side's token array and
+    ``n_common = size(array_intersect(a, b))`` per pair — never a
+    candidates x tokens expansion — with the threshold test the
+    integer cross-multiply ``n_ab * SCALE >= t*SCALE * union`` — no
+    float compare. Returns (doc_a, doc_b, n_a, n_b, n_common, jaccard) with
     jaccard the single terminal division. All three filters are
     standard PPJoin; on an adversarially dense corpus (tiny vocab,
     templated texts) they cut candidates ~4x where signature schemes
@@ -871,13 +891,15 @@ def set_similarity_join(
     # integer threshold: jaccard >= num/den  <=>  den*n_ab >= num*union
     num = int(round(threshold * 1000))
     den = 1000
-    toks = (
-        documents.select(
-            "doc_id", F.explode(F.split("text", " ")).alias("token")
-        )
-        .filter(F.col("token") != "")
-        .distinct()
-    )
+    # Per-doc DISTINCT-token ARRAY as the primary relation (r15): the
+    # sorted distinct array is computed MAP-SIDE per document — the
+    # previous explode + distinct paid a full shuffle of the token
+    # stream just to deduplicate per doc, and the exact-verify stage
+    # re-exploded it into a candidates x tokens join. One row per doc,
+    # strictly smaller than the text it derives from.
+    arr_expr = F.sort_array(
+        F.array_distinct(F.filter(F.split("text", " "), lambda t: t != ""))
+    ).alias("ta")
     membership = None
     if collapse_identical_sets:
         # Identical token-SET collapse (the winnow fingerprint-set
@@ -890,20 +912,9 @@ def set_similarity_join(
         # candidate join and the verify join shrink per side. The set
         # key is md5 of the sorted token list — exact, no hash-mixing
         # collision risk.
-        keyed = documents.select(
-            "doc_id",
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.sort_array(
-                        F.array_distinct(
-                            F.filter(
-                                F.split("text", " "), lambda t: t != ""
-                            )
-                        )
-                    ),
-                )
-            ).alias("sk"),
+        arrs_all = documents.select("doc_id", arr_expr).localCheckpoint()
+        keyed = arrs_all.select(
+            "doc_id", F.md5(F.concat_ws(" ", "ta")).alias("sk")
         )
         wrep = Window.partitionBy("sk")
         membership = keyed.select(
@@ -912,33 +923,32 @@ def set_similarity_join(
         reps = membership.filter(F.col("doc_id") == F.col("rep")).select(
             "doc_id"
         )
-        toks = toks.join(reps, "doc_id")
-    # Materialize the distinct (doc, token) relation ONCE: it feeds
-    # five consumers (doc-frequency rollup, size rollup, the rank
-    # window via `ranked`, and both exact-verify sides ta/tb). Without
-    # the cut each consumer re-runs the scan + explode + distinct (+
-    # representative join) lineage — the r14 before-plan showed 11
-    # parquet scans / 49 Exchanges for this one query, zero reused.
-    # One row per distinct (doc, token): tiny at any corpus size
-    # relative to the token stream it derives from.
-    toks = toks.localCheckpoint()
-    df_rank = toks.groupBy("token").agg(F.count("*").alias("df"))
-    # Three consumers (rank join, sa, sb); one row per doc.
-    sizes = (
-        toks.groupBy("doc_id")
-        .agg(F.count("*").alias("n_tok"))
-        .localCheckpoint()
+        arrs = arrs_all.join(reps, "doc_id").localCheckpoint()
+    else:
+        arrs = documents.select("doc_id", arr_expr).localCheckpoint()
+    # Derived views of the checkpointed array relation: cheap explode
+    # fan-outs (the r14 materialization rule — checkpoint subtrees with
+    # joins/windows, leave pure explode+agg fan-outs alone). `sizes` is
+    # only consumed in the collapse re-expansion below; the verify
+    # stage reads sizes off the arrays directly.
+    toks = arrs.select("doc_id", F.explode("ta").alias("token"))
+    # size > 0 keeps the empty-text contract of the previous
+    # explode+distinct shape: a doc with no tokens had no (doc, token)
+    # row, hence no size row, hence never reached any output.
+    sizes = arrs.filter(F.size("ta") > 0).select(
+        "doc_id", F.size("ta").cast("bigint").alias("n_tok")
     )
+    df_rank = toks.groupBy("token").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "token")
-    ranked = (
-        toks.join(df_rank, "token")
-        .join(sizes, "doc_id")
-        .select(
-            "doc_id",
-            "token",
-            "n_tok",
-            F.row_number().over(w).alias("r"),
-        )
+    ranked = arrs.select(
+        "doc_id",
+        F.size("ta").cast("bigint").alias("n_tok"),
+        F.explode("ta").alias("token"),
+    ).join(df_rank, "token").select(
+        "doc_id",
+        "token",
+        "n_tok",
+        F.row_number().over(w).alias("r"),
     )
     # prefix length: n - ceil(t*n) + 1 == n - (t_num*n + t_den - 1) DIV t_den + 1
     # Both candidate-join sides read the prefix; materialize the
@@ -984,31 +994,40 @@ def set_similarity_join(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "token")
-    inter = (
-        cand.join(ta.hint("shuffle_hash"), "doc_a")
-        .join(tb.hint("shuffle_hash"), ["doc_b", "token"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("bigint").alias("n_common"))
-    )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b")
-    )
+    # Exact verify on ARRAYS (r15): n_common = |array_intersect| of the
+    # two docs' distinct-token arrays — two pair-keyed joins against
+    # the per-doc array relation, one codegen'd intersect per pair. The
+    # previous shape exploded candidates x tokens-of-a (|cand| * avg|a|
+    # rows) through a second shuffle join and a groupBy exchange; this
+    # shuffles the SAME token bytes once per side attached to the pair
+    # row and removes the aggregation exchange entirely (guide §3:
+    # "explode before a join multiplies the shuffle; join first on the
+    # un-exploded key"). A candidate pair with zero overlap now reaches
+    # the threshold filter (n_common = 0) instead of dying in the inner
+    # join — it fails `den*0 >= num*union` for every num >= 1, so the
+    # output set is identical.
+    aa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("ta").alias("arr_a"))
+    ab = arrs.select(F.col("doc_id").alias("doc_b"), F.col("ta").alias("arr_b"))
     res = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(aa.hint("shuffle_hash"), "doc_a")
+        .join(ab.hint("shuffle_hash"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("arr_a").cast("bigint").alias("n_a"),
+            F.size("arr_b").cast("bigint").alias("n_b"),
+            F.size(F.array_intersect("arr_a", "arr_b"))
+            .cast("bigint")
+            .alias("n_common"),
+        )
         .filter(
             F.expr(f"{den} * n_common >= {num} * (n_a + n_b - n_common)")
         )
         .select(
             "doc_a",
             "doc_b",
-            F.col("n_a").cast("bigint").alias("n_a"),
-            F.col("n_b").cast("bigint").alias("n_b"),
+            "n_a",
+            "n_b",
             "n_common",
             F.expr(
                 "CAST(n_common AS DOUBLE) / (n_a + n_b - n_common)"
@@ -1102,17 +1121,34 @@ def containment_join(
     Returns (doc_a, doc_b, n_a, n_b, n_common, containment) with doc_a
     the contained side; both directions of a pair can appear.
     """
-    toks, sizes, cand_hits = _containment_candidates(documents, threshold)
+    arrs, cand_hits = _containment_candidates(documents, threshold)
     return _containment_verify(
-        toks, sizes, cand_hits.select("doc_a", "doc_b"), threshold
+        arrs, cand_hits.select("doc_a", "doc_b"), threshold
     )
+
+
+def _doc_token_arrays(documents: DataFrame) -> DataFrame:
+    """Per-doc SORTED DISTINCT-token array — (doc_id, ta) — computed
+    map-side (no shuffle; the previous explode + distinct paid a full
+    token-stream exchange per use). The single materialized relation
+    the set joins hang everything off: df rollup and rank rows derive
+    by cheap explode, sizes by ``size(ta)``, and the exact verify
+    computes intersections directly on the arrays."""
+    return documents.select(
+        "doc_id",
+        F.sort_array(
+            F.array_distinct(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            )
+        ).alias("ta"),
+    ).localCheckpoint()
 
 
 def _containment_candidates(
     documents: DataFrame, threshold: float
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Shared candidate stage of the containment joins: distinct doc
-    tokens, per-doc set sizes, and the prefix-filtered candidate pairs
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate stage of the containment joins: the per-doc
+    token-array relation and the prefix-filtered candidate pairs
     grouped with their prefix-hit counts — (doc_a, doc_b, hits, n_a,
     n_b). ``hits`` (how many of a's rare-first prefix tokens b shares)
     is free here — the pair dedup is a groupBy either way — and is the
@@ -1121,30 +1157,23 @@ def _containment_candidates(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     num = int(round(threshold * 1000))
     den = 1000
-    # Materialize the distinct (doc, token) relation and the per-doc
-    # sizes ONCE — they feed six consumers across candidates + verify
-    # (df rollup, size rollup, rank window, container side, both
-    # verify sides); without the cut every consumer re-runs the scan +
-    # explode + distinct (the r14 before-plan of the capped variant
-    # measured 36 Exchanges, none reused).
-    toks = (
-        documents.select(
-            "doc_id", F.explode(F.split("text", " ")).alias("token")
-        )
-        .filter(F.col("token") != "")
-        .distinct()
-        .localCheckpoint()
-    )
+    # One materialized per-doc array relation feeds every consumer
+    # (df rollup, rank rows, container side, both verify sides); the
+    # r14 shape checkpointed an exploded+distinct (doc, token) relation
+    # instead, which cost a token-stream shuffle to build and a
+    # candidates x tokens expansion to verify (the r14 before-plan of
+    # the capped variant measured 36 Exchanges, none reused).
+    arrs = _doc_token_arrays(documents)
+    toks = arrs.select("doc_id", F.explode("ta").alias("token"))
     df_rank = toks.groupBy("token").agg(F.count("*").alias("df"))
-    sizes = (
-        toks.groupBy("doc_id")
-        .agg(F.count("*").alias("n_tok"))
-        .localCheckpoint()
-    )
     w = Window.partitionBy("doc_id").orderBy("df", "token")
     ranked = (
-        toks.join(df_rank, "token")
-        .join(sizes, "doc_id")
+        arrs.select(
+            "doc_id",
+            F.size("ta").cast("bigint").alias("n_tok"),
+            F.explode("ta").alias("token"),
+        )
+        .join(df_rank, "token")
         .select("doc_id", "token", "n_tok", F.row_number().over(w).alias("r"))
     )
     prefix = ranked.filter(
@@ -1158,10 +1187,10 @@ def _containment_candidates(
         "token",
         F.col("n_tok").alias("n_a"),
     )
-    tb = toks.join(sizes, "doc_id").select(
+    tb = arrs.select(
         F.col("doc_id").alias("doc_b"),
-        "token",
-        F.col("n_tok").alias("n_b"),
+        F.size("ta").cast("bigint").alias("n_b"),
+        F.explode("ta").alias("token"),
     )
     cand_hits = (
         pa.join(tb.hint("shuffle_hash"), "token")
@@ -1175,41 +1204,43 @@ def _containment_candidates(
             F.max("n_b").alias("n_b"),
         )
     )
-    return toks, sizes, cand_hits
+    return arrs, cand_hits
 
 
 def _containment_verify(
-    toks: DataFrame, sizes: DataFrame, pairs: DataFrame, threshold: float
+    arrs: DataFrame, pairs: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact verification of candidate (doc_a, doc_b) pairs:
-    intersection counted by equi-join, threshold as the integer cross
-    multiply, containment the single terminal division (bit-exact on
-    both engines)."""
+    """Exact verification of candidate (doc_a, doc_b) pairs on the
+    per-doc token arrays: two pair-keyed joins attach each side's
+    array, n_common = |array_intersect| per pair (no candidates x
+    tokens expansion, no aggregation exchange — the r14 shape shuffled
+    |pairs| * avg|a| exploded rows through a second join + groupBy),
+    threshold as the integer cross multiply, containment the single
+    terminal division (bit-exact on both engines). A zero-overlap
+    candidate fails ``den*0 >= num*n_a`` for any num >= 1, so losing
+    the inner-join implicit n_common >= 1 changes nothing."""
     num = int(round(threshold * 1000))
     den = 1000
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
-    tb2 = toks.select(F.col("doc_id").alias("doc_b"), "token")
-    inter = (
-        pairs.join(ta.hint("shuffle_hash"), "doc_a")
-        .join(tb2.hint("shuffle_hash"), ["doc_b", "token"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("bigint").alias("n_common"))
-    )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b")
-    )
+    aa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("ta").alias("arr_a"))
+    ab = arrs.select(F.col("doc_id").alias("doc_b"), F.col("ta").alias("arr_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.join(aa.hint("shuffle_hash"), "doc_a")
+        .join(ab.hint("shuffle_hash"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("arr_a").cast("bigint").alias("n_a"),
+            F.size("arr_b").cast("bigint").alias("n_b"),
+            F.size(F.array_intersect("arr_a", "arr_b"))
+            .cast("bigint")
+            .alias("n_common"),
+        )
         .filter(F.expr(f"{den} * n_common >= {num} * n_a"))
         .select(
             "doc_a",
             "doc_b",
-            F.col("n_a").cast("bigint").alias("n_a"),
-            F.col("n_b").cast("bigint").alias("n_b"),
+            "n_a",
+            "n_b",
             "n_common",
             F.expr("CAST(n_common AS DOUBLE) / n_a").alias("containment"),
         )
@@ -1257,26 +1288,17 @@ def containment_join_capped(
     num = int(round(threshold * 1000))
     den = 1000
     # Same single-materialization discipline as _containment_candidates
-    # (six consumers of toks/sizes across toplists + verify).
-    toks = (
-        documents.select(
-            "doc_id", F.explode(F.split("text", " ")).alias("token")
-        )
-        .filter(F.col("token") != "")
-        .distinct()
-        .localCheckpoint()
+    # (one per-doc array relation feeds toplists + verify).
+    arrs = _doc_token_arrays(documents)
+    toks_n = arrs.select(
+        "doc_id",
+        F.size("ta").cast("bigint").alias("n_tok"),
+        F.explode("ta").alias("token"),
     )
-    df_rank = toks.groupBy("token").agg(F.count("*").alias("df"))
-    sizes = (
-        toks.groupBy("doc_id")
-        .agg(F.count("*").alias("n_tok"))
-        .localCheckpoint()
-    )
+    df_rank = toks_n.groupBy("token").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "token")
-    ranked = (
-        toks.join(df_rank, "token")
-        .join(sizes, "doc_id")
-        .select("doc_id", "token", "n_tok", F.row_number().over(w).alias("r"))
+    ranked = toks_n.join(df_rank, "token").select(
+        "doc_id", "token", "n_tok", F.row_number().over(w).alias("r")
     )
     prefix = ranked.filter(
         F.col("r")
@@ -1290,7 +1312,7 @@ def containment_join_capped(
     # funnel it through one task.
     toplists = (
         bucketed_global_row_number(
-            toks.join(sizes, "doc_id"),
+            toks_n,
             "n_tok",
             "doc_id",
             shift=0,
@@ -1314,7 +1336,7 @@ def containment_join_capped(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _containment_verify(toks, sizes, cand, threshold)
+    return _containment_verify(arrs, cand, threshold)
 
 
 def duplicate_substring_spans(documents: DataFrame, k: int = 12) -> DataFrame:

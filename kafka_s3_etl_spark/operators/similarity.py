@@ -461,10 +461,19 @@ def embedding_near_dups_ann(
         )
     dim = dim_row[0]
     sign_df = _sign_table(spark, tables, planes, dim)
-    buckets = embeddings.crossJoin(F.broadcast(sign_df)).select(
-        "vec_id",
-        "table_id",
-        _bucket_bits(F.col("embedding"), planes).alias("bucket"),
+    # Materialize the slim (vec_id, table_id, bucket) relation ONCE:
+    # the self-join below references it twice, and a DataFrame
+    # reference is a plan COPY — un-checkpointed, each side re-ran the
+    # corpus scan + the tables x planes sign-projection fold (the
+    # expensive kernel of this operator). r15; guide §2.4.
+    buckets = (
+        embeddings.crossJoin(F.broadcast(sign_df))
+        .select(
+            "vec_id",
+            "table_id",
+            _bucket_bits(F.col("embedding"), planes).alias("bucket"),
+        )
+        .localCheckpoint()
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
