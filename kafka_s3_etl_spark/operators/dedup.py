@@ -529,8 +529,10 @@ def connected_components(
         F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
     )
     for _ in range(max_iter):
+        # shuffle_hash: feeds an unordered MIN aggregation; the
+        # sort-merge sorts of the edge side were waste every round.
         nbr_min = (
-            edges.join(labels, edges.dst == labels.node)
+            edges.join(labels.hint("shuffle_hash"), edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )

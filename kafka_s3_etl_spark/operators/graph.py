@@ -109,8 +109,8 @@ def pagerank(
 
     for _ in range(iters):
         contribs = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(degrees, "src")
+            edges.join(ranks.hint("shuffle_hash"), edges.src == ranks.node)
+            .join(degrees.hint("shuffle_hash"), "src")
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
@@ -185,8 +185,8 @@ def pagerank_fixedpoint(
     ).localCheckpoint()
     for _ in range(iters):
         inflow = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(deg, "src")
+            edges.join(ranks.hint("shuffle_hash"), edges.src == ranks.node)
+            .join(deg.hint("shuffle_hash"), "src")
             .select("dst", F.expr("pr div deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
@@ -654,8 +654,14 @@ def label_propagation(
             aff_edges = edges.join(
                 affected.withColumnRenamed("node", "dst"), "dst", "semi"
             )
+        # shuffle_hash: the vote join feeds an unordered aggregation,
+        # and LPA node keys are strings here — the sort-merge sorts of
+        # the edge side were pure waste every round (same house rule as
+        # triangles/jaccard; broadcast would be faster at sf0.1 but the
+        # label table is node-count-sized, not broadcastable at scale).
         votes = aff_edges.join(
-            labels.withColumnRenamed("node", "src"), "src"
+            labels.withColumnRenamed("node", "src").hint("shuffle_hash"),
+            "src",
         ).select(F.col("dst").alias("node"), "lbl")
         counted = votes.groupBy("node", "lbl").agg(
             F.count("*").alias("n")
@@ -739,7 +745,10 @@ def label_propagation_kstep(
     for _ in range(iters):
         votes = (
             edges.join(
-                labels.select(F.col("node").alias("dst"), "lbl"), "dst"
+                labels.select(F.col("node").alias("dst"), "lbl").hint(
+                    "shuffle_hash"
+                ),
+                "dst",
             )
             .groupBy("src", "lbl")
             .agg(F.count("*").alias("c"))
@@ -792,7 +801,10 @@ def bfs_kstep(
     for _ in range(iters):
         dist = (
             edges.join(
-                dist.select(F.col("node").alias("dst"), "dist"), "dst"
+                dist.select(F.col("node").alias("dst"), "dist").hint(
+                    "shuffle_hash"
+                ),
+                "dst",
             )
             .groupBy("src")
             .agg(F.min(F.col("dist") + step).cast("bigint").alias("dist"))

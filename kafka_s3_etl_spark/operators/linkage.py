@@ -83,7 +83,18 @@ def fuzzy_pairs_ed1(
     hot) while the hot VALUES — the potentially huge excluded mass —
     anti-join by shuffle.
     """
-    v = values.select(F.col(col).cast("string").alias("v")).distinct()
+    # Materialize the distinct value set once (r15): `dels` derives
+    # from it and is referenced three times (both substitution join
+    # sides + the insert/delete branch), and `v` itself twice — without
+    # the cut each reference re-ran the scan + distinct exchange
+    # (measured 1.90 -> 1.44 s warm on the sf0.1 LPA edges build;
+    # checkpointing `dels` too measured WORSE, 1.63 s — the explode is
+    # the cheap-fan-out case of the r14 materialization rule).
+    v = (
+        values.select(F.col(col).cast("string").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
     dels = v.select(
         "v",
         F.expr(
